@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+The reference runs on Databricks (DBR 13.3, Spark 3.4.1, Photon recommended —
+``/root/reference/README.md:94-99``); we target OSS Spark >= 4.x. The session
+is configured for oracle-grade determinism (UTC timezone, AQE on, Arrow on)
+and for local[N] testing while keeping settings that scale to a real cluster
+(AQE skew handling, sane shuffle partitioning).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Number of local cores the driver gives us (bench contract: $SPARK_GRAFT_CPUS).
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "real_time_rides_data_pipeline_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    On a real cluster the ``master`` is provided by the environment; locally we
+    default to ``local[cpus]``. ``spark.sql.shuffle.partitions`` defaults to the
+    core count (NOT Spark's default 200 — wrong at both extremes); AQE coalesces
+    it upward/downward at scale.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Oracle determinism: DuckDB timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Files: pack small fixture files; at 100 TB this yields ~128MB splits.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Fixture events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert at the source (sources/).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Streaming state at scale: RocksDB keeps dedup/agg state off-heap.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    if not os.environ.get("SPARK_MASTER"):  # local mode (tests / bench)
+        builder = builder.master(f"local[{cpus}]")
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

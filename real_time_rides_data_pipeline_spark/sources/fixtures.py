@@ -1,0 +1,49 @@
+"""Readers for the driver-generated parquet fixture tables (TESTDATA.md)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from real_time_rides_data_pipeline_spark.schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_fixture(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Batch-read one fixture table (``region nation customer supplier part
+    orders lineitem events documents embeddings``) as a DataFrame.
+
+    Plain ``spark.read.parquet`` so Catalyst gets full pushdown/pruning into
+    the scan; at 100 TB the same call reads a partitioned parquet/Delta lake.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a
+    nanosecond LongType and is converted here to a microsecond timestamp —
+    integer truncation, matching how DuckDB reads the same file.
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name == "events":
+        # The session may not have been built by our factory (e.g. the
+        # verify driver's own session) — ensure the nanos conf is on.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_fixtures(
+    spark: SparkSession, sf_dir: str | None = None, register_views: bool = False
+) -> dict[str, DataFrame]:
+    """Load all fixture tables; optionally register temp views for SQL."""
+    out: dict[str, DataFrame] = {}
+    for name in FIXTURE_TABLES:
+        df = load_fixture(spark, name, sf_dir)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
