@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness — times every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": <float>}
+
+Each query is forced end-to-end with the ``noop`` sink (full plan execution,
+no driver collect — measures the engine, not result serialization). A warmup
+query amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def main() -> None:
+    from real_time_rides_data_pipeline_spark.session import get_spark
+    from real_time_rides_data_pipeline_spark.queries import registry
+
+    spark = get_spark(app_name="bench", cpus=CPUS)
+    specs = registry()
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warmup: JVM JIT + codegen + parquet footer caches.
+    run(specs["q_window_hourly_agg"].fn(spark, SF_DIR))
+
+    # min-of-2: the local JVM shows rare multi-second scheduler/JIT stalls
+    # on repeated single-task stages; min is the standard robust estimator.
+    timings: dict[str, float] = {}
+    for key in sorted(specs):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run(specs[key].fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 from real_time_rides_data_pipeline_spark import operators as ops
 from real_time_rides_data_pipeline_spark.operators import joins as J
+from real_time_rides_data_pipeline_spark.plans import ensure_parallelism
 from real_time_rides_data_pipeline_spark.sources import load_fixture
 
 
@@ -53,8 +54,12 @@ def registry() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_fixture(spark, name, sf_dir)
+def _t(spark: SparkSession, sf_dir: str, name: str, parallel: bool = False) -> DataFrame:
+    """Load a fixture table; ``parallel=True`` guards CPU-heavy downstream
+    stages (JSON parse, hashing) against single-partition tiny-file scans
+    (see plans.shape.ensure_parallelism — no-op at real scale)."""
+    df = load_fixture(spark, name, sf_dir)
+    return ensure_parallelism(df) if parallel else df
 
 
 # =========================================================================
@@ -80,7 +85,7 @@ def q_cast_project(spark, sf_dir):
     "JSON→typed struct via from_json with explicit schema (02_silver:46-47).",
 )
 def q_json_parse(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=True)
     parsed = ops.parse_json_events(
         ev, json_col="props", schema=T.StructType([T.StructField("k", T.IntegerType())])
     )
@@ -96,18 +101,19 @@ def q_json_parse(spark, sf_dir):
     "payload, from_json yields NULL, filter removes it.",
 )
 def q_malformed_filter(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _t(spark, sf_dir, "events", parallel=True).withColumn(
         "payload",
         F.when(F.col("event_id") % 10 == 0, F.substring("props", 1, 3)).otherwise(
             F.col("props")
         ),
     )
+    valid = ops.drop_malformed(ev, json_col="payload")
     parsed = ops.parse_json_events(
-        ev, json_col="payload", schema=T.StructType([T.StructField("k", T.IntegerType())])
+        valid,
+        json_col="payload",
+        schema=T.StructType([T.StructField("k", T.IntegerType())]),
     )
-    return ops.drop_malformed(parsed).select(
-        "event_id", F.col("data.k").alias("prop_k")
-    )
+    return parsed.select("event_id", F.col("data.k").alias("prop_k"))
 
 
 @register(
@@ -117,7 +123,7 @@ def q_malformed_filter(spark, sf_dir):
     "Nested-struct star expansion: SELECT data.* (02_silver:49).",
 )
 def q_struct_star(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=True)
     parsed = ops.parse_json_events(
         ev, json_col="props", schema=T.StructType([T.StructField("k", T.IntegerType())])
     )
