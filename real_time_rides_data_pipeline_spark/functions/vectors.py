@@ -1,0 +1,86 @@
+"""Vector similarity expressions over embedding columns (array<float>).
+
+JVM-native array lambdas (``zip_with``/``aggregate``) — no UDF, no Arrow
+round-trip. Dot products fold left-to-right over the array, so results are
+bit-identical across engines that share IEEE doubles and the same order
+(DuckDB's list functions also fold sequentially) — that's what makes the
+cosine queries oracle-checkable.
+
+Scale path: brute-force top-k is a single scan + TakeOrderedAndProject
+(fine whenever k ≪ N and the query set is small); LSH/IVF bucketing
+(operators/similarity.py) cuts the candidate set before the exact pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    """array<float> → array<double> once, so all arithmetic is double."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays; NULL on zero norms."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_rounded(a: Column, b: Column, dp: int = 6) -> Column:
+    """Oracle-comparable cosine: floor-truncated to ``dp`` decimals.
+
+    floor (not round) because identical doubles can still ROUND differently
+    across engines (see functions.precision); the fold order here matches
+    DuckDB's list_reduce, so the pre-truncation doubles are bit-identical.
+    """
+    from real_time_rides_data_pipeline_spark.functions.precision import floor_round
+
+    return floor_round(cosine(a, b), dp)
+
+
+def simhash_bits(hashes: Column, bits: int = 32) -> Column:
+    """SimHash over an array of 64-bit token hashes: for each bit position,
+    +1 if set else -1, summed across tokens; sign → bit. Returns the packed
+    BIGINT signature. Pure array lambdas — O(tokens × bits) JVM work."""
+    # NB: F.shiftleft needs a Python-int bit count, so inside lambdas the
+    # bit masks use exact power-of-2 arithmetic (values < 2^52 ⇒ exact).
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    def mask(b):  # 2^b as long
+        return F.pow(F.lit(2.0), b).cast("long")
+
+    votes = F.transform(
+        bit_idx,
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask(b)) != 0, 1).otherwise(-1),
+        ),
+    )
+    # pack sign bits: sum(2^i for i where votes[i] > 0)
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            bit_idx,
+            lambda v, i: F.when(v > 0, mask(i)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two BIGINT bit signatures."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,182 @@
+"""Near-duplicate text detection at scale: MinHash+LSH, SimHash, n-gram
+Jaccard. The LLM-training-data dedup suite (SURVEY.md §2.9).
+
+Scale design (100 TB story):
+- Signatures are computed scan-side with JVM array lambdas (no explode of
+  shingles → no |doc|×|shingles| blow-up through a shuffle).
+- LSH banding turns all-pairs O(N²) into a groupBy on band buckets: only
+  docs sharing a band collide. The band join shuffles (bucket_hash) pairs,
+  NOT document text; the exact-verify join pulls shingle sets only for the
+  candidate pairs (a tiny fraction of N²).
+- Exact Jaccard verification keeps precision = 1; banding controls recall
+  (16 hashes × 4-row bands ⇒ P[catch | j=0.8] ≈ 1-(1-0.8⁴)⁴ ≈ 0.94).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_rides_data_pipeline_spark.functions.text import tokens, word_shingles
+from real_time_rides_data_pipeline_spark.functions.vectors import (
+    hamming64,
+    simhash_bits,
+)
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_words: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """MinHash signature as array<bigint>: for seed i, min over shingles of
+    xxhash64(shingle, i). One pass, all JVM-side."""
+    sh = word_shingles(F.col(text_col), shingle_words)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` equal slices; docs
+    sharing any band slice become a candidate pair. Explode is over bands
+    (constant factor), the join is a self-equi-join on (band_idx, band_hash)
+    — a hash shuffle on small keys. Emits (id_a < id_b) distinct pairs."""
+    n = df.select(F.size(sig_col).alias("n")).limit(1)
+    rows_per_band = F.floor(F.size(sig_col) / bands).cast("int")
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col(sig_col), (b * rows_per_band + 1).cast("int"), rows_per_band)
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-verify candidate pairs: join shingle sets back, compute
+    |∩|/|∪|, keep pairs ≥ threshold. Output (id_a, id_b, jaccard)."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_words).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup: signature → band join → exact verify."""
+    signed = with_minhash_signature(docs, text_col, n_hashes, shingle_words)
+    cands = minhash_candidate_pairs(signed, id_col, "minhash", bands)
+    return exact_jaccard_pairs(docs, cands, id_col, text_col, shingle_words, threshold)
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: 32-bit signature from token hashes; candidates
+    share at least one of 4 byte-bands (guarantees recall for distance ≤ 3
+    within any single band difference... pigeonhole: d ≤ 3 < 4 bands ⇒ at
+    least one band equal); exact Hamming verify ≤ max_hamming."""
+    n_bands = 4
+    band_bits = bits // n_bands
+    signed = docs.select(
+        F.col(id_col),
+        simhash_bits(
+            F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)), bits
+        ).alias("simhash"),
+    )
+    banded = signed.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                # simhash ≥ 0 and < 2^32 ⇒ unsigned shift == exact floordiv 2^k
+                lambda b: F.floor(
+                    F.col("simhash") / F.pow(F.lit(2.0), b * band_bits)
+                )
+                .cast("long")
+                .bitwiseAND(F.lit((1 << band_bits) - 1).cast("long")),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -18,48 +18,15 @@ has a unique total order.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from real_time_rides_data_pipeline_spark import operators as ops
 from real_time_rides_data_pipeline_spark.operators import joins as J
-from real_time_rides_data_pipeline_spark.plans import ensure_parallelism
-from real_time_rides_data_pipeline_spark.sources import load_fixture
+from real_time_rides_data_pipeline_spark.registry import _t, register, registry
 
-
-@dataclass(frozen=True)
-class QuerySpec:
-    key: str
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL, or None → rows-only check
-    doc: str = ""
-
-
-_REGISTRY: dict[str, QuerySpec] = {}
-
-
-def register(key: str, oracle: str | None, doc: str = ""):
-    def deco(fn):
-        _REGISTRY[key] = QuerySpec(key, fn, oracle, doc)
-        return fn
-
-    return deco
-
-
-def registry() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str, parallel: bool = False) -> DataFrame:
-    """Load a fixture table; ``parallel=True`` guards CPU-heavy downstream
-    stages (JSON parse, hashing) against single-partition tiny-file scans
-    (see plans.shape.ensure_parallelism — no-op at real scale)."""
-    df = load_fixture(spark, name, sf_dir)
-    return ensure_parallelism(df) if parallel else df
+__all__ = ["registry", "register"]
 
 
 # =========================================================================
@@ -426,7 +393,10 @@ def q_join_anti(spark, sf_dir):
 
 @register(
     "q_join_multiway",
-    """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    """SELECT r_name,
+              CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+                  / 10000.0 AS revenue,
               count(*) AS n_items
        FROM lineitem
        JOIN orders   ON l_orderkey = o_orderkey
@@ -435,9 +405,12 @@ def q_join_anti(spark, sf_dir):
        JOIN region   ON n_regionkey = r_regionkey
        GROUP BY r_name""",
     "5-table star join → revenue per region; all dims broadcast (one fact "
-    "scan, zero dim shuffles).",
+    "scan, zero dim shuffles). Revenue in exact integer 1e-4 units "
+    "(price and discount are 2-dp money) → portable double.",
 )
 def q_join_multiway(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -452,10 +425,9 @@ def q_join_multiway(spark, sf_dir):
             (r, n.n_regionkey == r.r_regionkey),
         ],
     )
+    rev_e4 = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
     return joined.groupBy("r_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        (F.sum(rev_e4).cast("double") / 10000.0).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -468,20 +440,36 @@ def q_join_multiway(spark, sf_dir):
 @register(
     "q_agg_stats",
     """SELECT event_type,
-              round(min(value), 2) AS min_value,
-              round(max(value), 2) AS max_value,
-              round(stddev_samp(value), 4) AS stddev_value,
-              round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS median_value
+              min(value) AS min_value,
+              max(value) AS max_value,
+              floor(sqrt((sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT))
+                          - CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                            * sum(CAST(round(value*100) AS BIGINT)) / count(value))
+                         / (count(value) - 1)) / 100 * 10000) / 10000.0 AS stddev_value,
+              floor(quantile_cont(value, 0.5) * 10000) / 10000.0 AS median_value
        FROM events GROUP BY event_type""",
-    "min/max/stddev/exact-median stats per group.",
+    "min/max/stddev/exact-median stats per group. stddev via exact integer-"
+    "cents sums (sum & sum-of-squares are exact longs → the closing double "
+    "arithmetic is bit-identical cross-engine; floor-truncated, see "
+    "functions.precision).",
 )
 def q_agg_stats(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import (
+        cents,
+        floor_round,
+    )
+
     ev = _t(spark, sf_dir, "events")
+    c = cents(F.col("value"))
+    n = F.count("value")
+    sum_c = F.sum(c)
+    sum_c2 = F.sum(c * c)
+    stddev_cents = F.sqrt((sum_c2 - sum_c.cast("double") * sum_c / n) / (n - 1))
     return ev.groupBy("event_type").agg(
-        F.round(F.min("value"), 2).alias("min_value"),
-        F.round(F.max("value"), 2).alias("max_value"),
-        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        floor_round(stddev_cents / 100, 4).alias("stddev_value"),
+        floor_round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
     )
 
 

@@ -1,0 +1,695 @@
+"""Extension query registry — LLM-data-pipeline operators (SURVEY.md §2.9)
+plus streaming batch-twins and OLAP surface extensions.
+
+Same contract as queries.py: Spark callable + DuckDB oracle (None → rows-only).
+The documents fixture has NO natural near-duplicates (max pairwise jaccard
+0.03, max cosine 0.51 at sf0.01 — measured), so the dedup demonstrations
+inject deterministic perturbed copies derived from the table itself
+(doc_id + 1_000_000, truncated text) and find exactly those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_rides_data_pipeline_spark.functions import text as X
+from real_time_rides_data_pipeline_spark.functions import vectors as V
+from real_time_rides_data_pipeline_spark.functions.jsonx import json_get_int
+from real_time_rides_data_pipeline_spark.functions.precision import floor_round
+from real_time_rides_data_pipeline_spark.operators import (
+    keep_first_per_key,
+    latest_per_key,
+)
+from real_time_rides_data_pipeline_spark.operators import multimodal as MM
+from real_time_rides_data_pipeline_spark.operators import similarity as SIM
+from real_time_rides_data_pipeline_spark.operators import textdedup as TD
+from real_time_rides_data_pipeline_spark.registry import _t, register
+
+# =========================================================================
+# JSON extraction / as-of (SURVEY §2.9 q_json_extract, q_asof_latest)
+# =========================================================================
+
+
+@register(
+    "q_json_extract",
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k,
+              user_id
+       FROM events""",
+    "Single-path JSON extraction via get_json_object (vs q_json_parse's "
+    "whole-schema from_json).",
+)
+def q_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events", parallel=True)
+    return ev.select("event_id", json_get_int(F.col("props"), "k").alias("prop_k"), "user_id")
+
+
+@register(
+    "q_asof_latest",
+    """SELECT user_id, ts AS asof_ts, value AS asof_value, event_id
+       FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+       QUALIFY row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) = 1""",
+    "As-of lookup: latest value per key at a point in time — the batch twin "
+    "of streaming keep-latest state. One window shuffle on the key.",
+)
+def q_asof_latest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    return latest_per_key(ev, keys=("user_id",), ts_col="ts", tiebreak="event_id").select(
+        "user_id",
+        F.col("ts").alias("asof_ts"),
+        F.col("value").alias("asof_value"),
+        "event_id",
+    )
+
+
+# =========================================================================
+# Deduplication suite (q_exact_dedup, q_minhash_neardup, q_simhash_neardup,
+# q_ngram_jaccard, q_embed_neardup)
+# =========================================================================
+
+_DUPED_DOCS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _duped_docs(spark, sf_dir) -> DataFrame:
+    """documents ∪ exact copies of every 5th doc (id-shifted) — the exact-dup
+    corpus."""
+    d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return d.unionAll(dups)
+
+
+def _neardup_docs(spark, sf_dir) -> DataFrame:
+    """documents ∪ near-copies of every 5th doc: last 2 words dropped —
+    high-jaccard (not exact) pairs for MinHash/SimHash to find."""
+    d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    truncated = F.concat_ws(
+        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)).cast("int"))
+    )
+    near = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", truncated)
+    )
+    return d.unionAll(near)
+
+
+@register(
+    "q_exact_dedup",
+    f"""SELECT doc_id, text FROM ({_DUPED_DOCS_SQL})
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
+    "Exact dedup, deterministic survivor (min doc_id per text) — "
+    "row_number()=1, one hash shuffle. At 100 TB dedup on xxhash64(text) "
+    "first so the shuffle carries 8-byte keys.",
+)
+def q_exact_dedup(spark, sf_dir):
+    return keep_first_per_key(
+        _duped_docs(spark, sf_dir), keys=("text",), order_by=("doc_id",)
+    ).select("doc_id", "text")
+
+
+@register(
+    "q_doc_fingerprint",
+    """SELECT doc_id, md5(text) AS fp, length(text) AS n_chars FROM documents""",
+    "Content fingerprint (md5) — the exact-dup key at scale; engine-portable.",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    return d.select(
+        "doc_id",
+        X.md5_fingerprint(F.col("text")).alias("fp"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "q_minhash_neardup",
+    None,  # xxhash64 signatures are Spark-specific → rows-only
+    "MinHash(16)+LSH(4 bands) near-dup over documents ∪ injected near-copies; "
+    "exact-jaccard verified ≥ 0.5. Finds the ~n/5 injected pairs.",
+)
+def q_minhash_neardup(spark, sf_dir):
+    return TD.minhash_near_duplicates(_neardup_docs(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "q_simhash_neardup",
+    None,  # xxhash64-based signature → rows-only
+    "SimHash(32-bit)+byte-band candidates, Hamming ≤ 3 verified, over "
+    "documents ∪ injected near-copies.",
+)
+def q_simhash_neardup(spark, sf_dir):
+    return TD.simhash_near_duplicates(_neardup_docs(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "q_ngram_jaccard",
+    """WITH t AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+       ), s AS (
+         SELECT doc_id,
+                list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                               for i in range(greatest(len(w) - 2, 1))]) AS sh
+         FROM t
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+                    / len(list_distinct(list_concat(a.sh, b.sh)))) / 1000000.0
+                  AS jaccard
+       FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""",
+    "Exact 3-word-shingle Jaccard between consecutive doc pairs (the "
+    "verification kernel of MinHash dedup, in isolation).",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    sh = d.select(
+        "doc_id", X.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.select(
+        (F.col("doc_id") - 1).alias("join_id"), F.col("sh").alias("sh_b")
+    ).alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("b.join_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            (F.col("a.doc_id") + 1).alias("id_b"),
+            floor_round(
+                F.size(F.array_intersect("a.sh", "sh_b"))
+                / F.size(F.array_union("a.sh", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# =========================================================================
+# Similarity search (q_cosine_topk, q_embed_neardup, q_ann_ivf)
+# =========================================================================
+
+_COSINE_SQL = (
+    "list_reduce(list_transform(range(len(a.embedding)), "
+    "i -> a.embedding[i+1]::DOUBLE * {q}[i+1]::DOUBLE), (x,y) -> x+y) "
+    "/ (sqrt(list_reduce(list_transform(a.embedding, x -> x::DOUBLE*x::DOUBLE), (x,y)->x+y)) "
+    "* sqrt(list_reduce(list_transform({q}, x -> x::DOUBLE*x::DOUBLE), (x,y)->x+y)))"
+)
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    """Fixed, deterministic query vector: the embedding of vec_id=0 (exists
+    at every SF). Collected once driver-side (one row) and folded into the
+    plan as a literal — at scale this is 'the query', not data movement."""
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "q_cosine_topk",
+    f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT a.vec_id,
+               floor(({_COSINE_SQL.format(q="q.qv")}) * 1000000) / 1000000.0
+                   AS cosine_sim
+        FROM embeddings a, q
+        ORDER BY cosine_sim DESC, a.vec_id LIMIT 100""",
+    "Brute-force cosine top-k vs a fixed query vector — JVM array lambdas "
+    "(zip_with/aggregate), TakeOrderedAndProject; the exact-ANN baseline.",
+)
+def q_cosine_topk(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    return SIM.brute_force_topk(_t(spark, sf_dir, "embeddings"), qv, k=100)
+
+
+@register(
+    "q_embed_neardup",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               floor(({_COSINE_SQL.format(q="b.embedding")}) * 1000000) / 1000000.0
+                   AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE floor(({_COSINE_SQL.format(q="b.embedding")}) * 1000000) / 1000000.0
+              >= 0.4""",
+    "Embedding-cosine near-dup: all-pairs ≥ 0.4 (exact verification stage; "
+    "at 100 TB an LSH/IVF candidate filter runs first).",
+)
+def q_embed_neardup(spark, sf_dir):
+    return SIM.cosine_pairs_above(_t(spark, sf_dir, "embeddings"), 0.4)
+
+
+@register(
+    "q_ann_ivf",
+    None,  # recall<1 by construction; centroid assignment is engine-internal
+    "IVF ANN: 8 fixed centroids (embeddings of vec_id 0..7), probe the 2 "
+    "nearest clusters, exact top-10 within them — partition-pruned scan.",
+)
+def q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    qv = _query_vec(spark, sf_dir)
+    return SIM.ivf_topk(emb, cents, qv, k=10, n_probe=2)
+
+
+# =========================================================================
+# Text analysis (q_text_stats, q_token_count, q_lang_id, q_quality_score)
+# =========================================================================
+
+
+@register(
+    "q_text_stats",
+    """WITH t AS (SELECT lang, len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+                         length(text) AS n_chars
+                  FROM documents)
+       SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              floor(CAST(sum(n_chars) AS DOUBLE) * 10000 / sum(n_tok)) / 10000.0
+                  AS chars_per_token
+       FROM t GROUP BY lang""",
+    "Corpus token/length stats per language bucket.",
+)
+def q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    t = d.select("lang", X.token_count(F.col("text")).alias("n_tok"), F.length("text").alias("n_chars"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        floor_round(F.sum("n_chars").cast("double") / F.sum("n_tok"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "q_token_count",
+    """SELECT doc_id,
+              len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+              CAST(list_reduce(list_transform(string_split_regex(trim(text), '\\s+'),
+                                              w -> greatest(CAST(ceil(length(w)/4.0) AS BIGINT), 1)),
+                               (a,b) -> a+b) AS BIGINT) AS bpe_ish_tokens
+       FROM documents""",
+    "Per-document token counting: whitespace + BPE-ish (ceil(len/4) per "
+    "word, the ~4-chars-per-token heuristic).",
+)
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        X.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+def _langid_sql() -> str:
+    """DuckDB twin of functions.text.lang_id (same markers, same tie order)."""
+    hits = {
+        lang: (
+            "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"t -> list_contains({list(markers)!r}, t)))"
+        ).replace("'", "'")
+        for lang, markers in X.LANG_MARKERS.items()
+    }
+    # replicate the chained argmax: first lang in dict order wins ties
+    langs = list(X.LANG_MARKERS)
+    best, best_score = f"'{langs[0]}'", hits[langs[0]]
+    for lang in langs[1:]:
+        cond = f"({hits[lang]}) > ({best_score})"
+        best = f"CASE WHEN {cond} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {cond} THEN ({hits[lang]}) ELSE ({best_score}) END"
+    return (
+        f"SELECT doc_id, lang, CASE WHEN ({best_score}) > 0 THEN ({best}) "
+        f"ELSE 'und' END AS lang_guess FROM documents"
+    )
+
+
+@register(
+    "q_lang_id",
+    _langid_sql(),
+    "Marker-stopword language-ID heuristic (argmax of per-language hit "
+    "counts, fixed tie order). The fixture corpus is synthetic word-salad, "
+    "so guesses reflect marker presence, not real language — the operator "
+    "contract is determinism.",
+)
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    return d.select("doc_id", "lang", X.lang_id(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "q_quality_score",
+    """WITH t AS (
+         SELECT doc_id, text,
+                string_split_regex(trim(text), '\\s+') AS toks,
+                length(text) AS n_chars
+         FROM documents
+       ), f AS (
+         SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> list_contains(['the','a','of','and','to','is','in','that','it','for'], t)))
+                    AS n_stopwords,
+                n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_nonalnum,
+                floor((n_chars - len(toks) + 1) * 10000.0 / len(toks)) / 10000.0 AS mean_word_len
+         FROM t
+       )
+       SELECT doc_id, n_chars, n_tokens, n_stopwords,
+              floor(greatest(least(
+                  0.5 + least(floor(n_stopwords * 10000.0 / n_tokens) / 10000.0 * 2, 0.3)
+                      - least(floor(n_nonalnum * 10000.0 / n_chars) / 10000.0 * 2, 0.4)
+                      - CASE WHEN mean_word_len < 3 OR mean_word_len > 12
+                             THEN 0.2 ELSE 0.0 END,
+                  1.0), 0.0) * 10000) / 10000.0 AS quality
+       FROM f""",
+    "Gopher/C4-style cheap quality signals + composite [0,1] score "
+    "(stopword density up-weights, symbol soup and degenerate word lengths "
+    "down-weight). All floor-truncated for engine portability.",
+)
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    f = X.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["n_stopwords"].alias("n_stopwords"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# =========================================================================
+# Multimodal (q_multimodal_meta, q_frame_sample)
+# =========================================================================
+
+
+@register(
+    "q_multimodal_meta",
+    """SELECT doc_id, length(text) AS byte_len,
+              CAST(length(text) % 64 + 16 AS INTEGER) AS width,
+              CAST((length(text) // 64) % 64 + 16 AS INTEGER) AS height
+       FROM documents""",
+    "Multimodal column plumbing: opaque binary payload + Arrow-batched "
+    "mapInPandas metadata extraction (decode step is a deterministic stub — "
+    "no image libs in this container; fake_image_meta documents the PIL "
+    "drop-in). Oracle checks the byte-length arithmetic end-to-end through "
+    "the Pandas path.",
+)
+def q_multimodal_meta(spark, sf_dir):
+    d = MM.with_binary_payload(_t(spark, sf_dir, "documents", parallel=True))
+    meta = MM.extract_image_metadata(d)
+    # format is derived from payload bytes — drop for the SQL oracle, the
+    # width/height/byte_len path still exercises the full mapInPandas batch
+    return meta.select("doc_id", "byte_len", "width", "height")
+
+
+@register(
+    "q_frame_sample",
+    None,  # 1→N fan-out shape; binary frame bytes are engine-internal
+    "Frame-sampling fan-out via mapInPandas: each payload yields 3 chunk "
+    "rows (stand-in for video frame extraction) — 1→N without explode.",
+)
+def q_frame_sample(spark, sf_dir):
+    d = MM.with_binary_payload(_t(spark, sf_dir, "documents", parallel=True))
+    return MM.sample_frames(d).select("doc_id", "frame_idx", F.length("frame_bytes").alias("frame_len"))
+
+
+# =========================================================================
+# OLAP surface extensions: sliding/session windows, set ops, cube, pivot
+# =========================================================================
+
+
+@register(
+    "q_window_sliding",
+    """WITH grid AS (
+         SELECT e.*, to_timestamp(floor(epoch(ts) / 900) * 900) - INTERVAL (k * 15) MINUTE
+                    AS window_start
+         FROM events e CROSS JOIN range(4) t(k)
+         WHERE ts < to_timestamp(floor(epoch(ts) / 900) * 900)
+                    - INTERVAL (k * 15) MINUTE + INTERVAL 1 HOUR
+       )
+       SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+              count(event_id) AS n_events,
+              round(sum(CAST(round(value * 100) AS BIGINT)) / count(value)) / 100.0
+                  AS avg_value
+       FROM grid GROUP BY window_start""",
+    "Sliding window (1 h window, 15 min slide): each event lands in 4 "
+    "windows. Spark F.window(slideDuration); DuckDB twin via grid join.",
+)
+def q_window_sliding(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.agg import money_avg_2dp
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count("event_id").alias("n_events"),
+            money_avg_2dp("value").alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "q_window_session",
+    """WITH marked AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE OR
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+       ), islands AS (
+         SELECT user_id, ts, event_id,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+         FROM marked
+       )
+       SELECT user_id, min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end,
+              count(event_id) AS n_events
+       FROM islands GROUP BY user_id, session_no""",
+    "Session windows (30 min gap) per user — session_window() in Spark; "
+    "gaps-and-islands twin in SQL. window_end = last event + gap.",
+)
+def q_window_session(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("event_id").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_set_ops",
+    """SELECT user_id, 'both' AS src FROM
+         (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+       UNION ALL
+       SELECT user_id, 'purchase_only' AS src FROM
+         (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+          EXCEPT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'error')""",
+    "Set operators: INTERSECT / EXCEPT / UNION ALL over key sets.",
+)
+def q_set_ops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = purchasers.intersect(erroring).withColumn("src", F.lit("both"))
+    only = purchasers.exceptAll(erroring.intersect(purchasers)).withColumn(
+        "src", F.lit("purchase_only")
+    )
+    return both.unionAll(only)
+
+
+@register(
+    "q_agg_cube",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                  AS sum_qty,
+              count(*) AS n
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "CUBE grouping sets (all roll-up combinations in one pass — Spark plans "
+    "a single Expand + hash agg).",
+)
+def q_agg_cube(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.sum(cents(F.col("l_quantity"))).cast("double") / 100.0).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_pivot",
+    """SELECT l_returnflag,
+              CAST(sum(CASE WHEN l_linestatus = 'O'
+                   THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS qty_O,
+              CAST(sum(CASE WHEN l_linestatus = 'F'
+                   THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS qty_F
+       FROM lineitem GROUP BY l_returnflag""",
+    "Pivot: linestatus → columns (fixed value list ⇒ single-pass hash agg, "
+    "no second shuffle).",
+)
+def q_pivot(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(cents(F.col("l_quantity"))))
+        .select(
+            "l_returnflag",
+            (F.col("O").cast("double") / 100.0).alias("qty_O"),
+            (F.col("F").cast("double") / 100.0).alias("qty_F"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+              CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+              CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0
+                  AS sum_disc_price,
+              round(sum(CAST(round(l_quantity*100) AS BIGINT)) / count(*)) / 100.0 AS avg_qty,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+    "TPC-H Q1 shape: scan-heavy multi-aggregate with pushed date filter — "
+    "the classic columnar-engine benchmark kernel (exact-cents sums).",
+)
+def q_tpch_q1(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty_c = cents(F.col("l_quantity"))
+    price_c = cents(F.col("l_extendedprice"))
+    disc_b = cents(F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(qty_c).cast("double") / 100.0).alias("sum_qty"),
+        (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum(price_c * (100 - disc_b)).cast("double") / 10000.0).alias(
+            "sum_disc_price"
+        ),
+        (F.round(F.sum(qty_c) / F.count(F.lit(1))) / 100.0).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# =========================================================================
+# Streaming batch-twins (q_stream_dedup, q_merge_upsert run as streams in
+# tests/test_streaming.py; these are their oracle-checkable batch versions)
+# =========================================================================
+
+
+@register(
+    "q_merge_upsert",
+    """SELECT date_trunc('hour', ts) AS window_start,
+              date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+              user_id AS driver_id,
+              count(event_id) AS total_rides_hourly,
+              round(sum(CAST(round(value * 100) AS BIGINT)) / count(value)) / 100.0
+                  AS avg_fare_hourly,
+              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS total_suspicious_rides_hourly
+       FROM events GROUP BY 1, 2, 3""",
+    "MERGE upsert (03_gold:91-113): two sequential complete-mode micro-"
+    "batches (first half, then all) merged latest-wins into a parquet "
+    "target; the reference's own correctness criterion — Gold ≡ the full "
+    "batch aggregate — is the oracle (SURVEY §2.7).",
+)
+def q_merge_upsert(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.operators.agg import hourly_driver_agg
+    from real_time_rides_data_pipeline_spark.sinks import merge_upsert_parquet
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_suspicious", F.col("event_type") == "error"
+    )
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def agg(df):
+        return hourly_driver_agg(
+            df, ts_col="ts", key_col="user_id", id_col="event_id", fare_col="value"
+        ).withColumnRenamed("user_id", "driver_id")
+
+    target = tempfile.mkdtemp(prefix="gold_merge_") + "/gold"
+    # micro-batch 1: complete aggregate over the first half
+    merge_upsert_parquet(
+        spark, agg(ev.filter(F.col("ts") < cutoff)), target,
+        ("window_start", "window_end", "driver_id"),
+    )
+    # micro-batch 2: complete aggregate over everything (complete mode
+    # re-emits all windows; MERGE overwrites matched, inserts new)
+    merge_upsert_parquet(
+        spark, agg(ev), target, ("window_start", "window_end", "driver_id")
+    )
+    return spark.read.parquet(target)
+
+
+@register(
+    "q_stream_dedup",
+    """SELECT event_id, ts, user_id, event_type, value FROM (
+         SELECT *, row_number() OVER (PARTITION BY event_id, ts
+                                      ORDER BY event_id) AS rn
+         FROM (SELECT event_id, ts, user_id, event_type, value FROM events
+               UNION ALL
+               SELECT event_id, ts, user_id, event_type, value FROM events
+               WHERE event_id % 50 = 0)
+       ) WHERE rn = 1""",
+    "Batch twin of watermarked streaming dedup (02_silver:84-92): events ∪ "
+    "2%-style re-emissions, dropDuplicates on (event_id, ts). The streaming "
+    "version (RocksDB state, 10-min watermark) runs in tests/test_streaming.",
+)
+def q_stream_dedup(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators import stream_dedup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dupes = ev.filter(F.col("event_id") % 50 == 0)
+    return stream_dedup(
+        ev.unionAll(dupes), keys=("event_id", "ts"), event_time_col="ts"
+    )

@@ -1,0 +1,240 @@
+"""Streaming suite (SURVEY.md §5.2.2-4): stream≡batch equivalence through the
+full medallion pipeline, generator-replay invariants, and MERGE semantics."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_rides_data_pipeline_spark.generator import (
+    GenConfig,
+    generate_events,
+    write_bronze_input,
+)
+from real_time_rides_data_pipeline_spark.pipeline import (
+    GOLD_KEYS,
+    batch_pipeline,
+    gold_transform,
+    run_streaming_gold,
+    run_streaming_silver,
+    silver_transform,
+)
+from real_time_rides_data_pipeline_spark.schemas import BRONZE_SCHEMA
+from real_time_rides_data_pipeline_spark.sinks import merge_upsert_parquet
+from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+N_EVENTS = 600
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("streaming")
+    yield str(d)
+    shutil.rmtree(str(d), ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def bronze_input(spark, workdir):
+    path = f"{workdir}/bronze_input"
+    events = write_bronze_input(
+        spark, path, GenConfig(seed=7, n_events=N_EVENTS), n_files=5
+    )
+    return path, events
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_generator_injection_rates(bronze_input):
+    _, events = bronze_input
+    n = len(events)
+    n_dup = sum(1 for e in events if e["_duplicate_of"])
+    n_susp = sum(1 for e in events if e.get("_suspicious"))
+    n_late = sum(1 for e in events if e.get("_late"))
+    assert 0.005 * n <= n_dup <= 0.05 * n
+    assert 0.06 * n <= n_susp <= 0.15 * n
+    assert 0.02 * n <= n_late <= 0.09 * n
+
+
+def test_generator_is_deterministic():
+    a = generate_events(GenConfig(seed=7, n_events=50))
+    b = generate_events(GenConfig(seed=7, n_events=50))
+    assert [e["json"] for e in a] == [e["json"] for e in b]
+
+
+def test_silver_stream_equals_batch(spark, workdir, bronze_input):
+    """Exact stream≡batch equality needs a watermark wide enough that no
+    generated event is dropped (batch ignores watermarks); the tight-
+    watermark late-drop contract is pinned separately below."""
+    input_path, events = bronze_input
+    silver_path = f"{workdir}/silver"
+    q = run_streaming_silver(
+        parquet_stream(spark, input_path, BRONZE_SCHEMA),
+        silver_path,
+        f"{workdir}/ckpt_silver",
+        trigger_seconds=None,
+        watermark="2 hours",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = spark.read.parquet(silver_path)
+    batch = silver_transform(spark.read.parquet(input_path))
+    cols = ["ride_id", "event_timestamp", "fare", "trip_duration_seconds", "is_suspicious"]
+    assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
+
+    # dedup really removed the injected re-emissions
+    n_dupes = sum(1 for e in events if e["_duplicate_of"])
+    raw = spark.read.parquet(input_path).count()
+    assert streamed.count() <= raw - n_dupes + 1  # +1 slack: dup of invalid row
+
+    # suspicious flag rate ≈ injected 10% + ~3-5% coincidental (short ride
+    # with fare > 300 occurs naturally: duration 1-15 min, fare 50-1000)
+    susp = streamed.filter("is_suspicious").count()
+    assert 0.05 * streamed.count() <= susp <= 0.22 * streamed.count()
+
+
+def test_gold_stream_merge_equals_batch(spark, workdir, bronze_input):
+    input_path, _ = bronze_input
+    silver_path = f"{workdir}/silver"  # written by the previous test
+    if not os.path.exists(silver_path):
+        pytest.skip("silver test must run first")
+    gold_path = f"{workdir}/gold"
+    q = run_streaming_gold(
+        parquet_stream(spark, silver_path, spark.read.parquet(silver_path).schema),
+        gold_path,
+        f"{workdir}/ckpt_gold",
+        watermark="2 hours",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = spark.read.parquet(gold_path)
+    batch = batch_pipeline(spark.read.parquet(input_path))
+    cols = list(GOLD_KEYS) + [
+        "total_rides_hourly",
+        "avg_fare_hourly",
+        "total_suspicious_rides_hourly",
+    ]
+    # late-past-watermark rows may be dropped by the stream but kept by the
+    # batch plan (watermark is a no-op in batch): the streamed aggregate must
+    # match the batch aggregate over non-late-dropped windows, and the
+    # reference's own invariant (Σ gold = silver count) must hold vs silver.
+    streamed_rows = _sorted_rows(streamed, cols)
+    batch_rows = _sorted_rows(batch, cols)
+    assert streamed_rows == batch_rows, (
+        f"stream {len(streamed_rows)} vs batch {len(batch_rows)}"
+    )
+    silver_n = spark.read.parquet(silver_path).count()
+    assert streamed.agg(F.sum("total_rides_hourly")).first()[0] == silver_n
+
+
+def test_merge_upsert_latest_wins(spark, workdir):
+    path = f"{workdir}/merge_target"
+    first = spark.createDataFrame(
+        [("w1", "we1", "d1", 1), ("w2", "we2", "d2", 2)],
+        "window_start string, window_end string, driver_id string, total long",
+    )
+    merge_upsert_parquet(spark, first, path, ("window_start", "window_end", "driver_id"))
+    update = spark.createDataFrame(
+        [("w1", "we1", "d1", 10), ("w3", "we3", "d3", 3)],
+        "window_start string, window_end string, driver_id string, total long",
+    )
+    merge_upsert_parquet(spark, update, path, ("window_start", "window_end", "driver_id"))
+    rows = {
+        (r.window_start, r.driver_id): r.total
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {("w1", "d1"): 10, ("w2", "d2"): 2, ("w3", "d3"): 3}
+
+
+def test_merge_is_idempotent(spark, workdir):
+    """Re-applying the same micro-batch (failure/retry) must not change the
+    target — the exactly-once story of foreachBatch+MERGE."""
+    path = f"{workdir}/merge_idem"
+    batch = spark.createDataFrame(
+        [("w1", "we1", "d1", 5)],
+        "window_start string, window_end string, driver_id string, total long",
+    )
+    merge_upsert_parquet(spark, batch, path, ("window_start", "window_end", "driver_id"))
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    merge_upsert_parquet(spark, batch, path, ("window_start", "window_end", "driver_id"))
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after
+
+
+def test_watermark_drops_very_late_events(spark, workdir):
+    """Tight-watermark contract: an event far older than the advanced
+    watermark is dropped by the streaming dedup (but kept in batch)."""
+    input_path = f"{workdir}/late_input"
+    # batch 1 advances event time to 12:00 (watermark → 11:50); batch 2
+    # carries an 11:00 straggler — 50 min past the watermark → dropped.
+    # Batch boundaries are forced by writing file 2 only after the first
+    # processAllAvailable (file discovery order alone is not deterministic).
+    f1 = [("R1", "2024-01-01 12:00:00")]
+    f2 = [("R2", "2024-01-01 11:00:00"), ("R3", "2024-01-01 12:01:00")]
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, "ride_id string, ts string").withColumn(
+            "event_timestamp", F.col("ts").cast("timestamp")
+        ).drop("ts").coalesce(1).write.mode(mode).parquet(input_path)
+
+    write(f1, "overwrite")
+    from real_time_rides_data_pipeline_spark.operators import stream_dedup
+
+    stream = parquet_stream(
+        spark, input_path, spark.read.parquet(input_path).schema, 1
+    )
+    deduped = stream_dedup(
+        stream, keys=("ride_id", "event_timestamp"), watermark="10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    write(f2, "append")
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.ride_id for r in spark.sql("SELECT ride_id FROM late_out").collect())
+    assert "R2" not in got, f"late straggler must be dropped, got {got}"
+    assert {"R1", "R3"} <= set(got)
+
+
+def test_late_events_dropped_by_watermark(spark, workdir):
+    """Events later than the watermark relative to the max seen event time
+    must not reach the dedup output in streaming mode (but do in batch) —
+    exercised indirectly: watermarked dedup state is bounded, so a duplicate
+    re-emitted AFTER the watermark passed is NOT deduped. Here we just pin
+    the streaming dedup contract on the happy path with in-window dupes."""
+    from real_time_rides_data_pipeline_spark.operators import stream_dedup
+
+    input_path = f"{workdir}/wm_input"
+    rows = [
+        ("R1", "2024-01-01 10:00:00"),
+        ("R1", "2024-01-01 10:00:00"),  # in-window duplicate → dropped
+        ("R2", "2024-01-01 10:05:00"),
+    ]
+    spark.createDataFrame(rows, "ride_id string, ts string").withColumn(
+        "event_timestamp", F.col("ts").cast("timestamp")
+    ).drop("ts").coalesce(1).write.mode("overwrite").parquet(input_path)
+    stream = parquet_stream(
+        spark, input_path, spark.read.parquet(input_path).schema
+    )
+    deduped = stream_dedup(stream, keys=("ride_id", "event_timestamp"))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT ride_id FROM wm_out").collect()
+    assert sorted(r.ride_id for r in got) == ["R1", "R2"]
