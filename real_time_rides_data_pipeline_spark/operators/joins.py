@@ -56,3 +56,39 @@ def star_join(fact: DataFrame, dims: list[tuple[DataFrame, object]]) -> DataFram
     for dim, on in dims:
         out = out.join(F.broadcast(dim), on, "inner")
     return out
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side, replicate the dim side.
+
+    A power-law key (one user produces 10% of all events) sends 10% of the
+    shuffle to a single reducer. Salting splits each fact key into
+    ``n_salts`` sub-keys — fact rows get ``salt = hash % n_salts`` (here a
+    deterministic column-derived salt so replays/oracles are stable; use
+    ``F.rand()`` when determinism doesn't matter), and the dim side is
+    exploded ×``n_salts`` so every sub-key still finds its match. The join
+    output is exactly the unsalted join; the shuffle is ``n_salts``×
+    better balanced at the cost of a ``n_salts``× bigger (usually tiny) dim.
+
+    Spark's AQE skew-join handles *sort-merge* skew automatically at
+    runtime; explicit salting remains the tool for skewed *hash* shuffles,
+    streaming state, and engines/configs where AQE can't see the skew.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_src or fact_key)), F.lit(n_salts)).cast("int")
+    salted_fact = fact.withColumn("__salt", salt)
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (F.col(fact_key) == F.col(dim_key)) & (salted_fact["__salt"] == salted_dim["__salt"]),
+        "inner",
+    )
+    return joined.drop("__salt")

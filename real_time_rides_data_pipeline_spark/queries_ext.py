@@ -670,6 +670,52 @@ def q_merge_upsert(spark, sf_dir):
 
 
 @register(
+    "q_stateful_running",
+    """SELECT g.user_id, g.n_events, g.total_spend, g.max_value, l.last_event_id
+       FROM (SELECT user_id, count(*) AS n_events,
+                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                        AS total_spend,
+                    max(value) AS max_value
+             FROM events GROUP BY user_id) g
+       JOIN (SELECT user_id, event_id AS last_event_id FROM events
+             QUALIFY row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) = 1) l
+       USING (user_id)""",
+    "Custom stateful streaming operator (applyInPandasWithState): per-user "
+    "running count/spend/max/latest-event state folded across 4 real micro-"
+    "batches (file replay), update-mode emissions MERGE-upserted into a "
+    "latest-state table. Oracle = the equivalent batch aggregate — the "
+    "stream≡batch criterion of SURVEY §5.2.2.",
+)
+def q_stateful_running(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.sinks import foreach_batch_merge
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+    from real_time_rides_data_pipeline_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    work = tempfile.mkdtemp(prefix="stateful_")
+    inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    ev.repartition(4).write.parquet(inp)  # 4 files → 4 micro-batches
+    stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
+    q = (
+        foreach_batch_merge(
+            running_user_stats(stream), out, ckpt, keys=("user_id",)
+        )
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)
+
+
+@register(
     "q_stream_dedup",
     """SELECT event_id, ts, user_id, event_type, value FROM (
          SELECT *, row_number() OVER (PARTITION BY event_id, ts

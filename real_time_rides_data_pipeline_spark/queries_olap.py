@@ -1,0 +1,434 @@
+"""OLAP-surface query registry — OVER-clause window functions, grouping
+sets, classic TPC-H kernels, scalar-function suites, and skew-handling
+demonstrations (SURVEY.md §2.5 extensions + §2.3 scale notes).
+
+Same contract as queries.py. Determinism rules (SURVEY §7.4) applied
+throughout: money aggregates in exact integer cents, every ORDER BY has a
+unique total order, window frames ordered by (ts, id) tiebreaks, epoch math
+in integer microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from real_time_rides_data_pipeline_spark.functions.precision import cents
+from real_time_rides_data_pipeline_spark.registry import _t, register
+
+# =========================================================================
+# OVER-clause window functions (q_rank, q_lag_lead, q_running_sum)
+# =========================================================================
+
+
+@register(
+    "q_rank",
+    """SELECT event_id, user_id, value,
+              rank()       OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk,
+              dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS drnk,
+              CAST(floor(percent_rank() OVER (PARTITION BY user_id ORDER BY value DESC)
+                         * 1000000) / 1000000.0 AS DOUBLE) AS prnk
+       FROM events""",
+    "rank/dense_rank/percent_rank per key — one window shuffle on user_id, "
+    "sort within partition; ties (2-dp values collide) rank identically in "
+    "any engine, so the output is deterministic even without a tiebreak.",
+)
+def q_rank(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        (F.floor(F.percent_rank().over(w) * 1000000) / 1000000.0).alias("prnk"),
+    )
+
+
+@register(
+    "q_lag_lead",
+    """SELECT event_id, user_id, ts,
+              epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+              lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS next_event_id
+       FROM events""",
+    "lag/lead offsets per key (inter-event gap + next-event pointer) — the "
+    "sessionization building block. Integer-microsecond epoch math (exact).",
+)
+def q_lag_lead(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "q_running_sum",
+    """SELECT event_id, user_id, ts,
+              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+                  AS running_spend,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS event_no
+       FROM events""",
+    "Cumulative sum per key (running spend) + ordinal — exact-cents prefix "
+    "sums so the result is summation-order independent across engines.",
+)
+def q_running_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(cents(F.col("value"))).over(w).cast("double") / 100.0).alias(
+            "running_spend"
+        ),
+        F.row_number().over(wn).alias("event_no"),
+    )
+
+
+# =========================================================================
+# Grouping sets / rollup (q_agg_rollup, q_grouping_sets)
+# =========================================================================
+
+
+@register(
+    "q_agg_rollup",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                  AS sum_qty,
+              count(*) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "ROLLUP hierarchy (flag → flag×status → grand total) — single Expand + "
+    "hash agg pass, no re-scan per level.",
+)
+def q_agg_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.sum(cents(F.col("l_quantity"))).cast("double") / 100.0).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                  AS gid,
+              count(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    "Explicit GROUPING SETS with grouping() indicators — disambiguates "
+    "source-NULL from subtotal-NULL rows.",
+)
+def q_grouping_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                      AS gid,
+                  count(*) AS n
+           FROM lineitem_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+    )
+
+
+# =========================================================================
+# TPC-H kernels (q_tpch_q3, q_tpch_q6)
+# =========================================================================
+
+
+@register(
+    "q_tpch_q3",
+    """SELECT l_orderkey, o_orderdate,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                  / 10000.0 AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "TPC-H Q3 shape (shipping priority): selective dim filter → 3-way join "
+    "→ agg → top-10. Customer/orders broadcast after filters; revenue in "
+    "exact 1e-4 units.",
+)
+def q_tpch_q3(spark, sf_dir):
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q6",
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                  / 10000.0 AS revenue,
+              count(*) AS n_items
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+    "TPC-H Q6 (forecast revenue): pure scan-filter-aggregate — the pushdown "
+    "benchmark; all four predicates reach the parquet reader.",
+)
+def q_tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = cents(F.col("l_extendedprice")) * cents(F.col("l_discount"))
+    return f.agg(
+        (F.sum(rev).cast("double") / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# =========================================================================
+# Scalar-function suites (q_string_funcs, q_date_funcs)
+# =========================================================================
+
+
+@register(
+    "q_string_funcs",
+    """SELECT p_partkey,
+              upper(p_name) AS name_upper,
+              lower(p_brand) AS brand_lower,
+              substring(p_name, 1, 4) AS name_prefix,
+              length(p_name) AS name_len,
+              concat_ws('/', p_brand, p_type) AS brand_type,
+              replace(p_name, ' ', '_') AS name_snake,
+              lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+              regexp_extract(p_name, '[a-z]+$', 0) AS last_word
+       FROM part""",
+    "String-function surface: case, substring, length, concat_ws, replace, "
+    "lpad, regexp_extract — all JVM codegen, no UDFs.",
+)
+def q_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.regexp_extract("p_name", "[a-z]+$", 0).alias("last_word"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    """SELECT o_orderkey,
+              CAST(year(o_orderdate) AS INTEGER) AS yr,
+              CAST(month(o_orderdate) AS INTEGER) AS mth,
+              CAST(day(o_orderdate) AS INTEGER) AS dom,
+              CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+              CAST(isodow(o_orderdate) - 1 AS INTEGER) AS weekday_mon0,
+              CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+              CAST(last_day(o_orderdate) AS DATE) AS month_end,
+              CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month
+       FROM orders""",
+    "Date-extraction surface: year/month/day/quarter/weekday, month "
+    "truncation, last_day, month arithmetic (both engines clamp to "
+    "month-end). weekday normalized to Monday=0 on both sides.",
+)
+def q_date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekday("o_orderdate").alias("weekday_mon0"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 1).alias("next_month"),
+    )
+
+
+# =========================================================================
+# Lateral / explode, subqueries (q_explode_tokens, q_scalar_subquery)
+# =========================================================================
+
+
+@register(
+    "q_explode_tokens",
+    """SELECT word, count(*) AS n
+       FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+             FROM documents)
+       GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+    "explode(split(text)) → word frequencies → top-50. The map-side explode "
+    "fans out |doc|×|tokens| rows but partial aggregation collapses them "
+    "before the shuffle (one small exchange of distinct words).",
+)
+def q_explode_tokens(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(50)
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice
+       FROM orders
+       WHERE o_totalprice > (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                         AS DOUBLE) / count(*) / 100.0
+                             FROM orders)""",
+    "Scalar-subquery filter (orders above global average price). Spark "
+    "plans the aggregate once and broadcasts the scalar; exact-cents avg.",
+)
+def q_scalar_subquery(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    avg_price = (
+        F.sum(cents(F.col("o_totalprice"))).cast("double") / F.count(F.lit(1)) / 100.0
+    ).alias("avg_price")
+    threshold = o.agg(avg_price)
+    return (
+        o.join(F.broadcast(threshold))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# =========================================================================
+# Histogram / arg-max / array_agg (q_histogram, q_max_by, q_array_agg)
+# =========================================================================
+
+
+@register(
+    "q_histogram",
+    """SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+              count(*) AS n,
+              min(value) AS lo,
+              max(value) AS hi
+       FROM events GROUP BY 1""",
+    "Fixed-width histogram (25-unit buckets over value) — a single hash agg "
+    "on a computed key; the profiling primitive for numeric columns.",
+)
+def q_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 25).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+@register(
+    "q_max_by",
+    """SELECT user_id,
+              arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000
+                                + event_id) AS top_event_id,
+              max(value) AS top_value,
+              arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000
+                                + event_id) AS bottom_event_id
+       FROM events GROUP BY user_id""",
+    "arg-max/arg-min per key (which event had the highest value) — max_by "
+    "with a composite exact ordinal (cents ×1e10 + id) so 2-dp value ties "
+    "break identically on both engines.",
+)
+def q_max_by(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ordinal = cents(F.col("value")) * F.lit(10000000000).cast("long") + F.col(
+        "event_id"
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", ordinal).alias("top_event_id"),
+        F.max("value").alias("top_value"),
+        F.min_by("event_id", ordinal).alias("bottom_event_id"),
+    )
+
+
+@register(
+    "q_array_agg",
+    """SELECT user_id,
+              list_sort(list(event_id)) AS event_ids,
+              count(*) AS n_events
+       FROM (SELECT user_id, event_id FROM events WHERE event_type = 'error')
+       GROUP BY user_id""",
+    "array_agg per key (error-event id lists) — collect_list + sort_array "
+    "for deterministic ordering; arrays compare element-wise in the oracle.",
+)
+def q_array_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# =========================================================================
+# Skew handling (q_salted_join) — SURVEY §2.3 scale note, demonstrated
+# =========================================================================
+
+
+@register(
+    "q_salted_join",
+    """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+    "Skew-resistant salted join: fact keys get a random-free deterministic "
+    "salt (event_id % 8), the dim side is exploded ×8, and the join runs on "
+    "(key, salt) — no single reducer owns a hot key. Result ≡ the plain "
+    "join (the oracle); at 100 TB this (or AQE skew-split) is how a "
+    "power-law key distribution avoids a straggler task.",
+)
+def q_salted_join(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    joined = salted_join(
+        ev,
+        cust,
+        fact_key="user_id",
+        dim_key="c_custkey",
+        n_salts=8,
+        salt_src="event_id",
+    )
+    return joined.select("event_id", "user_id", "c_name", "c_mktsegment")

@@ -35,6 +35,7 @@ def registry() -> dict[str, QuerySpec]:
     """All registered queries (importing the query modules as a side effect)."""
     import real_time_rides_data_pipeline_spark.queries  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_ext  # noqa: F401
+    import real_time_rides_data_pipeline_spark.queries_olap  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -10,11 +10,46 @@ and for local[N] testing while keeping settings that scale to a real cluster
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 # Number of local cores the driver gives us (bench contract: $SPARK_GRAFT_CPUS).
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Make this package importable inside Spark's Python workers.
+
+    Pandas-UDF / applyInPandasWithState functions defined at module level are
+    cloudpickled *by reference* — the worker re-imports the module. That works
+    when the driver's cwd is the repo root (workers inherit it) but breaks in
+    an arbitrary-cwd host process (e.g. the verify driver running from /tmp).
+    Shipping the package as a zip via ``sc.addPyFile`` puts it on every
+    worker's ``sys.path`` regardless of cwd — the same mechanism used to ship
+    application eggs to a real multi-node cluster.
+    """
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        zf.write(full, os.path.relpath(full, parent))
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_APPS.add(app)
 
 
 def get_spark(

@@ -26,6 +26,11 @@ def load_fixture(spark: SparkSession, name: str, sf_dir: str | None = None) -> D
     integer truncation, matching how DuckDB reads the same file.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    # Host process may run from any cwd (verify driver); ship the package so
+    # module-level Pandas-UDF functions resolve on the Python workers.
+    from real_time_rides_data_pipeline_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     if name == "events":
         # The session may not have been built by our factory (e.g. the
         # verify driver's own session) — ensure the nanos conf is on.

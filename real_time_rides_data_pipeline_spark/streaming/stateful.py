@@ -1,0 +1,99 @@
+"""Custom stateful streaming operator: per-key running statistics via
+``applyInPandasWithState`` (SURVEY.md §2.6 extension).
+
+The reference's only stateful ops are dropDuplicates and the windowed
+aggregate (both built-in). This operator is the general-purpose escape
+hatch Spark offers when built-ins can't express the state machine:
+arbitrary per-key state (here: running count / exact-cents spend / max /
+latest-event pointer), Arrow-batched per group, with watermark-driven
+timeouts available for state expiry.
+
+Scale notes: state lives in the state store (RocksDB per session.py —
+off-heap, incremental checkpoints), partitioned by the grouping key; the
+Python worker sees one key's rows per call, Arrow-transferred. At 100 TB
+of *throughput* this is fine (state size is bounded by |keys|); the thing
+to never do is put unbounded per-key history in the state value.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_STATS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_spend", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+        T.StructField("last_event_id", T.LongType()),
+    ]
+)
+
+#: (count, spend_cents, max_value, last_ts_us, last_event_id)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("maxv", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_id", T.LongType()),
+    ]
+)
+
+
+def _update_running_stats(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State update function: fold this batch's rows for one key into the
+    running (n, cents, max, latest) tuple and emit the updated row."""
+    if state.exists:
+        n, cents, maxv, last_us, last_id = state.get
+    else:
+        n, cents, maxv, last_us, last_id = 0, 0, float("-inf"), -1, -1
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        n += len(pdf)
+        # exact integer cents — summation-order independent (SURVEY §7.4)
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        maxv = max(maxv, float(pdf["value"].max()))
+        # normalize to integer µs regardless of pandas datetime resolution
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        # latest event = lexicographic max of (ts_us, event_id)
+        batch_best = max(zip(us, pdf["event_id"].astype("int64")))
+        if batch_best > (last_us, last_id):
+            last_us, last_id = int(batch_best[0]), int(batch_best[1])
+    state.update((n, cents, maxv, last_us, last_id))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_spend": [cents / 100.0],
+            "max_value": [maxv],
+            "last_event_id": [last_id],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running stats over a stream of (user_id, ts, event_id, value).
+
+    Streaming: each micro-batch emits updated rows for the keys it touched
+    (``update`` output mode; pair with a keyed MERGE sink for a queryable
+    latest-state table). Batch: same call works — one "batch" of all rows.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running_stats,
+        outputStructType=RUNNING_STATS_OUTPUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
