@@ -45,22 +45,29 @@ def assign_ivf_cluster(
     vec_col: str = "embedding",
     out_col: str = "cluster_id",
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (argmax over a fixed
-    centroid list, computed as chained whens — all codegen'd). Centroids are
-    plan literals: at real scale they come from a sampled k-means fit, then
-    this column becomes the partition key of the written table."""
+    """Assign each vector to its max-cosine centroid. Centroids are plan
+    literals: at real scale they come from a sampled k-means fit, then this
+    column becomes the partition key of the written table.
+
+    The argmax is ``array_position(sims, array_max(sims))`` over an array of
+    the K similarities — each similarity is evaluated exactly once. (A
+    chained ``when(sim_i > best, …)`` fold re-references every prior sim in
+    both branches, and the expression tree grows exponentially in K — the
+    first version was ~50× slower purely from codegen size.) Ties pick the
+    lowest centroid id (array_position returns the first match)."""
     v = as_double(F.col(vec_col))
-    best_id, best_sim = None, None
-    for cid, c in enumerate(centroids):
-        q = F.array(*[F.lit(float(x)) for x in c])
-        sim = cosine_rounded(v, q, 9)
-        if best_id is None:
-            best_id, best_sim = F.lit(cid), sim
-        else:
-            cond = sim > best_sim
-            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-            best_sim = F.when(cond, sim).otherwise(best_sim)
-    return vectors.withColumn(out_col, best_id)
+    sims = F.array(
+        *[
+            cosine_rounded(v, F.array(*[F.lit(float(x)) for x in c]), 9)
+            for c in centroids
+        ]
+    )
+    return vectors.withColumn("__sims", sims).withColumn(
+        out_col,
+        (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1).cast(
+            "int"
+        ),
+    ).drop("__sims")
 
 
 def ivf_topk(

@@ -119,8 +119,15 @@ def minhash_near_duplicates(
     shingle_words: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end MinHash+LSH near-dup: signature → band join → exact verify."""
+    """End-to-end MinHash+LSH near-dup: signature → band join → exact verify.
+
+    The signature table is materialized (``localCheckpoint``) before the band
+    self-join: both join branches would otherwise re-evaluate the full
+    shingle→16×xxhash64 chain — measured ~8× slower than computing it once.
+    At cluster scale this is the "write signatures, then join" pattern (the
+    signature table is also what incremental dedup reuses across runs)."""
     signed = with_minhash_signature(docs, text_col, n_hashes, shingle_words)
+    signed = signed.localCheckpoint(eager=True)
     cands = minhash_candidate_pairs(signed, id_col, "minhash", bands)
     return exact_jaccard_pairs(docs, cands, id_col, text_col, shingle_words, threshold)
 
@@ -144,6 +151,8 @@ def simhash_near_duplicates(
             F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)), bits
         ).alias("simhash"),
     )
+    # Materialize before the self-join (same rationale as MinHash above).
+    signed = signed.localCheckpoint(eager=True)
     banded = signed.select(
         id_col,
         "simhash",

@@ -249,7 +249,12 @@ def q_cosine_topk(spark, sf_dir):
     "at 100 TB an LSH/IVF candidate filter runs first).",
 )
 def q_embed_neardup(spark, sf_dir):
-    return SIM.cosine_pairs_above(_t(spark, sf_dir, "embeddings"), 0.4)
+    # parallel=True: the all-pairs nested-loop parallelism equals the probe
+    # side's partition count — a tiny-file single-partition scan would put
+    # all |V|²/2 similarity evaluations on one core.
+    return SIM.cosine_pairs_above(
+        _t(spark, sf_dir, "embeddings", parallel=True), 0.4
+    )
 
 
 @register(
@@ -259,7 +264,7 @@ def q_embed_neardup(spark, sf_dir):
     "nearest clusters, exact top-10 within them — partition-pruned scan.",
 )
 def q_ann_ivf(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", parallel=True)
     cents = [
         [float(x) for x in r[0]]
         for r in emb.filter(F.col("vec_id") < 8)
@@ -701,17 +706,25 @@ def q_stateful_running(spark, sf_dir):
     inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     ev.repartition(4).write.parquet(inp)  # 4 files → 4 micro-batches
     stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
-    q = (
-        foreach_batch_merge(
-            running_user_stats(stream), out, ckpt, keys=("user_id",)
-        )
-        .outputMode("update")
-        .start()
-    )
+    # Stateful shuffle width is frozen into the checkpoint at first batch;
+    # size it to the state (~1.5k keys), not the session default — every
+    # state partition costs a state-store instance load per micro-batch.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            foreach_batch_merge(
+                running_user_stats(stream), out, ckpt, keys=("user_id",)
+            )
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out)
 
 
