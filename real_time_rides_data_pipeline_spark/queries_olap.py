@@ -432,3 +432,281 @@ def q_salted_join(spark, sf_dir):
         salt_src="event_id",
     )
     return joined.select("event_id", "user_id", "c_name", "c_mktsegment")
+
+
+# =========================================================================
+# Sessionization, percentiles, time-range frames, bucket joins
+# (q_sessionize, q_percentile_disc, q_window_range_frame,
+#  q_ntile_first_last, q_conditional_funcs, q_bucketed_join,
+#  q_approx_quantile)
+# =========================================================================
+
+
+@register(
+    "q_sessionize",
+    """WITH g AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(ts)
+                          - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                          > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+       ), s AS (
+         SELECT user_id, ts, event_id, value,
+                CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS session_no
+         FROM g
+       )
+       SELECT user_id, session_no, count(*) AS n_events,
+              min(ts) AS session_start, max(ts) AS session_end,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                  AS session_spend
+       FROM s GROUP BY user_id, session_no""",
+    "Gap-based sessionization (30-min inactivity): lag-gap flag → running "
+    "sum = session id → per-session aggregate. The batch twin of "
+    "session_window, exact-oracle-checkable. One window shuffle on user_id "
+    "is reused by both window steps AND the final agg (same key).",
+)
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess_no = (
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", "value", sess_no.alias("session_no"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias(
+                "session_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "q_percentile_disc",
+    """WITH r AS (
+         SELECT event_type, value, event_id,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+         FROM events
+       )
+       SELECT event_type,
+              max(CASE WHEN rn = CAST(ceil(0.5  * n) AS BIGINT) THEN value END) AS p50,
+              max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS p95,
+              max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99,
+              CAST(max(n) AS BIGINT) AS n_rows
+       FROM r GROUP BY event_type""",
+    "Exact discrete percentiles (nearest-rank) per group via row_number — "
+    "no interpolation, so the result is an actual data value and "
+    "engine-portable (interpolated quantiles differ at 1-ulp between "
+    "engines). At 100 TB swap in percentile_approx (q_approx_quantile).",
+)
+def q_percentile_disc(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    rn, n = F.row_number().over(wr), F.count(F.lit(1)).over(wn)
+    r = ev.select(
+        "event_type",
+        "value",
+        rn.alias("rn"),
+        n.alias("n"),
+    )
+
+    def at(q):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("value"))
+        )
+
+    return r.groupBy("event_type").agg(
+        at(0.5).alias("p50"),
+        at(0.95).alias("p95"),
+        at(0.99).alias("p99"),
+        F.max("n").cast("long").alias("n_rows"),
+    )
+
+
+@register(
+    "q_window_range_frame",
+    """SELECT event_id, user_id, ts,
+              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / 100.0 AS trailing_1h_spend
+       FROM events""",
+    "Time-based RANGE frame: per-user trailing-1-hour spend at every event "
+    "— the moving-aggregate primitive. Ordered by integer epoch-µs so the "
+    "frame bound is exact; equal timestamps are peers in both engines.",
+)
+def q_window_range_frame(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(cents(F.col("value"))).over(w).cast("double") / 100.0).alias(
+            "trailing_1h_spend"
+        ),
+    )
+
+
+@register(
+    "q_ntile_first_last",
+    """SELECT event_id, user_id,
+              ntile(4) OVER (ORDER BY CAST(round(value * 100) AS BIGINT),
+                             event_id) AS quartile,
+              first_value(event_id) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS first_event,
+              last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS last_event,
+              nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS second_event
+       FROM events""",
+    "ntile/first_value/last_value/nth_value. Global ntile needs a total "
+    "order (single-partition sort — at scale, range-partition first or "
+    "bucket on rank/count instead); the per-user window is the scalable path.",
+)
+def q_ntile_first_last(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w_global = Window.orderBy(cents(F.col("value")), "event_id")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w_user.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w_global).alias("quartile"),
+        F.first("event_id").over(w_user).alias("first_event"),
+        F.last("event_id").over(w_full).alias("last_event"),
+        F.nth_value("event_id", 2).over(w_full).alias("second_event"),
+    )
+
+
+@register(
+    "q_conditional_funcs",
+    """SELECT l_orderkey, l_linenumber,
+              coalesce(nullif(l_returnflag, 'N'), 'X') AS flag_or_x,
+              greatest(l_quantity, 25.0) AS qty_at_least_25,
+              least(l_extendedprice, 50000.0) AS price_capped,
+              CASE WHEN l_discount > 0.05 THEN 'hi'
+                   WHEN l_discount > 0.02 THEN 'mid'
+                   ELSE 'lo' END AS disc_band
+       FROM lineitem""",
+    "Conditional scalar surface: coalesce/nullif/greatest/least/CASE — all "
+    "whole-stage-codegen, no branches leave the JVM.",
+)
+def q_conditional_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("X")).alias(
+            "flag_or_x"
+        ),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_at_least_25"),
+        F.least(F.col("l_extendedprice"), F.lit(50000.0)).alias("price_capped"),
+        F.when(F.col("l_discount") > 0.05, "hi")
+        .when(F.col("l_discount") > 0.02, "mid")
+        .otherwise("lo")
+        .alias("disc_band"),
+    )
+
+
+#: (applicationId, sf_dir) pairs whose bucketed tables are already written.
+_BUCKETED: set[tuple[str, str]] = set()
+
+
+def _bucketed_tables(spark, sf_dir) -> tuple[str, str]:
+    """Write lineitem/orders bucketed by order key (8 buckets, sorted) once
+    per (session, sf) — the ETL step that buys every later join its
+    shuffle-freedom. Returns the two table names."""
+    import re
+    import tempfile
+
+    tag = re.sub(r"[^0-9a-z]", "_", sf_dir.lower()).strip("_")
+    li_name, o_name = f"li_bucketed_{tag}", f"o_bucketed_{tag}"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BUCKETED:
+        return li_name, o_name
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    (
+        _t(spark, sf_dir, "lineitem")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/{li_name}")
+        .mode("overwrite")
+        .saveAsTable(li_name)
+    )
+    (
+        _t(spark, sf_dir, "orders")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/{o_name}")
+        .mode("overwrite")
+        .saveAsTable(o_name)
+    )
+    _BUCKETED.add(key)
+    return li_name, o_name
+
+
+@register(
+    "q_bucketed_join",
+    """SELECT o_orderpriority, count(*) AS n_items,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS total_price
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+    "Co-located join on bucketed tables: both sides bucketed+sorted by the "
+    "order key (8 buckets) at write time, so the sort-merge join runs with "
+    "ZERO exchanges below it (asserted in tests via .explain) — at 100 TB "
+    "this converts the biggest shuffle in the pipeline into a map-side "
+    "merge. Result ≡ the plain join (the oracle).",
+)
+def q_bucketed_join(spark, sf_dir):
+    li_name, o_name = _bucketed_tables(spark, sf_dir)
+    li, o = spark.table(li_name), spark.table(o_name)
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias(
+            "total_price"
+        ),
+    )
+
+
+@register(
+    "q_approx_quantile",
+    None,  # t-digest/GK sketch values are engine-specific → rows-only
+    "percentile_approx(value, [.5,.95,.99]) per event_type — the sketch "
+    "that replaces exact percentiles at 100 TB (mergeable, single pass, "
+    "bounded memory).",
+)
+def q_approx_quantile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
+    )

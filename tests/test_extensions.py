@@ -99,3 +99,21 @@ def test_minhash_no_false_negatives_on_exact_copies(spark):
     found = {(r.id_a, r.id_b) for r in pairs}
     for i in range(6):
         assert any(a % 100 == i and b % 100 == i for a, b in found), (i, found)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketing: the sort-merge join must run with zero
+    shuffles below it (the post-join aggregate still shuffles, so assert on
+    the bare join plan, not the full query)."""
+    from real_time_rides_data_pipeline_spark.plans.shape import explain_str
+    from real_time_rides_data_pipeline_spark.queries_olap import _bucketed_tables
+
+    li_name, o_name = _bucketed_tables(spark, SMOKE_SF)
+    li, o = spark.table(li_name), spark.table(o_name)
+    # At smoke scale the planner would (correctly) broadcast instead and
+    # skip bucketed reading entirely; force the sort-merge path the way a
+    # 100 TB join would plan it.
+    joined = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+    plan = explain_str(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
