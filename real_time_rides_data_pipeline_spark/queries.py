@@ -484,3 +484,85 @@ def q_approx_distinct(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users")
     )
+
+
+# =========================================================================
+# §3 / §7 End-to-end: the whole medallion pipeline as one batch plan
+# =========================================================================
+
+
+@register(
+    "q_pipeline_e2e",
+    """WITH rides AS (
+         SELECT 'DRV' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS driver_id,
+                value AS fare,
+                ts AS event_timestamp,
+                event_id % 900 AS dur
+         FROM events
+         WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+           AND ts IS NOT NULL AND value IS NOT NULL AND value >= 0
+       )
+       SELECT date_trunc('hour', event_timestamp) AS window_start,
+              date_trunc('hour', event_timestamp) + INTERVAL 1 HOUR AS window_end,
+              driver_id,
+              count(*) AS total_rides_hourly,
+              round(sum(CAST(round(fare * 100) AS BIGINT)) / count(fare)) / 100.0
+                  AS avg_fare_hourly,
+              CAST(sum(CASE WHEN dur < 120 AND fare > 300 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS total_suspicious_rides_hourly
+       FROM rides GROUP BY 1, 2, 3""",
+    "END-TO-END: the full reference pipeline (bronze JSON landing → silver "
+    "parse/clean/dedup/enrich → gold hourly aggregate) as ONE declarative "
+    "batch plan. Events are serialized to ride-event JSON (with 2% injected "
+    "duplicate re-emissions, kafka_rides_producer.py:77-78 style), then "
+    "pipeline.batch_pipeline runs every silver/gold operator; the oracle "
+    "computes the same result directly from the source columns — JSON "
+    "round-trip, malformed/validity filters, dedup, and the windowed "
+    "aggregate all verified in one key.",
+)
+def q_pipeline_e2e(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.pipeline import batch_pipeline
+
+    ev = _t(spark, sf_dir, "events", parallel=True)
+    us = F.unix_micros(F.col("ts"))
+    # deterministic ride fields derived from event columns (FIXTURES.md §B):
+    # duration = event_id % 900 s, so start_time = ts - duration exactly.
+    rides = ev.select(
+        "event_id",
+        F.concat(F.lit("RID"), F.lpad(F.col("event_id").cast("string"), 8, "0")).alias(
+            "ride_id"
+        ),
+        F.concat(F.lit("DRV"), F.lpad(F.col("user_id").cast("string"), 4, "0")).alias(
+            "driver_id"
+        ),
+        F.concat(
+            F.lit("P"), (F.pmod(F.col("event_id"), F.lit(9000)) + 1000).cast("string")
+        ).alias("passenger_id"),
+        F.timestamp_micros(
+            us - F.pmod(F.col("event_id"), F.lit(900)) * F.lit(1_000_000)
+        ).alias("start_time"),
+        F.col("ts").alias("end_time"),
+        F.col("value").alias("fare"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("event_timestamp"),
+    )
+    bronze = rides.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                "ride_id",
+                "driver_id",
+                "passenger_id",
+                "start_time",
+                "end_time",
+                "fare",
+                "status",
+                "event_timestamp",
+            )
+        ).alias("raw_json_data"),
+        F.col("event_timestamp").alias("timestamp"),
+    )
+    # 2%-style duplicate re-emissions; silver's dedup must remove them all.
+    dupes = bronze.filter(F.col("event_id") % 50 == 0)
+    bronze_all = bronze.unionByName(dupes).select("raw_json_data", "timestamp")
+    return batch_pipeline(bronze_all)
