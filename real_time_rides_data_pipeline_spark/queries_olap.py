@@ -710,3 +710,96 @@ def q_approx_quantile(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
     )
+
+
+# =========================================================================
+# More TPC-H kernels + deterministic sampling (q_tpch_q4, q_tpch_q14,
+# q_hash_sample)
+# =========================================================================
+
+
+@register(
+    "q_tpch_q4",
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority""",
+    "TPC-H Q4 shape (order priority checking): date-filtered orders semi-"
+    "joined to lineitems shipped after order date, counted per priority — "
+    "EXISTS plans as a left-semi hash join, never materializing matches.",
+)
+def q_tpch_q4(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q_tpch_q14",
+    """SELECT CAST(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   ELSE 0 END) AS DOUBLE)
+              / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS promo_revenue_pct,
+              count(*) AS n_items
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""",
+    "TPC-H Q14 shape (promotion effect): month-sliced lineitem joined to "
+    "part (broadcast), conditional revenue share — exact integer revenue "
+    "units so the ratio divides two identical BIGINTs on both engines.",
+)
+def q_tpch_q14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_hash_sample",
+    """SELECT doc_id, lang,
+              CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+                   ELSE 'eval' END AS split
+       FROM documents
+       WHERE (doc_id * 2654435761) % 10 <> 3""",
+    "Deterministic hash split/sampling for training corpora: a Knuth-"
+    "multiplier modular hash assigns 90/10 train/eval AND drops a fixed 10% "
+    "holdout — replayable on any engine, no RNG, no shuffle (pure map). At "
+    "100 TB this is how train/eval membership stays stable across reruns "
+    "and backfills.",
+)
+def q_hash_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    keep = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(10)) != 3
+    return d.filter(keep).select(
+        "doc_id",
+        "lang",
+        F.when(h < 90, "train").otherwise("eval").alias("split"),
+    )

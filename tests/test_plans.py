@@ -1,0 +1,106 @@
+"""Physical-plan shape assertions — the 100 TB efficiency contract.
+
+Correctness says the right rows come back; these tests pin the plan that
+produces them: filters reach the parquet scan, small dims broadcast, ORDER
+BY+LIMIT never global-sorts, expensive expressions stay inside whole-stage
+codegen. A regression here is invisible at fixture scale and catastrophic
+at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_rides_data_pipeline_spark.plans.shape import explain_str
+from real_time_rides_data_pipeline_spark.registry import registry
+
+from tests.conftest import SMOKE_SF
+
+SPECS = registry()
+
+
+def _plan(spark, key: str) -> str:
+    return explain_str(SPECS[key].fn(spark, SMOKE_SF))
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    """All four Q6 predicates must reach the parquet reader."""
+    plan = _plan(spark, "q_tpch_q6")
+    assert "PushedFilters:" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_q6_prunes_columns(spark):
+    """The scan must read only the 4 referenced columns, not all 11."""
+    plan = _plan(spark, "q_tpch_q6")
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "l_extendedprice" in schema_line
+    assert "l_partkey" not in schema_line, schema_line
+    assert "l_returnflag" not in schema_line, schema_line
+
+
+def test_point_lookup_pushdown(spark):
+    plan = _plan(spark, "q_point_lookup")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln][0]
+    assert "EqualTo(l_orderkey,19)" in pushed.replace(" ", ""), pushed
+
+
+def test_dim_join_broadcasts(spark):
+    """Fact⋈dim equi-joins must broadcast the dim side, not shuffle both."""
+    plan = _plan(spark, "q_join_inner")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_multiway_join_no_cartesian(spark):
+    plan = _plan(spark, "q_join_multiway")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topn_plans_take_ordered(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition heap),
+    never a global Sort."""
+    plan = _plan(spark, "q_topn")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_agg_is_partial_then_final(spark):
+    """The flagship aggregate must map-side combine: two HashAggregate nodes
+    around one Exchange (shuffle carries one row per group per partition)."""
+    plan = _plan(spark, "q_window_hourly_agg")
+    assert "partial_" in plan, plan  # map-side combine present
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "hashpartitioning" in plan, plan
+
+
+def test_scans_use_columnar_batches(spark):
+    """Parquet scans must run the vectorized reader, and the scan→filter→
+    partial-agg pipeline must fuse into whole-stage-codegen subtrees (AQE's
+    pre-execution plan hides the ``*(n)`` markers; codegen mode counts them)."""
+    plan = _plan(spark, "q_tpch_q1")
+    assert "Batched: true" in plan, plan
+    # Codegen spans only materialize in the FINAL adaptive plan — run the
+    # query, then read the executed plan back.
+    df = SPECS["q_tpch_q1"].fn(spark, SMOKE_SF)
+    df.collect()  # the write path builds its own QueryExecution; run df's
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed, executed
+    assert "*(" in executed, executed  # ``*(n)`` = codegen'd span
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """row_number keep-first dedup = exactly one hash shuffle (on the key);
+    round-robin re-parallelization of the tiny scan doesn't count."""
+    plan = _plan(spark, "q_exact_dedup")
+    n_exchanges = plan.count("hashpartitioning(")
+    assert n_exchanges == 1, f"{n_exchanges} hash exchanges\n{plan}"
+
+
+def test_sessionize_reuses_window_shuffle(spark):
+    """Both window steps and the final agg group on user_id — the plan must
+    not shuffle on user_id more than once plus the final agg exchange."""
+    plan = _plan(spark, "q_sessionize")
+    n_exchanges = plan.count("hashpartitioning(")
+    assert 1 <= n_exchanges <= 2, f"{n_exchanges} hash exchanges\n{plan}"
