@@ -84,6 +84,60 @@ def extract_image_metadata(
     return df.select(id_col, payload_col).mapInPandas(extract, schema)
 
 
+def decode_audio(payload: bytes) -> "object":
+    """Real audio decoder — unavailable in this container (no soundfile)."""
+    try:  # pragma: no cover - not in this container
+        import io
+
+        import soundfile
+
+        return soundfile.read(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "audio decode requires soundfile; use fake_audio_meta"
+        ) from exc
+
+
+def fake_audio_meta(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an audio header parse:
+    (sample_rate, duration_ms) derived from payload bytes."""
+    n = len(payload)
+    rate = (8000, 16000, 44100)[n % 3]
+    return rate, n * 1000 // 32
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image-resize plumbing: mapInPandas 1→1 transform whose output payload
+    is a fixed-budget byte grid (a real implementation calls
+    ``decode_image(p).resize((w, h))`` and re-encodes — byte-sampling here
+    keeps the batch shape, output size, and determinism identical). The
+    narrow map keeps payloads scan-local: no shuffle at any scale."""
+    schema = f"{id_col} long, resized binary, resized_len long"
+    budget = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, lens = [], [], []
+            for _, row in pdf.iterrows():
+                p = row[payload_col] or b""
+                step = max(len(p) // budget, 1)
+                out = bytes(p[::step][:budget])
+                ids.append(row[id_col])
+                payloads.append(out)
+                lens.append(len(out))
+            yield pd.DataFrame(
+                {id_col: ids, "resized": payloads, "resized_len": lens}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, schema)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

@@ -752,3 +752,70 @@ def q_stream_dedup(spark, sf_dir):
     return stream_dedup(
         ev.unionAll(dupes), keys=("event_id", "ts"), event_time_col="ts"
     )
+
+
+from real_time_rides_data_pipeline_spark.streaming.stateful import HAVE_TWS
+
+
+def _register_tws(fn):
+    """transformWithStateInPandas needs Spark >= 4.0 AND protobuf (its state
+    server protocol); register the key only where it can actually run —
+    applyInPandasWithState (q_stateful_running) covers arbitrary state
+    everywhere else."""
+    if not HAVE_TWS:
+        return fn
+    return register(
+        "q_tws_top_values",
+        """WITH r AS (
+         SELECT user_id, value, event_id,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                                            event_id DESC) AS rn
+         FROM events
+       ), c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+       SELECT c.user_id, c.n_events,
+              max(CASE WHEN rn = 1 THEN value END) AS top1_value,
+              max(CASE WHEN rn = 1 THEN event_id END) AS top1_event_id,
+              max(CASE WHEN rn = 2 THEN value END) AS top2_value
+       FROM r JOIN c USING (user_id)
+       GROUP BY c.user_id, c.n_events""",
+        "transformWithStateInPandas (Spark 4 arbitrary-state API): per-user "
+        "top-2 values + count folded across 2 file-replay micro-batches, "
+        "typed ValueState, update-mode MERGE into a latest-state table. "
+        "Oracle = the equivalent batch window ranking (stream≡batch, "
+        "SURVEY §5.2.2).",
+    )(fn)
+
+
+@_register_tws
+def q_tws_top_values(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.sinks import foreach_batch_merge
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+    from real_time_rides_data_pipeline_spark.streaming.stateful import (
+        running_top_values,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    work = tempfile.mkdtemp(prefix="tws_")
+    inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    ev.repartition(2).write.parquet(inp)  # 2 files → 2 micro-batches
+    stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_merge(
+                running_top_values(stream), out, ckpt, keys=("user_id",)
+            )
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out)

@@ -803,3 +803,107 @@ def q_hash_sample(spark, sf_dir):
         "lang",
         F.when(h < 90, "train").otherwise("eval").alias("split"),
     )
+
+
+# =========================================================================
+# Relational reshaping + semi-structured surface (q_unpivot, q_map_funcs,
+# q_array_funcs, q_resize_meta)
+# =========================================================================
+
+
+@register(
+    "q_unpivot",
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+       FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""",
+    "unpivot/melt: wide metric columns → long (key, metric, value) rows — "
+    "the inverse of q_pivot. Spark plans one Expand (single scan, no "
+    "self-union); the 3× row fan-out happens map-side.",
+)
+def q_unpivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_tax", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "q_map_funcs",
+    """SELECT event_id,
+              ['type', 'uid'] AS map_keys_list,
+              event_type AS type_val,
+              CAST(2 AS INTEGER) AS n_entries,
+              CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
+       FROM events""",
+    "MapType surface: create_map from columns (map_keys/element_at/size) + "
+    "from_json into map<string,int> for schema-less JSON — the two ways "
+    "key-value props travel through the engine.",
+)
+def q_map_funcs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events", parallel=True)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    pm = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("map_keys_list"),
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).alias("n_entries"),
+        F.element_at(pm, "k").alias("prop_k"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    """SELECT l_orderkey, l_linenumber,
+              list_sort([l_quantity, l_tax * 100, l_discount * 100]) AS sorted_vals,
+              list_aggregate([l_quantity, l_tax * 100, l_discount * 100], 'max')
+                  AS max_val,
+              [l_quantity, l_tax * 100, l_discount * 100][1] AS first_val,
+              [l_quantity, l_tax * 100, l_discount * 100][1:2] AS first_two,
+              CAST(3 AS INTEGER) AS n_vals
+       FROM lineitem""",
+    "ArrayType surface: array construction, array_sort, array_max, "
+    "element_at, slice, size — all JVM array lambdas; 1-indexed semantics "
+    "match across engines.",
+)
+def q_array_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.array(
+        F.col("l_quantity"), F.col("l_tax") * 100, F.col("l_discount") * 100
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_sort(arr).alias("sorted_vals"),
+        F.array_max(arr).alias("max_val"),
+        F.element_at(arr, 1).alias("first_val"),
+        F.slice(arr, 1, 2).alias("first_two"),
+        F.size(arr).alias("n_vals"),
+    )
+
+
+@register(
+    "q_resize_meta",
+    """SELECT doc_id,
+              least((length(text) + greatest(length(text) // 1024, 1) - 1)
+                    // greatest(length(text) // 1024, 1),
+                    1024) AS resized_len
+       FROM documents""",
+    "Image-resize plumbing (mapInPandas 1→1, fixed 32×32 byte budget): the "
+    "oracle reproduces the deterministic byte-sampling arithmetic, proving "
+    "the Arrow batch path end-to-end; a real decoder swaps in via "
+    "decode_image without touching the Spark plan.",
+)
+def q_resize_meta(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators import multimodal as MM
+
+    d = MM.with_binary_payload(_t(spark, sf_dir, "documents", parallel=True))
+    return MM.resize_images(d, 32, 32).select("doc_id", "resized_len")

