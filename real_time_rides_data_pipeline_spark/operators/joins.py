@@ -13,7 +13,7 @@ shuffle entirely (see sinks.py bucketed writer).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Rough row-count threshold under which we force a broadcast hint. Spark's
@@ -92,3 +92,90 @@ def salted_join(
         "inner",
     )
     return joined.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: str,
+) -> DataFrame:
+    """As-of join: attach to every left row the latest ``payload`` from
+    ``right`` with ``right_ts <= left_ts`` for the same key (NULL if none).
+
+    Spark has no ASOF JOIN operator; a theta join (``r.ts <= l.ts`` + argmax)
+    explodes quadratically per key. The scalable formulation is union-window:
+    tag both sides, union, and run ``last(payload, ignorenulls=True)`` over
+    (key ORDER BY ts, side) — right rows sort before left rows at equal
+    timestamps, so an exactly-simultaneous quote applies. ONE shuffle on the
+    key, state bounded by a single row per partition frame, no join blow-up
+    — this is also exactly how the streaming version holds its state.
+
+    ``right`` must be unique per (key, right_ts) for determinism (dedup
+    upstream with keep_first_per_key).
+    """
+    left_types = dict(left.dtypes)
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__t"),
+        F.col(payload).alias("__p"),
+        F.lit(0).alias("__side"),
+    )
+    for c in left.columns:
+        if c != key:
+            r = r.withColumn(c, F.lit(None).cast(left_types[c]))
+    l = (
+        left.withColumn("__t", F.col(left_ts))
+        .withColumn("__p", F.lit(None).cast(dict(right.dtypes)[payload]))
+        .withColumn("__side", F.lit(1))
+    )
+    u = l.unionByName(r.select(*l.columns))
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn(payload, F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .drop("__t", "__p", "__side")
+    )
+
+
+def bucketed_range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    key: str,
+    start_col: str,
+    point_ts: str,
+    length_seconds: int,
+) -> DataFrame:
+    """Range join (point-in-interval): pair every ``points`` row whose
+    ``point_ts`` falls in ``[start, start + length)`` of an ``intervals`` row
+    with the same key.
+
+    A naive range-predicate join is a per-key nested loop (O(|I|·|P|)). The
+    scale path buckets time into ``length_seconds`` cells: an interval of
+    exactly that length overlaps at most 2 cells, so each interval row is
+    duplicated ≤2× (explode), points map to their single cell, and the join
+    becomes an EQUI-join on (key, cell) + a residual range filter — hash
+    shuffle, AQE-optimizable, no nested loop at any scale.
+
+    Non-key column names of the two inputs must be disjoint (the join is a
+    natural join on (cell, key)).
+    """
+    cell_us = length_seconds * 1_000_000
+    base_cell = F.floor(F.unix_micros(F.col(start_col)) / cell_us).cast("long")
+    i_cells = intervals.withColumn(
+        "__cell", F.explode(F.array(base_cell, base_cell + 1))
+    )
+    p_cells = points.withColumn(
+        "__cell", F.floor(F.unix_micros(F.col(point_ts)) / cell_us).cast("long")
+    )
+    end = F.col(start_col) + F.make_interval(secs=F.lit(length_seconds))
+    joined = i_cells.join(p_cells, ["__cell", key]).filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < end)
+    )
+    return joined.drop("__cell")

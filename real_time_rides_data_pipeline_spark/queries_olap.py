@@ -907,3 +907,89 @@ def q_resize_meta(spark, sf_dir):
 
     d = MM.with_binary_payload(_t(spark, sf_dir, "documents", parallel=True))
     return MM.resize_images(d, 32, 32).select("doc_id", "resized_len")
+
+
+# =========================================================================
+# As-of join + range join (q_asof_join, q_range_join) — the time-series
+# join operators named in the extension mandate
+# =========================================================================
+
+
+@register(
+    "q_asof_join",
+    """WITH rates AS (
+         SELECT user_id, ts, value AS rate FROM (
+           SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_id % 20 = 0
+         ) WHERE rn = 1
+       )
+       SELECT e.event_id, e.user_id, e.ts, r.rate
+       FROM events e ASOF LEFT JOIN rates r
+         ON e.user_id = r.user_id AND e.ts >= r.ts""",
+    "As-of join: every event gets the latest 'rate' quote at-or-before its "
+    "timestamp per user. Spark impl = union-window (tag sides, one window "
+    "shuffle on the key, last(payload, ignorenulls)) — no per-key nested "
+    "loop; DuckDB oracle uses its native ASOF LEFT JOIN.",
+)
+def q_asof_join(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.dedup import keep_first_per_key
+    from real_time_rides_data_pipeline_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    rates = (
+        keep_first_per_key(
+            ev.filter(F.col("event_id") % 20 == 0),
+            keys=("user_id", "ts"),
+            order_by=("event_id",),
+            descending=True,
+        )
+        .select("user_id", "ts", F.col("value").alias("rate"))
+    )
+    out = asof_join(
+        ev.select("event_id", "ts", "user_id"),
+        rates,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload="rate",
+    )
+    return out.select("event_id", "user_id", "ts", "rate")
+
+
+@register(
+    "q_range_join",
+    """WITH anchors AS (
+         SELECT event_id AS anchor_id, user_id, ts AS a_ts
+         FROM events WHERE event_id % 40 = 0
+       )
+       SELECT a.anchor_id, a.user_id, count(e.event_id) AS n_in_window
+       FROM anchors a JOIN events e
+         ON e.user_id = a.user_id
+        AND e.ts >= a.a_ts AND e.ts < a.a_ts + INTERVAL 2 HOUR
+       GROUP BY a.anchor_id, a.user_id""",
+    "Range join (point-in-interval): count each user's events inside the "
+    "2-hour window opened by every anchor event. Spark impl buckets time "
+    "into window-length cells so the range predicate becomes an equi-join "
+    "on (key, cell) + residual filter (≤2× interval duplication) — the "
+    "plan is a hash join, not a per-key nested loop.",
+)
+def q_range_join(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.joins import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    anchors = ev.filter(F.col("event_id") % 40 == 0).select(
+        F.col("event_id").alias("anchor_id"), "user_id", F.col("ts").alias("a_ts")
+    )
+    joined = bucketed_range_join(
+        anchors,
+        ev.select("event_id", "ts", "user_id"),
+        key="user_id",
+        start_col="a_ts",
+        point_ts="ts",
+        length_seconds=7200,
+    )
+    return joined.groupBy("anchor_id", "user_id").agg(
+        F.count("event_id").alias("n_in_window")
+    )

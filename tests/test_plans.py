@@ -104,3 +104,20 @@ def test_sessionize_reuses_window_shuffle(spark):
     plan = _plan(spark, "q_sessionize")
     n_exchanges = plan.count("hashpartitioning(")
     assert 1 <= n_exchanges <= 2, f"{n_exchanges} hash exchanges\n{plan}"
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """The union-window as-of join must plan ONE hash shuffle (the window)
+    and no join operator at all — that's the whole trick."""
+    plan = _plan(spark, "q_asof_join")
+    n_exchanges = plan.count("hashpartitioning(")
+    assert n_exchanges <= 2, f"{n_exchanges} hash exchanges\n{plan}"
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_range_join_is_equi_join(spark):
+    """Time-bucketing must turn the range predicate into a hash-joinable
+    equi-join; a BroadcastNestedLoopJoin here means the rewrite regressed."""
+    plan = _plan(spark, "q_range_join")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
