@@ -50,6 +50,13 @@ def silver_transform(bronze_df: DataFrame, watermark: str = "10 minutes") -> Dat
     valid_json = drop_malformed(bronze_df, json_col="raw_json_data")
     parsed = parse_json_events(valid_json, json_col="raw_json_data", schema=RIDE_SCHEMA)
     rides = expand_struct(parsed, "data", "timestamp")
+    if not rides.isStreaming:
+        # Parse-once barrier: CollapseProject would otherwise inline from_json
+        # into every downstream field reference (the validity filter alone
+        # re-parses per field) — measured ~4× on the batch pipeline. A lazy
+        # localCheckpoint materializes the expanded columns exactly once.
+        # Streaming keeps pure lineage (micro-batches materialize per batch).
+        rides = rides.localCheckpoint(eager=False)
     rides = with_trip_duration(rides)
     rides = with_trip_distance(rides)
     rides = validity_filter(rides)
