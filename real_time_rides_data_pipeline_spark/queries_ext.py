@@ -687,7 +687,7 @@ def q_merge_upsert(spark, sf_dir):
                                         ORDER BY ts DESC, event_id DESC) = 1) l
        USING (user_id)""",
     "Custom stateful streaming operator (applyInPandasWithState): per-user "
-    "running count/spend/max/latest-event state folded across 4 real micro-"
+    "running count/spend/max/latest-event state folded across 2 real micro-"
     "batches (file replay), update-mode emissions MERGE-upserted into a "
     "latest-state table. Oracle = the equivalent batch aggregate — the "
     "stream≡batch criterion of SURVEY §5.2.2.",
@@ -704,13 +704,13 @@ def q_stateful_running(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     work = tempfile.mkdtemp(prefix="stateful_")
     inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    ev.repartition(4).write.parquet(inp)  # 4 files → 4 micro-batches
+    ev.repartition(2).write.parquet(inp)  # 2 files → 2 micro-batches
     stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
     # Stateful shuffle width is frozen into the checkpoint at first batch;
     # size it to the state (~1.5k keys), not the session default — every
     # state partition costs a state-store instance load per micro-batch.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             foreach_batch_merge(
