@@ -36,6 +36,7 @@ def registry() -> dict[str, QuerySpec]:
     import real_time_rides_data_pipeline_spark.queries  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_ext  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_olap  # noqa: F401
+    import real_time_rides_data_pipeline_spark.queries_tpch  # noqa: F401
 
     return dict(_REGISTRY)
 
