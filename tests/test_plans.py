@@ -115,6 +115,47 @@ def test_asof_join_single_shuffle_no_join(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
 
 
+def test_q5_broadcasts_every_dim(spark):
+    """Q5's region→nation→supplier chain (and the n1/n2 role joins in Q7)
+    must broadcast — only the fact-side order-key/cust-key joins may
+    shuffle. A dim that falls back to SMJ adds a full-fact exchange."""
+    for key in ("q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9"):
+        plan = _plan(spark, key)
+        assert plan.count("BroadcastHashJoin") >= 2, (key, plan)
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_q10_top20_is_take_ordered(spark):
+    plan = _plan(spark, "q_tpch_q10")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q13_outer_join_keeps_residual_in_on(spark):
+    """The priority filter must ride the join (or the orders scan) — never
+    a post-join WHERE, which would drop zero-order customers."""
+    plan = _plan(spark, "q_tpch_q13")
+    assert "LeftOuter" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("o_orderpriority" in ln for ln in pushed), pushed
+
+
+def test_q18_agg_reuses_join_shuffle(spark):
+    """Grouping on the join key (o_orderkey ⊂ group keys) — the lineitem⋈
+    orders exchange must be reused, not repeated: at most one extra
+    hashpartitioning beyond the two join inputs."""
+    plan = _plan(spark, "q_tpch_q18")
+    n = plan.count("hashpartitioning(")
+    assert n <= 4, f"{n} hash exchanges\n{plan}"
+
+
+def test_q15_argmax_broadcasts_scalar(spark):
+    """The max-revenue threshold must come back as a broadcast, not a
+    shuffled join against the 1-row aggregate."""
+    plan = _plan(spark, "q_tpch_q15")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_range_join_is_equi_join(spark):
     """Time-bucketing must turn the range predicate into a hash-joinable
     equi-join; a BroadcastNestedLoopJoin here means the rewrite regressed."""
