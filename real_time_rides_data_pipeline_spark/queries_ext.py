@@ -754,6 +754,121 @@ def q_stream_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "q_watermark",
+    """SELECT event_id, ts, user_id, value FROM events WHERE event_id % 20 = 0""",
+    "Event-time watermark (02_silver:84-92) driven as a REAL 2-micro-batch "
+    "stream: batch 1 (pre-Jan-15 events) advances the watermark to "
+    "max(ts)-10min; batch 2 carries the remaining events plus stragglers "
+    "stamped 72 h in the past — every straggler lands below the watermark "
+    "and must be dropped, so the output is exactly the genuine events. "
+    "State is bounded by the watermark (SURVEY §2.6 / §7.4.6).",
+)
+def q_watermark(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.operators import stream_dedup
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    work = tempfile.mkdtemp(prefix="wm_")
+    inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    early = ev.filter(F.col("ts") < cutoff)
+    early.coalesce(1).write.parquet(inp)
+    # Stragglers get fresh keys (so only the watermark can drop them, never
+    # the dedup) and timestamps 72 h back — far below batch 1's watermark.
+    stragglers = early.select(
+        (-F.col("event_id") - 1).alias("event_id"),
+        (F.col("ts") - F.expr("INTERVAL 72 HOURS")).alias("ts"),
+        "user_id",
+        "value",
+    )
+    late_batch = ev.filter(F.col("ts") >= cutoff).unionAll(stragglers)
+    stream = parquet_stream(spark, inp, early.schema, max_files_per_trigger=1)
+    deduped = stream_dedup(stream, keys=("event_id", "ts"), event_time_col="ts")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1 → watermark advances
+            late_batch.coalesce(1).write.mode("append").parquet(inp)
+            q.processAllAvailable()  # batch 2 → stragglers dropped
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out)
+
+
+@register(
+    "q_output_complete",
+    """SELECT date_trunc('hour', ts) AS window_start,
+              date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+              user_id AS driver_id,
+              count(event_id) AS total_rides_hourly,
+              round(sum(CAST(round(value * 100) AS BIGINT)) / count(value)) / 100.0
+                  AS avg_fare_hourly,
+              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS total_suspicious_rides_hourly
+       FROM events GROUP BY 1, 2, 3""",
+    "complete output mode on an aggregate stream (03_gold:124): the hourly "
+    "aggregate folded across 2 real micro-batches, each emission the FULL "
+    "recomputed state; the final emission must equal the one-shot batch "
+    "aggregate — the reference's literal Gold semantics (SURVEY §4.3.1; "
+    "our preferred bounded-state path is q_merge_upsert).",
+)
+def q_output_complete(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from real_time_rides_data_pipeline_spark.operators.agg import hourly_driver_agg
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="complete_")
+    inp = f"{work}/in"
+    ev.repartition(2).write.parquet(inp)  # 2 files → 2 micro-batches
+    stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
+    agg = hourly_driver_agg(
+        stream.withColumn("is_suspicious", F.col("event_type") == "error"),
+        ts_col="ts",
+        key_col="user_id",
+        id_col="event_id",
+        fare_col="value",
+    ).withColumnRenamed("user_id", "driver_id")
+    name = f"complete_out_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 from real_time_rides_data_pipeline_spark.streaming.stateful import HAVE_TWS
 
 
