@@ -446,11 +446,14 @@ def q_frame_sample(spark, sf_dir):
 @register(
     "q_window_sliding",
     """WITH grid AS (
-         SELECT e.*, to_timestamp(floor(epoch(ts) / 900) * 900) - INTERVAL (k * 15) MINUTE
+         -- DuckDB to_timestamp() yields TIMESTAMPTZ; CAST back to plain
+         -- TIMESTAMP so the Arrow schema matches Spark's tz-naive window.
+         SELECT e.*, CAST(to_timestamp(floor(epoch(ts) / 900) * 900)
+                          - INTERVAL (k * 15) MINUTE AS TIMESTAMP)
                     AS window_start
          FROM events e CROSS JOIN range(4) t(k)
-         WHERE ts < to_timestamp(floor(epoch(ts) / 900) * 900)
-                    - INTERVAL (k * 15) MINUTE + INTERVAL 1 HOUR
+         WHERE ts < CAST(to_timestamp(floor(epoch(ts) / 900) * 900)
+                         - INTERVAL (k * 15) MINUTE + INTERVAL 1 HOUR AS TIMESTAMP)
        )
        SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
               count(event_id) AS n_events,

@@ -29,7 +29,10 @@ def _canon(v):
         # 12 significant digits absorbs float noise while catching real bugs
         return float(f"{v:.12g}")
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        # Do NOT strip tzinfo: a tz-aware oracle value must NOT compare equal
+        # to Spark's tz-naive timestamp — the driver's Arrow schema check
+        # fails on TIMESTAMPTZ, so the local harness must too.
+        return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -45,20 +48,41 @@ def spark_rows(df: DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, sorted(rows, key=lambda t: tuple(repr(x) for x in t))
 
 
-def duck_rows(con, sql: str) -> tuple[list[str], list[tuple]]:
-    cur = con.execute(sql)
-    names = [d[0] for d in cur.description]
+def duck_rows(con, sql: str) -> tuple[list[str], list[tuple], list[str]]:
+    """Fetch oracle rows via Arrow (driver parity).
+
+    Returns (sorted column names, canonicalized sorted rows, tz_cols) where
+    ``tz_cols`` lists columns whose Arrow type is timestamp-with-timezone —
+    the driver's schema compare runs on the Arrow schema, so any such column
+    is an automatic ``schema_match: false`` and must fail locally too.
+    """
+    import pyarrow as pa
+
+    tbl = con.execute(sql).arrow()
+    tz_cols = [
+        f.name
+        for f in tbl.schema
+        if pa.types.is_timestamp(f.type) and f.type.tz is not None
+    ]
+    names = tbl.schema.names
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [names[i] for i in order]
-    rows = [tuple(_canon(r[i]) for i in order) for r in cur.fetchall()]
-    return cols, sorted(rows, key=lambda t: tuple(repr(x) for x in t))
+    pyrows = tbl.to_pylist()
+    rows = [tuple(_canon(r[names[i]]) for i in order) for r in pyrows]
+    return cols, sorted(rows, key=lambda t: tuple(repr(x) for x in t)), tz_cols
 
 
 def compare(df: DataFrame, con, sql: str, key: str = "?") -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     problems: list[str] = []
     scols, srows = spark_rows(df)
-    dcols, drows = duck_rows(con, sql)
+    dcols, drows, tz_cols = duck_rows(con, sql)
+    if tz_cols:
+        problems.append(
+            f"[{key}] oracle columns are TIMESTAMPTZ (driver schema_match "
+            f"would fail): {tz_cols} — CAST to plain TIMESTAMP in the SQL"
+        )
+        return problems
     if scols != dcols:
         problems.append(f"[{key}] columns differ: spark={scols} duck={dcols}")
         return problems
