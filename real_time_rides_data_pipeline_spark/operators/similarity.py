@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from real_time_rides_data_pipeline_spark.functions.vectors import (
     as_double,
+    cosine,
     cosine_rounded,
 )
 
@@ -103,9 +104,11 @@ def cosine_pairs_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold (embedding near-dup). Self-join with
-    id_a < id_b; at 100 TB wrap with an LSH/IVF candidate filter first —
-    the exact pass below is the verification stage of that pipeline."""
+    """All-pairs cosine ≥ threshold — brute-force reference implementation.
+
+    Kept as the test oracle for ``cluster_pruned_pairs_above`` (the scale
+    path); do NOT use this on large inputs — the join is a nested loop over
+    N²/2 pairs."""
     lhs = vectors.select(
         F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
     )
@@ -115,6 +118,117 @@ def cosine_pairs_above(
     return (
         lhs.join(rhs, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_sim", cosine_rounded(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def cluster_pruned_pairs_above(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salt: int = 8,
+) -> DataFrame:
+    """EXACT cosine-threshold self-join with angular cluster pruning — the
+    scale path for embedding near-dup (replaces the all-pairs nested loop).
+
+    Pipeline: (1) assign every vector to its max-cosine centroid (one scan);
+    (2) compute each cluster's angular radius r_k = max angle(v, c_k)
+    distributed, collect K scalars; (3) driver-side, keep only the ordered
+    cluster pairs (i, j) whose spherical-triangle-inequality bound admits a
+    qualifying pair:  angle(a, b) >= angle(c_i, c_j) - r_i - r_j,  so
+    cos(a, b) <= cos(max(0, theta_ij - r_i - r_j)) — if that bound is below
+    the threshold, NO pair across (i, j) can qualify and the block is pruned
+    without reading a single vector pair; (4) equi-join the surviving cluster
+    blocks (broadcast the tiny admissible-pairs table, salt the block key so
+    K small clusters still spread across the cluster), (5) exact-verify
+    cosine on the candidates only.
+
+    Soundness: step (3) is a proven upper bound, so the output is IDENTICAL
+    to the all-pairs join at any threshold — pruning only removes blocks that
+    cannot contain a qualifying pair. On clustered corpora (the 100 TB case:
+    near-dup embeddings huddle) most of the K² blocks are pruned; on
+    adversarially uniform vectors it degrades to the same candidate set as
+    all-pairs but still swaps the nested loop for a salted hash join.
+
+    Driver-side actions: K radius scalars (like the centroid fetch in
+    ``ivf_topk``) — constant-size, folded into the plan.
+    """
+    import math
+
+    def _pycos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    def _clamp(x: float) -> float:
+        return max(-1.0, min(1.0, x))
+
+    cent_arrs = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    base = vectors.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    )
+    sims = F.array(*[cosine(F.col("__v"), ca) for ca in cent_arrs])
+    base = (
+        base.withColumn("__sims", sims)
+        .withColumn(
+            "cluster_id",
+            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1).cast(
+                "int"
+            ),
+        )
+        .withColumn("__own_cos", F.array_max(F.col("__sims")))
+        .drop("__sims")
+    )
+    # Materialize once: reused by the radius agg and BOTH join sides (else
+    # the K-cosine assignment re-evaluates three times).
+    base = base.localCheckpoint(eager=True)
+
+    radius = {
+        r["cluster_id"]: math.acos(_clamp(r["mn"]))
+        for r in base.groupBy("cluster_id").agg(F.min("__own_cos").alias("mn")).collect()
+        if r["cluster_id"] is not None
+    }
+    eps = 1e-9
+    admissible = []
+    for i in radius:
+        for j in radius:
+            theta = math.acos(_clamp(_pycos(centroids[i], centroids[j])))
+            bound = math.cos(max(0.0, theta - radius[i] - radius[j]))
+            if bound >= threshold - eps:
+                admissible.append((i, j))
+    spark = vectors.sparkSession
+    pairs = spark.createDataFrame(admissible or [(-1, -1)], "ca int, cb int")
+
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("cluster_id").alias("ca"),
+        F.col("__v").alias("va"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("cluster_id").alias("cb"),
+        F.col("__v").alias("vb"),
+    )
+    # Salt the block key: |clusters| is small (K), so an unsalted equi-join
+    # would hash-partition onto at most K reducers. The probe side derives
+    # its salt from a row-unique column; the build side fans out over all
+    # salts (standard skew-salting, cf. operators/joins.salted_join).
+    a_x = (
+        a.join(F.broadcast(pairs), "ca")
+        .withColumn(
+            "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)]))
+        )
+    )
+    b_s = b.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("id_b")), F.lit(n_salt)).cast("int")
+    )
+    cand = a_x.join(b_s, ["cb", "__salt"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn("cosine_sim", cosine_rounded(F.col("va"), F.col("vb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -245,16 +245,25 @@ def q_cosine_topk(spark, sf_dir):
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE floor(({_COSINE_SQL.format(q="b.embedding")}) * 1000000) / 1000000.0
               >= 0.4""",
-    "Embedding-cosine near-dup: all-pairs ≥ 0.4 (exact verification stage; "
-    "at 100 TB an LSH/IVF candidate filter runs first).",
+    "Embedding-cosine near-dup ≥ 0.4 via EXACT angular cluster pruning: "
+    "IVF-assign → per-cluster angular radius → prune cluster-pair blocks "
+    "whose spherical-triangle bound can't reach the threshold → salted "
+    "equi-join within admissible blocks → exact cosine verify. Provably "
+    "identical output to the all-pairs join (the oracle), but no nested "
+    "loop: on clustered 100 TB corpora most K² blocks never join.",
 )
 def q_embed_neardup(spark, sf_dir):
-    # parallel=True: the all-pairs nested-loop parallelism equals the probe
-    # side's partition count — a tiny-file single-partition scan would put
-    # all |V|²/2 similarity evaluations on one core.
-    return SIM.cosine_pairs_above(
-        _t(spark, sf_dir, "embeddings", parallel=True), 0.4
-    )
+    emb = _t(spark, sf_dir, "embeddings", parallel=True)
+    # Fixed centroids (embeddings of vec_id 0..7, same convention as
+    # q_ann_ivf); at real scale these come from a sampled k-means fit.
+    cents = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return SIM.cluster_pruned_pairs_above(emb, cents, 0.4)
 
 
 @register(

@@ -156,6 +156,40 @@ def test_q15_argmax_broadcasts_scalar(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_embed_neardup_no_allpairs_nested_loop(spark):
+    """The angular-cluster-pruned near-dup must candidate-generate through
+    equi-joins (broadcast pairs table + salted block join) — an
+    ``id_a < id_b``-only nested loop over N² is the scale regression this
+    operator exists to remove."""
+    plan = _plan(spark, "q_embed_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embed_neardup_matches_brute_force(spark):
+    """Angular pruning is a sound upper bound: output must be IDENTICAL to
+    the all-pairs reference at every threshold (here two, straddling the
+    production 0.4)."""
+    from real_time_rides_data_pipeline_spark.operators import similarity as SIM
+    from real_time_rides_data_pipeline_spark.registry import _t
+
+    emb = _t(spark, SMOKE_SF, "embeddings", parallel=True)
+    cents = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    ]
+    for thr in (0.3, 0.45):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["cosine_sim"])
+            for r in SIM.cluster_pruned_pairs_above(emb, cents, thr).collect()
+        )
+        want = sorted(
+            (r["id_a"], r["id_b"], r["cosine_sim"])
+            for r in SIM.cosine_pairs_above(emb, thr).collect()
+        )
+        assert got == want, f"thr={thr}: {len(got)} vs {len(want)} pairs"
+
+
 def test_range_join_is_equi_join(spark):
     """Time-bucketing must turn the range predicate into a hash-joinable
     equi-join; a BroadcastNestedLoopJoin here means the rewrite regressed."""
