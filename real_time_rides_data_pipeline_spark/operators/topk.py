@@ -48,3 +48,80 @@ def top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_parts: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Scale-safe GLOBAL row_number over a total order — no single-partition
+    sort. TeraSort-style two-phase ranking:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order keys
+       (range shuffle: each partition holds a contiguous key range);
+    2. materialize the sorted runs once (``localCheckpoint`` — pins the
+       partition ids that the offset arithmetic depends on, and the three
+       downstream references read the run instead of re-sorting);
+    3. per-partition row_number + a broadcast offset = cumulative count of
+       all earlier partitions. The offset table is |partitions| rows — its
+       tiny cumulative window is the ONLY single-partition sort, over P
+       values, not N rows.
+
+    ``order_cols`` must be a total order (include a unique tiebreaker) or
+    ranks within equal keys are partition-dependent. ``materialize=False``
+    skips the run materialization (three re-sorts instead — only for plan
+    inspection in tests; range sampling is deterministic so results agree)."""
+    spark = df.sparkSession
+    p = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    if materialize:
+        part = part.localCheckpoint(eager=True)
+    counts = part.groupBy("__pid").count()
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.row_number().over(w_in) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: list[str],
+    out_col: str = "bucket",
+    materialize: bool = True,
+) -> DataFrame:
+    """Scale-safe global ``ntile(n)``: distributed global rank
+    (``global_row_number``) + closed-form bucket arithmetic — bit-identical
+    to the SQL-standard NTILE (first ``N mod n`` buckets get one extra row)
+    without the single-partition global sort that ``Window.orderBy`` with no
+    partition spec plans."""
+    ranked = global_row_number(df, order_cols, out_col="__rn", materialize=materialize)
+    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    r = F.col("__rn")
+    big = F.floor(F.col("__n") / n) + 1  # size of the first (N % n) buckets
+    rem = F.col("__n") % n
+    cut = rem * big
+    bucket = (
+        F.when(r <= cut, F.floor((r - 1) / big) + 1)
+        .otherwise(rem + F.floor((r - cut - 1) / (big - 1)) + 1)
+        .cast("int")
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(out_col, bucket)
+        .drop("__rn", "__n")
+    )

@@ -585,21 +585,25 @@ def q_window_range_frame(spark, sf_dir):
                                            ROWS BETWEEN UNBOUNDED PRECEDING
                                            AND UNBOUNDED FOLLOWING) AS second_event
        FROM events""",
-    "ntile/first_value/last_value/nth_value. Global ntile needs a total "
-    "order (single-partition sort — at scale, range-partition first or "
-    "bucket on rank/count instead); the per-user window is the scalable path.",
+    "ntile/first_value/last_value/nth_value. The global ntile(4) runs as a "
+    "distributed two-phase rank (range-partitioned sort + broadcast "
+    "partition offsets, operators/topk.global_ntile) — NOT the "
+    "single-partition sort Window.orderBy with no partition spec plans; "
+    "the per-user windows shuffle on user_id as usual.",
 )
 def q_ntile_first_last(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    w_global = Window.orderBy(cents(F.col("value")), "event_id")
+    from real_time_rides_data_pipeline_spark.operators.topk import global_ntile
+
+    ev = _t(spark, sf_dir, "events").withColumn("__c", cents(F.col("value")))
+    tiled = global_ntile(ev, 4, ["__c", "event_id"], out_col="quartile")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_full = w_user.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return ev.select(
+    return tiled.select(
         "event_id",
         "user_id",
-        F.ntile(4).over(w_global).alias("quartile"),
+        "quartile",
         F.first("event_id").over(w_user).alias("first_event"),
         F.last("event_id").over(w_full).alias("last_event"),
         F.nth_value("event_id", 2).over(w_full).alias("second_event"),

@@ -190,6 +190,26 @@ def test_embed_neardup_matches_brute_force(spark):
         assert got == want, f"thr={thr}: {len(got)} vs {len(want)} pairs"
 
 
+def test_ntile_has_no_global_sort_window(spark):
+    """The global quartile must run as a range-partitioned two-phase rank,
+    never an ntile window function (whose empty PARTITION BY forces
+    Exchange SinglePartition over the full table). The registered key's
+    run-materialization truncates lineage, so the rangepartitioning node is
+    asserted on the un-materialized twin."""
+    plan = _plan(spark, "q_ntile_first_last")
+    assert "ntile(" not in plan, plan
+
+    from real_time_rides_data_pipeline_spark.operators.topk import global_ntile
+    from real_time_rides_data_pipeline_spark.registry import _t
+
+    ev = _t(spark, SMOKE_SF, "events")
+    full = explain_str(
+        global_ntile(ev, 4, ["event_id"], materialize=False)
+    )
+    assert "rangepartitioning(" in full, full
+    assert "ntile(" not in full, full
+
+
 def test_range_join_is_equi_join(spark):
     """Time-bucketing must turn the range predicate into a hash-joinable
     equi-join; a BroadcastNestedLoopJoin here means the rewrite regressed."""
