@@ -81,6 +81,11 @@ def get_spark(
         # Fixture events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert at the source (sources/).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fixture parquet stores naive (isAdjustedToUTC=false) timestamps;
+        # read them as session-tz TIMESTAMP (UTC) rather than TIMESTAMP_NTZ so
+        # epoch arithmetic (cast to long, unix_micros) stays legal and plans
+        # are identical across Spark 4.x versions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Streaming state at scale: RocksDB keeps dedup/agg state off-heap.
         .config(
             "spark.sql.streaming.stateStore.providerClass",

@@ -35,6 +35,10 @@ def load_fixture(spark: SparkSession, name: str, sf_dir: str | None = None) -> D
         # The session may not have been built by our factory (e.g. the
         # verify driver's own session) — ensure the nanos conf is on.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive parquet timestamps must read as UTC TIMESTAMP, not TIMESTAMP_NTZ
+    # (epoch casts on NTZ are rejected by Spark >= 4.1); set on every read in
+    # case the hosting session wasn't built by our factory.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
