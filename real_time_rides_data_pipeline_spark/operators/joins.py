@@ -80,8 +80,19 @@ def salted_join(
     Spark's AQE skew-join handles *sort-merge* skew automatically at
     runtime; explicit salting remains the tool for skewed *hash* shuffles,
     streaming state, and engines/configs where AQE can't see the skew.
+
+    ``salt_src`` must vary WITHIN a join key (a row-unique column such as an
+    event id) — a salt derived from the join key itself is constant per key
+    and spreads nothing. With ``salt_src=None`` the salt hashes ALL fact
+    columns, which is row-varying for any realistic fact table.
     """
-    salt = F.pmod(F.xxhash64(F.col(salt_src or fact_key)), F.lit(n_salts)).cast("int")
+    if salt_src == fact_key:
+        raise ValueError(
+            "salt_src must differ from fact_key: a salt that is a function of "
+            "the join key gives every row of a hot key the same salt"
+        )
+    salt_cols = [F.col(salt_src)] if salt_src else [F.col(c) for c in fact.columns]
+    salt = F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int")
     salted_fact = fact.withColumn("__salt", salt)
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -115,20 +126,28 @@ def asof_join(
 
     ``right`` must be unique per (key, right_ts) for determinism (dedup
     upstream with keep_first_per_key).
+
+    The carried value is wrapped in a non-null struct so a right row whose
+    payload is genuinely NULL still WINS the as-of match (yielding NULL),
+    instead of being skipped for an older non-null quote — matching
+    ASOF JOIN semantics exactly.
     """
     left_types = dict(left.dtypes)
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("__t"),
-        F.col(payload).alias("__p"),
+        F.struct(F.col(payload).alias("v")).alias("__p"),
         F.lit(0).alias("__side"),
     )
     for c in left.columns:
         if c != key:
             r = r.withColumn(c, F.lit(None).cast(left_types[c]))
+    null_payload = F.lit(None).cast(
+        f"struct<v:{dict(right.dtypes)[payload]}>"
+    )
     l = (
         left.withColumn("__t", F.col(left_ts))
-        .withColumn("__p", F.lit(None).cast(dict(right.dtypes)[payload]))
+        .withColumn("__p", null_payload)
         .withColumn("__side", F.lit(1))
     )
     u = l.unionByName(r.select(*l.columns))
@@ -138,7 +157,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        u.withColumn(payload, F.last("__p", ignorenulls=True).over(w))
+        u.withColumn(payload, F.last("__p", ignorenulls=True).over(w)["v"])
         .filter(F.col("__side") == 1)
         .drop("__t", "__p", "__side")
     )

@@ -106,6 +106,31 @@ def fake_audio_meta(payload: bytes) -> tuple[int, int]:
     return rate, n * 1000 // 32
 
 
+def extract_audio_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas audio-metadata extraction (the audio twin of
+    extract_image_metadata): one Arrow batch in, one out; ``decode_audio``
+    is the real-decoder drop-in point. Output: id, byte_len, sample_rate,
+    duration_ms."""
+    schema = f"{id_col} long, byte_len long, sample_rate int, duration_ms long"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [p if p is not None else b"" for p in pdf[payload_col]]
+            meta = [fake_audio_meta(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "byte_len": [len(p) for p in payloads],
+                    "sample_rate": [m[0] for m in meta],
+                    "duration_ms": [m[1] for m in meta],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema)
+
+
 def resize_images(
     df: DataFrame,
     target_w: int = 32,
@@ -121,18 +146,22 @@ def resize_images(
     schema = f"{id_col} long, resized binary, resized_len long"
     budget = target_w * target_h
 
+    def one(p: bytes | None) -> bytes:
+        p = p or b""
+        step = max(len(p) // budget, 1)
+        return bytes(p[::step][:budget])
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, payloads, lens = [], [], []
-            for _, row in pdf.iterrows():
-                p = row[payload_col] or b""
-                step = max(len(p) // budget, 1)
-                out = bytes(p[::step][:budget])
-                ids.append(row[id_col])
-                payloads.append(out)
-                lens.append(len(out))
+            # zip over raw columns, not .iterrows() (which builds a Series
+            # per row and dominates the batch cost ~10x)
+            payloads = [one(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
-                {id_col: ids, "resized": payloads, "resized_len": lens}
+                {
+                    id_col: pdf[id_col].values,
+                    "resized": payloads,
+                    "resized_len": [len(p) for p in payloads],
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(resize, schema)
@@ -152,11 +181,11 @@ def sample_frames(
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col] or b""
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = payload or b""
                 step = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
-                    ids.append(row[id_col])
+                    ids.append(doc_id)
                     idxs.append(i)
                     frames.append(bytes(payload[i * step : i * step + step]))
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_bytes": frames})
