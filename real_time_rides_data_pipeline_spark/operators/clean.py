@@ -37,11 +37,24 @@ def pseudo_distance(key: Column, max_km: float = 20.0) -> Column:
     return F.round(F.pmod(F.xxhash64(key), F.lit(buckets)) / 100.0, 2)
 
 
+#: Knuth's multiplicative-hash constant (2^32 / phi).
+KNUTH_MULT = 2654435761
+
+
 def pseudo_distance_modular(key: Column, max_km: float = 20.0) -> Column:
     """Oracle-portable variant: plain modular arithmetic on an integer key
-    (DuckDB computes the identical value), spread with a Knuth multiplier."""
+    (DuckDB computes the identical value), spread with a Knuth multiplier.
+
+    Reduces the key mod ``buckets`` BEFORE multiplying — the modular identity
+    ``(a*K) mod m = ((a mod m) * (K mod m)) mod m`` keeps every intermediate
+    under ``m^2`` so the expression never wraps int64, for any key magnitude.
+    """
     buckets = int(max_km * 100)
-    return F.round(F.pmod(key * F.lit(2654435761), F.lit(buckets)) / 100.0, 2)
+    return F.round(
+        F.pmod(F.pmod(key, F.lit(buckets)) * F.lit(KNUTH_MULT % buckets), F.lit(buckets))
+        / 100.0,
+        2,
+    )
 
 
 def with_trip_distance(

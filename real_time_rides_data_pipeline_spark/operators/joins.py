@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Rough row-count threshold under which we force a broadcast hint. Spark's
 #: autoBroadcastJoinThreshold is byte-based; a hint is deterministic.
@@ -83,15 +84,30 @@ def salted_join(
 
     ``salt_src`` must vary WITHIN a join key (a row-unique column such as an
     event id) — a salt derived from the join key itself is constant per key
-    and spreads nothing. With ``salt_src=None`` the salt hashes ALL fact
-    columns, which is row-varying for any realistic fact table.
+    and spreads nothing. With ``salt_src=None`` the salt hashes the fact's
+    scalar columns only: ``xxhash64`` rejects MapType outright (without a
+    legacy conf), and hashing wide array/struct payloads is wasted work —
+    scalar columns are row-varying for any realistic fact table.
     """
     if salt_src == fact_key:
         raise ValueError(
             "salt_src must differ from fact_key: a salt that is a function of "
             "the join key gives every row of a hot key the same salt"
         )
-    salt_cols = [F.col(salt_src)] if salt_src else [F.col(c) for c in fact.columns]
+    if salt_src:
+        salt_cols = [F.col(salt_src)]
+    else:
+        scalar_cols = [
+            f.name
+            for f in fact.schema.fields
+            if not isinstance(f.dataType, (T.MapType, T.ArrayType, T.StructType))
+        ]
+        if not scalar_cols:
+            raise ValueError(
+                "salt_src=None needs at least one scalar fact column to hash; "
+                "pass an explicit salt_src for all-complex-typed facts"
+            )
+        salt_cols = [F.col(c) for c in scalar_cols]
     salt = F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int")
     salted_fact = fact.withColumn("__salt", salt)
     salted_dim = dim.withColumn(

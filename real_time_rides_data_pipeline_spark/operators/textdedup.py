@@ -53,7 +53,6 @@ def minhash_candidate_pairs(
     sharing any band slice become a candidate pair. Explode is over bands
     (constant factor), the join is a self-equi-join on (band_idx, band_hash)
     — a hash shuffle on small keys. Emits (id_a < id_b) distinct pairs."""
-    n = df.select(F.size(sig_col).alias("n")).limit(1)
     rows_per_band = F.floor(F.size(sig_col) / bands).cast("int")
     banded = df.select(
         F.col(id_col),

@@ -117,10 +117,12 @@ def q_derived_duration(spark, sf_dir):
 @register(
     "q_rand_column",
     """SELECT event_id,
-              round(((event_id * 2654435761) % 2000) / 100.0, 2) AS trip_distance_km
+              round(((event_id % 2000) * (2654435761 % 2000)) % 2000 / 100.0, 2)
+                  AS trip_distance_km
        FROM events""",
     "Seeded replacement for the reference's rand() distance (02_silver:68-70; "
-    "SURVEY §4.3.2): deterministic modular pseudo-distance.",
+    "SURVEY §4.3.2): deterministic modular pseudo-distance. Key reduced mod "
+    "2000 before the Knuth multiply so intermediates never wrap int64.",
 )
 def q_rand_column(spark, sf_dir):
     from real_time_rides_data_pipeline_spark.operators.clean import (

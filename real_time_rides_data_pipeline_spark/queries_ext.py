@@ -418,15 +418,16 @@ def q_quality_score(spark, sf_dir):
 
 @register(
     "q_multimodal_meta",
-    """SELECT doc_id, length(text) AS byte_len,
-              CAST(length(text) % 64 + 16 AS INTEGER) AS width,
-              CAST((length(text) // 64) % 64 + 16 AS INTEGER) AS height
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+              CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+              CAST((octet_length(encode(text)) // 64) % 64 + 16 AS INTEGER) AS height
        FROM documents""",
     "Multimodal column plumbing: opaque binary payload + Arrow-batched "
     "mapInPandas metadata extraction (decode step is a deterministic stub — "
     "no image libs in this container; fake_image_meta documents the PIL "
     "drop-in). Oracle checks the byte-length arithmetic end-to-end through "
-    "the Pandas path.",
+    "the Pandas path — octet_length(encode(...)) = UTF-8 bytes, matching "
+    "the payload length on any corpus, not just ASCII.",
 )
 def q_multimodal_meta(spark, sf_dir):
     d = MM.with_binary_payload(_t(spark, sf_dir, "documents", parallel=True))
@@ -434,6 +435,26 @@ def q_multimodal_meta(spark, sf_dir):
     # format is derived from payload bytes — drop for the SQL oracle, the
     # width/height/byte_len path still exercises the full mapInPandas batch
     return meta.select("doc_id", "byte_len", "width", "height")
+
+
+@register(
+    "q_audio_meta",
+    """SELECT doc_id,
+              octet_length(encode(text)) AS byte_len,
+              CAST(CASE octet_length(encode(text)) % 3
+                     WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     ELSE 44100 END AS INTEGER) AS sample_rate,
+              octet_length(encode(text)) * 1000 // 32 AS duration_ms
+       FROM documents""",
+    "Audio-metadata twin of q_multimodal_meta: Arrow-batched mapInPandas "
+    "header parse over opaque binary payloads (decode_audio is the "
+    "soundfile drop-in point; fake_audio_meta derives sample_rate/duration "
+    "deterministically from payload bytes). Oracle reproduces that byte "
+    "arithmetic, proving the Pandas batch path end-to-end.",
+)
+def q_audio_meta(spark, sf_dir):
+    d = MM.with_binary_payload(_t(spark, sf_dir, "documents", parallel=True))
+    return MM.extract_audio_metadata(d)
 
 
 @register(
@@ -882,6 +903,52 @@ def q_output_complete(spark, sf_dir):
 
 
 from real_time_rides_data_pipeline_spark.streaming.stateful import HAVE_TWS
+
+
+@register(
+    "q_top2_per_key",
+    """WITH r AS (
+         SELECT user_id, value, event_id,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                                            event_id DESC) AS rn
+         FROM events
+       ), c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+       SELECT c.user_id, c.n_events,
+              max(CASE WHEN rn = 1 THEN value END) AS top1_value,
+              max(CASE WHEN rn = 1 THEN event_id END) AS top1_event_id,
+              max(CASE WHEN rn = 2 THEN value END) AS top2_value
+       FROM r JOIN c USING (user_id)
+       GROUP BY c.user_id, c.n_events""",
+    "Batch twin of q_tws_top_values (per-user top-2 values + event count via "
+    "window ranking): keeps the top-k-state surface hash-checked everywhere, "
+    "including containers where transformWithState itself cannot run (no "
+    "protobuf). One window shuffle on user_id; rn<=2 filtered before the "
+    "final agg so only 2 rows per key reach it.",
+)
+def q_top2_per_key(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ordinal = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy(
+        ordinal.desc(), F.col("event_id").desc()
+    )
+    ranked = (
+        ev.select("user_id", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        ranked.join(counts, "user_id")
+        .groupBy("user_id", "n_events")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("top1_value"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias("top1_event_id"),
+            F.max(F.when(F.col("rn") == 2, F.col("value"))).alias("top2_value"),
+        )
+    )
 
 
 def _register_tws(fn):

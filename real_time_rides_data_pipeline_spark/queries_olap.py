@@ -388,17 +388,20 @@ def q_max_by(spark, sf_dir):
 @register(
     "q_array_agg",
     """SELECT user_id,
-              list_sort(list(event_id)) AS event_ids,
+              to_json(list_sort(list(event_id))) AS event_ids,
               count(*) AS n_events
        FROM (SELECT user_id, event_id FROM events WHERE event_type = 'error')
        GROUP BY user_id""",
     "array_agg per key (error-event id lists) — collect_list + sort_array "
-    "for deterministic ordering; arrays compare element-wise in the oracle.",
+    "for deterministic ordering. The list is serialized to a JSON string in "
+    "the compared output (both engines render sorted BIGINT lists as "
+    "'[1,2,3]') because the harness canonicalizer cannot sort raw "
+    "list-typed columns.",
 )
 def q_array_agg(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.to_json(F.sort_array(F.collect_list("event_id"))).alias("event_ids"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -707,12 +710,19 @@ def q_bucketed_join(spark, sf_dir):
     None,  # t-digest/GK sketch values are engine-specific → rows-only
     "percentile_approx(value, [.5,.95,.99]) per event_type — the sketch "
     "that replaces exact percentiles at 100 TB (mergeable, single pass, "
-    "bounded memory).",
+    "bounded memory). Returned as scalar p50/p95/p99 columns (not one "
+    "array) so the harness rows-only canonicalizer can sort the frame.",
 )
 def q_approx_quantile(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agged = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
+    )
+    return agged.select(
+        "event_type",
+        F.col("approx_pcts")[0].alias("p50"),
+        F.col("approx_pcts")[1].alias("p95"),
+        F.col("approx_pcts")[2].alias("p99"),
     )
 
 
@@ -788,20 +798,26 @@ def q_tpch_q14(spark, sf_dir):
 @register(
     "q_hash_sample",
     """SELECT doc_id, lang,
-              CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-                   ELSE 'eval' END AS split
+              CASE WHEN ((doc_id % 100) * (2654435761 % 100)) % 100 < 90
+                   THEN 'train' ELSE 'eval' END AS split
        FROM documents
-       WHERE (doc_id * 2654435761) % 10 <> 3""",
+       WHERE ((doc_id % 10) * (2654435761 % 10)) % 10 <> 3""",
     "Deterministic hash split/sampling for training corpora: a Knuth-"
     "multiplier modular hash assigns 90/10 train/eval AND drops a fixed 10% "
-    "holdout — replayable on any engine, no RNG, no shuffle (pure map). At "
+    "holdout — replayable on any engine, no RNG, no shuffle (pure map). Key "
+    "reduced mod m before the multiply ((a*K) mod m = ((a mod m)(K mod m)) "
+    "mod m) so intermediates never wrap int64 at any doc_id magnitude. At "
     "100 TB this is how train/eval membership stays stable across reruns "
     "and backfills.",
 )
 def q_hash_sample(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.clean import KNUTH_MULT
+
     d = _t(spark, sf_dir, "documents")
-    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
-    keep = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(10)) != 3
+    h = F.pmod(F.pmod(F.col("doc_id"), 100) * F.lit(KNUTH_MULT % 100), F.lit(100))
+    keep = (
+        F.pmod(F.pmod(F.col("doc_id"), 10) * F.lit(KNUTH_MULT % 10), F.lit(10)) != 3
+    )
     return d.filter(keep).select(
         "doc_id",
         "lang",
@@ -840,14 +856,16 @@ def q_unpivot(spark, sf_dir):
 @register(
     "q_map_funcs",
     """SELECT event_id,
-              ['type', 'uid'] AS map_keys_list,
+              to_json(['type', 'uid']) AS map_keys_json,
               event_type AS type_val,
               CAST(2 AS INTEGER) AS n_entries,
               CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
        FROM events""",
     "MapType surface: create_map from columns (map_keys/element_at/size) + "
     "from_json into map<string,int> for schema-less JSON — the two ways "
-    "key-value props travel through the engine.",
+    "key-value props travel through the engine. The keys list is serialized "
+    "to JSON in the compared output (harness canonicalizer cannot sort raw "
+    "list columns).",
 )
 def q_map_funcs(spark, sf_dir):
     ev = _t(spark, sf_dir, "events", parallel=True)
@@ -857,7 +875,7 @@ def q_map_funcs(spark, sf_dir):
     pm = F.from_json(F.col("props"), "map<string,int>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("map_keys_list"),
+        F.to_json(F.map_keys(m)).alias("map_keys_json"),
         F.element_at(m, "type").alias("type_val"),
         F.size(m).alias("n_entries"),
         F.element_at(pm, "k").alias("prop_k"),
@@ -867,29 +885,36 @@ def q_map_funcs(spark, sf_dir):
 @register(
     "q_array_funcs",
     """SELECT l_orderkey, l_linenumber,
-              list_sort([l_quantity, l_tax * 100, l_discount * 100]) AS sorted_vals,
-              list_aggregate([l_quantity, l_tax * 100, l_discount * 100], 'max')
-                  AS max_val,
-              [l_quantity, l_tax * 100, l_discount * 100][1] AS first_val,
-              [l_quantity, l_tax * 100, l_discount * 100][1:2] AS first_two,
+              to_json(list_sort(vals)) AS sorted_vals,
+              list_aggregate(vals, 'max') AS max_val,
+              vals[1] AS first_val,
+              to_json(vals[1:2]) AS first_two,
               CAST(3 AS INTEGER) AS n_vals
-       FROM lineitem""",
+       FROM (SELECT l_orderkey, l_linenumber,
+                    [CAST(round(l_quantity) AS BIGINT),
+                     CAST(round(l_tax * 100) AS BIGINT),
+                     CAST(round(l_discount * 100) AS BIGINT)] AS vals
+             FROM lineitem)""",
     "ArrayType surface: array construction, array_sort, array_max, "
     "element_at, slice, size — all JVM array lambdas; 1-indexed semantics "
-    "match across engines.",
+    "match across engines. Elements are exact integer units (qty, tax-bp, "
+    "discount-bp) and list outputs are JSON-serialized so the harness "
+    "canonicalizer (which cannot sort raw list columns) hash-compares them.",
 )
 def q_array_funcs(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     arr = F.array(
-        F.col("l_quantity"), F.col("l_tax") * 100, F.col("l_discount") * 100
+        F.round(F.col("l_quantity")).cast("long"),
+        F.round(F.col("l_tax") * 100).cast("long"),
+        F.round(F.col("l_discount") * 100).cast("long"),
     )
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.array_sort(arr).alias("sorted_vals"),
+        F.to_json(F.array_sort(arr)).alias("sorted_vals"),
         F.array_max(arr).alias("max_val"),
         F.element_at(arr, 1).alias("first_val"),
-        F.slice(arr, 1, 2).alias("first_two"),
+        F.to_json(F.slice(arr, 1, 2)).alias("first_two"),
         F.size(arr).alias("n_vals"),
     )
 
@@ -897,13 +922,15 @@ def q_array_funcs(spark, sf_dir):
 @register(
     "q_resize_meta",
     """SELECT doc_id,
-              least((length(text) + greatest(length(text) // 1024, 1) - 1)
-                    // greatest(length(text) // 1024, 1),
+              least((octet_length(encode(text))
+                     + greatest(octet_length(encode(text)) // 1024, 1) - 1)
+                    // greatest(octet_length(encode(text)) // 1024, 1),
                     1024) AS resized_len
        FROM documents""",
     "Image-resize plumbing (mapInPandas 1→1, fixed 32×32 byte budget): the "
-    "oracle reproduces the deterministic byte-sampling arithmetic, proving "
-    "the Arrow batch path end-to-end; a real decoder swaps in via "
+    "oracle reproduces the deterministic byte-sampling arithmetic — on "
+    "UTF-8 byte length (octet_length(encode(...)), corpus-independent) — "
+    "proving the Arrow batch path end-to-end; a real decoder swaps in via "
     "decode_image without touching the Spark plan.",
 )
 def q_resize_meta(spark, sf_dir):

@@ -31,41 +31,61 @@ def register(key: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# The round driver oracle-checks only the FIRST 50 keys of queries(), in dict
-# order. Rounds 1-2 verified the original first-50 (see CORRECTNESS_r01/r02);
-# this round the previously-unchecked tail is promoted to the front so driver
-# verification accumulates across rounds. Keys absent from this list keep
-# registration order after it.
-_CHECK_FRONT: tuple[str, ...] = (
-    # streaming trio (never driver-checked)
-    "q_stream_dedup", "q_watermark", "q_output_complete",
-    # OVER-window suite
-    "q_rank", "q_lag_lead", "q_running_sum", "q_ntile_first_last",
-    "q_window_range_frame", "q_max_by", "q_percentile_disc", "q_histogram",
-    # grouped/relational extras
-    "q_agg_rollup", "q_grouping_sets", "q_array_agg", "q_unpivot",
-    "q_scalar_subquery", "q_sessionize", "q_approx_quantile",
-    "q_conditional_funcs", "q_string_funcs", "q_date_funcs", "q_map_funcs",
-    "q_array_funcs", "q_explode_tokens", "q_hash_sample", "q_resize_meta",
-    # join strategies
-    "q_salted_join", "q_bucketed_join", "q_asof_join", "q_range_join",
-    # TPC-H kernels beyond Q1
-    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
-    "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13", "q_tpch_q14",
-    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
-    "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-)
-
-
 def registry() -> dict[str, QuerySpec]:
-    """All registered queries (importing the query modules as a side effect)."""
+    """All registered queries in registration order (importing the query
+    modules as a side effect). The ordering here is the stable public one;
+    driver-verification priority is a separate concern — see
+    ``check_priority``/``ordered_registry``, applied only at the
+    ``__spark_entry__`` boundary."""
     import real_time_rides_data_pipeline_spark.queries  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_ext  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_olap  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_tpch  # noqa: F401
 
-    front = {k: _REGISTRY[k] for k in _CHECK_FRONT if k in _REGISTRY}
-    rest = {k: v for k, v in _REGISTRY.items() if k not in front}
+    return dict(_REGISTRY)
+
+
+def check_priority() -> tuple[str, ...]:
+    """Driver-verification priority: the round driver oracle-checks only the
+    FIRST 50 keys of ``__spark_entry__.queries()``, so keys whose code or
+    oracle changed this round — plus keys whose last driver check predates a
+    semantics-affecting engine change — are listed first. Rounds 1-3
+    together covered all registered keys at least once (CORRECTNESS_r01-r03);
+    round 4 priority = (a) the four list/map keys made hashable this round +
+    the new/changed-oracle keys, then (b) the r2-window keys that were
+    rotated out BEFORE the inferTimestampNTZ read-semantics change landed,
+    so they get re-verified under the new timestamp semantics. Keys not
+    listed keep registration order afterwards."""
+    return (
+        # (a) changed this round: list/map outputs serialized, scalar
+        # percentiles, new audio key, byte-length oracles, bounded-mod hashes,
+        # salted-join scalar-type filter
+        "q_array_agg", "q_map_funcs", "q_array_funcs", "q_approx_quantile",
+        "q_audio_meta", "q_top2_per_key", "q_multimodal_meta", "q_resize_meta",
+        "q_hash_sample", "q_rand_column", "q_salted_join",
+        # (b) r2-window keys, driver-unverified since the NTZ change
+        # (q_cast_project/q_json_parse were re-greened in r3 — not repeated)
+        "q_malformed_filter", "q_struct_star", "q_derived_duration",
+        "q_validity_filter", "q_bool_enrich", "q_point_lookup",
+        "q_window_hourly_agg", "q_agg_count", "q_agg_avg_round",
+        "q_agg_cond_sum", "q_reagg_distinct", "q_count_all",
+        "q_gold_point_lookup", "q_topn", "q_row_number", "q_join_inner",
+        "q_join_left", "q_join_semi", "q_join_anti", "q_join_multiway",
+        "q_agg_stats", "q_approx_distinct", "q_pipeline_e2e",
+        "q_json_extract", "q_asof_latest", "q_exact_dedup",
+        "q_minhash_neardup", "q_simhash_neardup", "q_embed_neardup",
+        "q_ann_ivf", "q_text_stats", "q_window_sliding",
+        "q_window_session", "q_set_ops", "q_agg_cube", "q_pivot",
+        "q_tpch_q1", "q_merge_upsert", "q_stateful_running",
+    )
+
+
+def ordered_registry() -> dict[str, QuerySpec]:
+    """Registry with ``check_priority`` keys first — the ordering the
+    ``__spark_entry__`` driver contract exposes."""
+    reg = registry()
+    front = {k: reg[k] for k in check_priority() if k in reg}
+    rest = {k: v for k, v in reg.items() if k not in front}
     return {**front, **rest}
 
 

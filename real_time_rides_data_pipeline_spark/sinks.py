@@ -33,16 +33,28 @@ def stream_append_parquet(
     path: str,
     checkpoint: str,
     trigger_seconds: int | None = 10,
+    merge_schema: bool = False,
 ) -> DataStreamWriter:
     """Append sink with checkpoint + fixed micro-batch trigger — the Bronze/
     Silver sink shape (01_bronze:82-90, 02_silver:112-118). Returns the
-    un-started writer so callers control lifecycle."""
+    un-started writer so callers control lifecycle.
+
+    ``merge_schema`` twins the Silver sink's schema-evolution opt-in
+    (``.option("mergeSchema", "true")``, 02_silver:114): a restarted query
+    whose upstream grew a column appends files with the widened schema. On
+    Delta the option makes the table schema evolve transactionally; on the
+    parquet sink, files with old and new schemas coexist and readers merge
+    them (``spark.read.option("mergeSchema", "true")``) — old rows read NULL
+    for the new columns, exactly Delta's post-evolution view.
+    """
     w = (
         df.writeStream.format("parquet")
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
         .option("path", path)
     )
+    if merge_schema:
+        w = w.option("mergeSchema", "true")
     if trigger_seconds is not None:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w

@@ -13,6 +13,17 @@ from real_time_rides_data_pipeline_spark.schemas import FIXTURE_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a session conf only if it differs — conf.set is NOT free mid-
+    session (it invalidates cached plan state; see load_fixture docstring)."""
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
+
+
 def load_fixture(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Batch-read one fixture table (``region nation customer supplier part
     orders lineitem events documents embeddings``) as a DataFrame.
@@ -31,14 +42,16 @@ def load_fixture(spark: SparkSession, name: str, sf_dir: str | None = None) -> D
     from real_time_rides_data_pipeline_spark.session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
-    if name == "events":
-        # The session may not have been built by our factory (e.g. the
-        # verify driver's own session) — ensure the nanos conf is on.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Naive parquet timestamps must read as UTC TIMESTAMP, not TIMESTAMP_NTZ
-    # (epoch casts on NTZ are rejected by Spark >= 4.1); set on every read in
-    # case the hosting session wasn't built by our factory.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # The hosting session may not have been built by our factory (e.g. the
+    # verify driver's own session) — ensure the parquet-read confs are right:
+    # nanosAsLong (events.ts is TIMESTAMP(NANOS), which the vectorized reader
+    # rejects) and inferTimestampNTZ=false (naive parquet timestamps must read
+    # as UTC TIMESTAMP — epoch casts on NTZ are rejected by Spark >= 4.1).
+    # Check-before-set: an unconditional spark.conf.set per read invalidates
+    # session-level plan/scan caches and measurably ~2x-es every query
+    # (bisected in round 4); a get() is a cheap, side-effect-free RPC.
+    _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -117,3 +117,18 @@ def test_bucketed_join_has_no_exchange(spark):
     plan = explain_str(joined)
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_salted_join_skips_complex_typed_salt_columns(spark):
+    """salt_src=None must hash only scalar columns: xxhash64 raises on
+    MapType, and the salted output must still equal the plain join."""
+    from real_time_rides_data_pipeline_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "a", {"k": "v"}), (1, "b", {"k": "w"}), (2, "c", {"k": "x"})],
+        "k int, payload string, props map<string,string>",
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "dk int, name string")
+    out = salted_join(fact, dim, fact_key="k", dim_key="dk", n_salts=4)
+    got = sorted((r.k, r.payload, r.name) for r in out.collect())
+    assert got == [(1, "a", "one"), (1, "b", "one"), (2, "c", "two")]

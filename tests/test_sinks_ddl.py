@@ -1,0 +1,183 @@
+"""Sink/DDL suite: Gold DDL round-trip (SURVEY §2.1 ``ddl_create``), Silver
+schema evolution (``mergeSchema`` twin of 02_silver:114), and the guarded
+Delta production path (skipped where delta-spark is absent, runs anywhere it
+exists)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_rides_data_pipeline_spark.ddl import (
+    GOLD_DDL_COLUMNS,
+    create_gold_table,
+    insert_overwrite,
+)
+from real_time_rides_data_pipeline_spark.sinks import stream_append_parquet
+from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_ddl_roundtrip(spark, tmp_path):
+    """create_gold_table → insert_overwrite → read back: the Gold schema of
+    03_gold_realtime_rides.py:77-87 survives a full DDL round-trip."""
+    table = create_gold_table(
+        spark,
+        table="rides_gold_ddl_test",
+        location=f"{tmp_path}/gold_tbl",
+        drop_first=True,
+    )
+    try:
+        gold = spark.createDataFrame(
+            [
+                (
+                    "2024-01-01 10:00:00",
+                    "2024-01-01 11:00:00",
+                    "DRV001",
+                    5,
+                    123.45,
+                    1,
+                    "2024-01-01 11:00:05",
+                )
+            ],
+            "ws string, we string, d string, n long, f double, s long, p string",
+        ).select(
+            F.col("ws").cast("timestamp"),
+            F.col("we").cast("timestamp"),
+            F.col("d"),
+            F.col("n"),
+            F.col("f"),
+            F.col("s"),
+            F.col("p").cast("timestamp"),
+        )
+        insert_overwrite(gold, table)
+        back = spark.table(table)
+        got_schema = [(f.name, f.dataType.simpleString()) for f in back.schema.fields]
+        want_schema = [
+            (name, {"TIMESTAMP": "timestamp", "STRING": "string",
+                    "BIGINT": "bigint", "DOUBLE": "double"}[typ])
+            for name, typ in GOLD_DDL_COLUMNS
+        ]
+        assert got_schema == want_schema
+        row = back.first()
+        assert row.driver_id == "DRV001"
+        assert row.total_rides_hourly == 5
+        assert row.avg_fare_hourly == 123.45
+        # IF NOT EXISTS: re-issuing the DDL must not error or wipe data
+        create_gold_table(spark, table="rides_gold_ddl_test")
+        assert spark.table(table).count() == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_append_merge_schema(spark, tmp_path):
+    """Schema-evolution contract of the Silver sink (02_silver:114): a
+    restarted stream whose source grew a column appends widened files; the
+    merged read shows old rows with NULL in the new column — old and new
+    schema rows coexist."""
+    src = f"{tmp_path}/src"
+    out = f"{tmp_path}/out"
+    ckpt = f"{tmp_path}/ckpt"
+
+    spark.createDataFrame(
+        [("R1", 10.0)], "ride_id string, fare double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    schema_v1 = spark.read.parquet(src).schema
+
+    q = stream_append_parquet(
+        parquet_stream(spark, src, schema_v1),
+        out,
+        ckpt,
+        trigger_seconds=None,
+        merge_schema=True,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    # upstream evolves: a new column appears in newly arriving files
+    spark.createDataFrame(
+        [("R2", 20.0, "surge")], "ride_id string, fare double, tag string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema_v2 = spark.read.schema(
+        "ride_id string, fare double, tag string"
+    ).parquet(src).schema
+
+    # restart from the SAME checkpoint with the widened schema: only the new
+    # file is processed (offsets persisted), its rows carry the new column
+    q = stream_append_parquet(
+        parquet_stream(spark, src, schema_v2),
+        out,
+        ckpt,
+        trigger_seconds=None,
+        merge_schema=True,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    rows = {r.ride_id: (r.fare, r.tag) for r in merged.collect()}
+    assert rows == {"R1": (10.0, None), "R2": (20.0, "surge")}
+
+
+# --------------------------------------------------------------------------
+# Guarded Delta path: compiled/exercised wherever delta-spark exists; the
+# subprocess builds its own Delta-enabled session (extensions are
+# builder-time config, so the shared test session can't be reused).
+# --------------------------------------------------------------------------
+
+_DELTA_SCRIPT = """
+import sys
+from real_time_rides_data_pipeline_spark.session import get_spark
+from real_time_rides_data_pipeline_spark import ddl, sinks
+
+assert sinks.HAVE_DELTA
+spark = get_spark(
+    app_name="delta-e2e",
+    cpus=2,
+    extra_conf={
+        "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
+        "spark.sql.catalog.spark_catalog":
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+    },
+)
+target = sys.argv[1] + "/gold_delta"
+first = spark.createDataFrame(
+    [("w1", "d1", 1)], "window_start string, driver_id string, total long"
+)
+sinks.merge_upsert_delta(spark, first, target, ("window_start", "driver_id"))
+update = spark.createDataFrame(
+    [("w1", "d1", 10), ("w2", "d2", 2)],
+    "window_start string, driver_id string, total long",
+)
+sinks.merge_upsert_delta(spark, update, target, ("window_start", "driver_id"))
+rows = {
+    (r.window_start, r.driver_id): r.total
+    for r in spark.read.format("delta").load(target).collect()
+}
+assert rows == {("w1", "d1"): 10, ("w2", "d2"): 2}, rows
+t = ddl.create_gold_table(
+    spark, table="rides_gold_delta_test",
+    location=sys.argv[1] + "/gold_tbl", drop_first=True,
+)
+assert spark.sql(f"DESCRIBE DETAIL {t}").first().format == "delta"
+print("DELTA-OK")
+"""
+
+
+def test_delta_merge_and_ddl(tmp_path):
+    pytest.importorskip("delta", reason="delta-spark not installed here")
+    env = {**os.environ, "PYTHONPATH": REPO_DIR}
+    proc = subprocess.run(
+        [sys.executable, "-c", _DELTA_SCRIPT, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO_DIR,
+    )
+    assert proc.returncode == 0 and "DELTA-OK" in proc.stdout, proc.stderr[-2000:]
