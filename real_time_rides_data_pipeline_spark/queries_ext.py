@@ -929,6 +929,45 @@ from real_time_rides_data_pipeline_spark.streaming.stateful import HAVE_TWS
 
 
 @register(
+    "q_stream_dim_join",
+    """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+       FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+    "Stream-static enrichment join (the medallion Silver-enrichment "
+    "pattern): a REAL 2-micro-batch file-replay stream broadcast-joins the "
+    "static customer dim per micro-batch — zero shuffle of the stream side, "
+    "no state (static side is re-broadcast, not buffered). Same "
+    "join_fact_dim operator as the batch q_join_inner/q_join_left keys: "
+    "operators are batch/stream agnostic (SURVEY §4.4). Oracle = the plain "
+    "batch LEFT JOIN.",
+)
+def q_stream_dim_join(spark, sf_dir):
+    import uuid
+
+    from real_time_rides_data_pipeline_spark.operators.joins import join_fact_dim
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    inp = _replay_input(ev, "sdjoin", sf_dir)  # 2 files → 2 micro-batches
+    stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
+    joined = join_fact_dim(
+        stream, cust, on=stream.user_id == cust.c_custkey, how="left"
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+    name = f"sdjoin_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
     "q_top2_per_key",
     """WITH r AS (
          SELECT user_id, value, event_id,

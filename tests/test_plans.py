@@ -216,3 +216,41 @@ def test_range_join_is_equi_join(spark):
     plan = _plan(spark, "q_range_join")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_top2_per_key_bounded_shuffles(spark):
+    """Window rank + count + join all key on user_id — the plan must stay
+    within the window/agg/join exchanges (≤3 hash shuffles), with no
+    single-partition exchange and no nested loop."""
+    plan = _plan(spark, "q_top2_per_key")
+    n = plan.count("hashpartitioning(")
+    assert n <= 3, f"{n} hash exchanges\n{plan}"
+    assert "SinglePartition" not in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_audio_meta_is_narrow_map(spark):
+    """mapInPandas metadata extraction must stay a narrow map: no hash
+    shuffle, no join — payloads never leave their scan partition."""
+    plan = _plan(spark, "q_audio_meta")
+    assert "hashpartitioning(" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+
+
+def test_stream_dim_join_broadcasts_static_side(spark):
+    """The stream-static enrichment join must broadcast the dim — the
+    stream side must reach the sink without a shuffle. Asserted on the
+    batch twin of the same operator chain (streaming plans are per-batch)."""
+    from real_time_rides_data_pipeline_spark.operators.joins import join_fact_dim
+    from real_time_rides_data_pipeline_spark.registry import _t
+
+    ev = _t(spark, SMOKE_SF, "events").select("event_id", "user_id")
+    cust = _t(spark, SMOKE_SF, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    plan = explain_str(
+        join_fact_dim(ev, cust, on=ev.user_id == cust.c_custkey, how="left")
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(" not in plan, plan
