@@ -19,6 +19,7 @@ from real_time_rides_data_pipeline_spark.operators.clean import (
 from real_time_rides_data_pipeline_spark.operators.enrich import with_suspicious_flag
 from real_time_rides_data_pipeline_spark.operators.dedup import (
     stream_dedup,
+    stream_dedup_within_watermark,
     exact_dedup,
     keep_first_per_key,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "validity_filter",
     "with_suspicious_flag",
     "stream_dedup",
+    "stream_dedup_within_watermark",
     "exact_dedup",
     "keep_first_per_key",
     "hourly_driver_agg",

@@ -32,6 +32,32 @@ def stream_dedup(
     return df.dropDuplicates(list(keys))
 
 
+def stream_dedup_within_watermark(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("ride_id",),
+    event_time_col: str = "event_timestamp",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Business-key-only dedup with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+).
+
+    The reference dedups on (ride_id, event_timestamp)
+    (02_silver_realtime_rides.py:91) — a retried/duplicated event whose
+    broker timestamp differs by even a millisecond slips through. This
+    variant keys state on the business id alone and lets the watermark
+    evict it: any duplicate arriving within the delay is dropped regardless
+    of its own timestamp, which is exactly the producer-retry shape the 2%
+    duplicate injection models (kafka_rides_producer.py:77-78). State cost
+    is identical (one entry per key, watermark-bounded). On a batch frame
+    this degrades to distinct-on-key (arbitrary survivor).
+    """
+    if df.isStreaming:
+        return df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))
+
+
 def exact_dedup(df: DataFrame, keys: tuple[str, ...] = ("text",)) -> DataFrame:
     """Exact batch dedup on arbitrary columns (hash-shuffle on the keys,
     arbitrary survivor). For 100 TB text dedup prefer hashing the payload

@@ -257,3 +257,46 @@ def test_tws_top_values_stream_equals_batch(spark, workdir):
     got = {r.user_id: (r.n_events, r.top1_event_id) for r in df.collect()}
     ev = spark.read.parquet(f"{SMOKE_SF}/events.parquet")
     assert len(got) == ev.select("user_id").distinct().count()
+
+
+def test_dedup_within_watermark_drops_retries_with_skewed_timestamps(spark, workdir):
+    """A retried event re-arrives with a slightly different broker timestamp.
+    The reference's (ride_id, event_timestamp) dedup keeps BOTH copies;
+    dropDuplicatesWithinWatermark keyed on ride_id alone drops the retry."""
+    from real_time_rides_data_pipeline_spark.operators import (
+        stream_dedup,
+        stream_dedup_within_watermark,
+    )
+
+    input_path = f"{workdir}/wwm_input"
+    rows = [
+        ("R1", "2024-01-01 10:00:00.000"),
+        ("R1", "2024-01-01 10:00:00.250"),  # retry, +250 ms → same ride
+        ("R2", "2024-01-01 10:05:00.000"),
+    ]
+    spark.createDataFrame(rows, "ride_id string, ts string").withColumn(
+        "event_timestamp", F.col("ts").cast("timestamp")
+    ).drop("ts").coalesce(1).write.mode("overwrite").parquet(input_path)
+    schema = spark.read.parquet(input_path).schema
+
+    def run(dedup_fn, name):
+        stream = parquet_stream(spark, input_path, schema)
+        q = (
+            dedup_fn(stream, keys=("ride_id",))
+            if dedup_fn is stream_dedup_within_watermark
+            else dedup_fn(stream, keys=("ride_id", "event_timestamp"))
+        )
+        sq = (
+            q.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        return sorted(r.ride_id for r in spark.sql(f"SELECT ride_id FROM {name}").collect())
+
+    # reference-style key: the timestamp skew defeats it — 3 rows survive
+    assert run(stream_dedup, "wwm_ref") == ["R1", "R1", "R2"]
+    # within-watermark business-key dedup: the retry is dropped
+    assert run(stream_dedup_within_watermark, "wwm_new") == ["R1", "R2"]
