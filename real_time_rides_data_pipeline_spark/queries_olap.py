@@ -647,6 +647,58 @@ def q_conditional_funcs(spark, sf_dir):
 _BUCKETED: set[tuple[str, str]] = set()
 
 
+#: Date-partitioned events layouts, one per (application, sf_dir).
+_PARTITIONED: dict[tuple[str, str], str] = {}
+
+
+def _partitioned_events(spark, sf_dir) -> str:
+    """Write events hive-partitioned by event_date once per (session, sf) —
+    the lakehouse layout step that buys every date-sliced query its
+    partition pruning. At 100 TB this is the difference between scanning
+    one day and scanning three years."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _PARTITIONED.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="part_events_") + "/events_by_date"
+        (
+            _t(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        _PARTITIONED[key] = path
+    return path
+
+
+@register(
+    "q_partition_pruned_scan",
+    """SELECT user_id, count(*) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                  AS total_value
+       FROM events
+       WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+       GROUP BY user_id""",
+    "Partition pruning on a date-partitioned lakehouse layout: events are "
+    "written partitionBy(event_date) (once per session, the ETL step), and "
+    "the one-day filter resolves to directory pruning at PLAN time — the "
+    "scan touches 1 of 30 partitions, no file of any other day is opened "
+    "(tests/test_plans.py pins PartitionFilters). The oracle computes the "
+    "same slice from the unpartitioned table.",
+)
+def q_partition_pruned_scan(spark, sf_dir):
+    path = _partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path).filter(
+        F.col("event_date") == F.lit("2024-01-10").cast("date")
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("total_value"),
+    )
+
+
 def _bucketed_tables(spark, sf_dir) -> tuple[str, str]:
     """Write lineitem/orders bucketed by order key (8 buckets, sorted) once
     per (session, sf) — the ETL step that buys every later join its

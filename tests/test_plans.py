@@ -254,3 +254,15 @@ def test_stream_dim_join_broadcasts_static_side(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "hashpartitioning(" not in plan, plan
+
+
+def test_partition_pruned_scan_touches_one_partition(spark):
+    """The date filter must prune at the directory level: PartitionFilters
+    carries the predicate and the data filters DON'T re-test it (it's
+    resolved before any file is opened)."""
+    plan = _plan(spark, "q_partition_pruned_scan")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf and "event_date" in pf[0], plan
+    df = SPECS["q_partition_pruned_scan"].fn(spark, SMOKE_SF)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "event_date" in executed
