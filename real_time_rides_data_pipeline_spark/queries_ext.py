@@ -968,6 +968,67 @@ def q_stream_dim_join(spark, sf_dir):
 
 
 @register(
+    "q_stream_stream_join",
+    """SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id
+       FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a
+       JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') b
+         ON a.user_id = b.user_id
+        AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts""",
+    "Stream-stream interval join (view→click attribution within 5 minutes, "
+    "per user): both sides are watermarked streams of the same replayed "
+    "source, joined with an event-time range condition — Spark plans a "
+    "StreamingSymmetricHashJoin whose per-side state is evicted by "
+    "watermark + interval bound. The key replays one micro-batch (results "
+    "≡ the batch join, the oracle); cross-micro-batch state retention is "
+    "pinned in tests/test_streaming.py with a controlled 2-batch replay.",
+)
+def q_stream_stream_join(spark, sf_dir):
+    import uuid
+
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    inp = _replay_input(ev, "ssjoin", sf_dir)
+
+    def side(tag: str, typ: str):
+        s = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=2)
+        return (
+            s.filter(F.col("event_type") == typ)
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("event_id").alias(f"{tag}_id"),
+                F.col("user_id").alias(f"{tag}_user"),
+                F.col("ts").alias(f"{tag}_ts"),
+            )
+        )
+
+    clicks, views = side("click", "click"), side("view", "view")
+    joined = clicks.join(
+        views,
+        (F.col("click_user") == F.col("view_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "inner",
+    ).select(
+        F.col("click_id"),
+        F.col("view_id"),
+        F.col("click_user").alias("user_id"),
+    )
+    name = f"ssjoin_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
     "q_top2_per_key",
     """WITH r AS (
          SELECT user_id, value, event_id,

@@ -300,3 +300,65 @@ def test_dedup_within_watermark_drops_retries_with_skewed_timestamps(spark, work
     assert run(stream_dedup, "wwm_ref") == ["R1", "R1", "R2"]
     # within-watermark business-key dedup: the retry is dropped
     assert run(stream_dedup_within_watermark, "wwm_new") == ["R1", "R2"]
+
+
+def test_stream_stream_join_state_spans_micro_batches(spark, workdir):
+    """A view arriving in micro-batch 1 must still join a click arriving in
+    micro-batch 2 (within the 5-minute interval): the symmetric-hash join
+    buffers each side's rows in watermark-bounded state across batches."""
+    input_path = f"{workdir}/ssj_input"
+    schema_str = "event_id long, user_id long, event_type string, ts string"
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema_str).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode(mode).parquet(input_path)
+
+    # batch 1: the view (and an unrelated click with no matching view)
+    write(
+        [
+            (1, 1, "view", "2024-01-01 10:00:00"),
+            (2, 2, "click", "2024-01-01 10:01:00"),
+        ],
+        "overwrite",
+    )
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    schema = spark.read.parquet(input_path).schema
+
+    def side(tag, typ):
+        s = parquet_stream(spark, input_path, schema, max_files_per_trigger=1)
+        return (
+            s.filter(F.col("event_type") == typ)
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("event_id").alias(f"{tag}_id"),
+                F.col("user_id").alias(f"{tag}_user"),
+                F.col("ts").alias(f"{tag}_ts"),
+            )
+        )
+
+    joined = side("click", "click").join(
+        side("view", "view"),
+        (F.col("click_user") == F.col("view_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: the click that must find the batch-1 view in join state
+    write([(3, 1, "click", "2024-01-01 10:03:00")], "append")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.sql("SELECT click_id, view_id FROM ssj_out").collect()
+    }
+    assert (3, 1) in got, got
+    assert all(c != 2 for c, _ in got), got  # the viewless click never joins
