@@ -991,10 +991,15 @@ def q_stream_stream_join(spark, sf_dir):
     inp = _replay_input(ev, "ssjoin", sf_dir)
 
     def side(tag: str, typ: str):
+        # Watermark BEFORE the type filter: the join's global watermark is
+        # the MIN across sides, and a side whose filter admits few/no events
+        # in a batch would otherwise drag it behind (harmless for this
+        # inner single-batch key; essential for outer joins and multi-batch
+        # replays — pinned in tests/test_streaming.py).
         s = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=2)
         return (
-            s.filter(F.col("event_type") == typ)
-            .withWatermark("ts", "10 minutes")
+            s.withWatermark("ts", "10 minutes")
+            .filter(F.col("event_type") == typ)
             .select(
                 F.col("event_id").alias(f"{tag}_id"),
                 F.col("user_id").alias(f"{tag}_user"),

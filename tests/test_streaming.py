@@ -362,3 +362,70 @@ def test_stream_stream_join_state_spans_micro_batches(spark, workdir):
     }
     assert (3, 1) in got, got
     assert all(c != 2 for c, _ in got), got  # the viewless click never joins
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, workdir):
+    """Outer-join semantics under event time: a click with no matching view
+    emits (click, NULL) only once the watermark passes its join window —
+    the state manager can't know 'no match' until time runs out.
+
+    The two sides read DISTINCT directories: identical readStream sources
+    over one directory are deduplicated into a single scan, which leaves
+    one of the two watermark nodes never executing — the global (min)
+    watermark then never advances and outer rows never emit."""
+    click_path = f"{workdir}/ssjo_clicks"
+    view_path = f"{workdir}/ssjo_views"
+    schema_str = "event_id long, user_id long, ts string"
+
+    def write(path, rows, mode):
+        spark.createDataFrame(rows, schema_str).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode(mode).parquet(path)
+
+    # batch 1: a click with no matching view; an unrelated view
+    write(click_path, [(1, 1, "2024-01-01 10:00:00")], "overwrite")
+    write(view_path, [(50, 9, "2024-01-01 10:01:00")], "overwrite")
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    schema = spark.read.parquet(click_path).schema
+
+    def side(tag, path):
+        s = parquet_stream(spark, path, schema, max_files_per_trigger=1)
+        return s.withWatermark("ts", "10 minutes").select(
+            F.col("event_id").alias(f"{tag}_id"),
+            F.col("user_id").alias(f"{tag}_user"),
+            F.col("ts").alias(f"{tag}_ts"),
+        )
+
+    joined = side("click", click_path).join(
+        side("view", view_path),
+        (F.col("click_user") == F.col("view_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjo_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    before = spark.sql("SELECT click_id, view_id FROM ssjo_out").collect()
+    # no emission yet: the click's window could still be matched
+    assert all(r.click_id != 1 or r.view_id is not None for r in before)
+    # far-future events on BOTH sides advance both watermarks past the
+    # window (batch 2); eviction + outer emission happens in the batch that
+    # STARTS with the advanced watermark, so batch 3 forces it
+    write(click_path, [(2, 8, "2024-01-01 12:00:00")], "append")
+    write(view_path, [(51, 9, "2024-01-01 12:00:00")], "append")
+    q.processAllAvailable()
+    write(click_path, [(3, 8, "2024-01-01 12:01:00")], "append")
+    write(view_path, [(52, 9, "2024-01-01 12:01:00")], "append")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.sql("SELECT click_id, view_id FROM ssjo_out").collect()
+    }
+    assert (1, None) in got, got
