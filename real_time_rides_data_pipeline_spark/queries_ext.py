@@ -1042,6 +1042,48 @@ def q_stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "q_grouped_normalize",
+    """SELECT event_id, user_id,
+              CASE WHEN mx = mn THEN 0
+                   ELSE (c - mn) * 10000 // (mx - mn) END AS norm_bp
+       FROM (SELECT event_id, user_id,
+                    CAST(round(value * 100) AS BIGINT) AS c,
+                    min(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id) AS mn,
+                    max(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id) AS mx
+             FROM events)""",
+    "Grouped-map applyInPandas (the third Pandas API next to mapInPandas "
+    "and applyInPandasWithState): per-user min-max normalization of value "
+    "to basis points, computed whole-group-at-a-time in pandas. Exact "
+    "integer-cents arithmetic with floor division so the result is "
+    "bit-identical to the SQL window formulation on any engine. One hash "
+    "shuffle on the group key; each group is one Arrow batch — the shape "
+    "every per-group featurization/model-scoring step takes at 100 TB.",
+)
+def q_grouped_normalize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    schema = "event_id long, user_id long, norm_bp long"
+
+    def norm(pdf):
+        import pandas as pd
+
+        c = (pdf["value"] * 100).round().astype("int64")
+        lo, hi = c.min(), c.max()
+        span = hi - lo
+        nb = (c - lo) * 10000 // span if span else c * 0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "norm_bp": nb.astype("int64"),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(norm, schema)
+
+
+@register(
     "q_top2_per_key",
     """WITH r AS (
          SELECT user_id, value, event_id,
