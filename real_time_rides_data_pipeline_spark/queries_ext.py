@@ -291,6 +291,39 @@ def q_ann_ivf(spark, sf_dir):
 
 
 @register(
+    "q_text_chunk",
+    """SELECT doc_id, i AS chunk_idx,
+              substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk
+       FROM documents,
+            UNNEST(generate_series(0, greatest(1, (length(text) + 99) // 150) - 1))
+                AS t(i)""",
+    "Training-context chunking: each document explodes into fixed 200-char "
+    "windows with 50-char overlap (stride 150) — the step that turns a "
+    "corpus into model-sized contexts. Pure JVM (sequence + substring + "
+    "explode, character semantics on both engines): the fan-out happens "
+    "map-side with no shuffle and no Python, so it streams through a scan "
+    "at any corpus size.",
+)
+def q_text_chunk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    n_chunks = F.greatest(F.lit(1), F.expr("(length(text) + 99) div 150"))
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr("substring(text, chunk_idx * 150 + 1, 200)").alias("chunk"),
+        )
+    )
+
+
+@register(
     "q_text_stats",
     """WITH t AS (SELECT lang, len(string_split_regex(trim(text), '\\s+')) AS n_tok,
                          length(text) AS n_chars
