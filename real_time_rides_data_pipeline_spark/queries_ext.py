@@ -156,6 +156,90 @@ def q_simhash_neardup(spark, sf_dir):
 
 
 @register(
+    "q_dup_clusters",
+    """WITH RECURSIVE tok AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         FROM documents
+       ), corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000,
+                array_to_string(w[1:greatest(len(w) - 2, 1)], ' ')
+         FROM tok WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT doc_id + 2000000,
+                array_to_string(w[1:greatest(len(w) - 4, 1)], ' ')
+         FROM tok WHERE doc_id % 5 = 0
+       ), s AS (
+         SELECT doc_id,
+                list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                               for i in range(greatest(len(w) - 2, 1))]) AS sh
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM corpus)
+       ), edges AS (
+         SELECT a.doc_id AS src, b.doc_id AS dst
+         FROM s a JOIN s b ON b.doc_id = a.doc_id + 1000000
+         WHERE 2 * len(list_intersect(a.sh, b.sh))
+               >= len(list_distinct(list_concat(a.sh, b.sh)))
+       ), sym AS (
+         SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+       ), walk(id, lbl) AS (
+         SELECT doc_id, doc_id FROM corpus
+         UNION
+         SELECT sym.dst, walk.lbl FROM walk JOIN sym ON sym.src = walk.id
+       )
+       SELECT id AS doc_id, min(lbl) AS cluster_rep
+       FROM walk GROUP BY id""",
+    "Pair→CLUSTER dedup: a chained near-dup corpus (original → 2-word "
+    "truncation → 4-word truncation per 5th doc) yields candidate edges by "
+    "id-structured equi-join with an EXACT integer jaccard threshold "
+    "(2·|∩| ≥ |∪| ⇔ j ≥ 0.5 — no float), then connected components "
+    "(min-label propagation, operators/graph.py) labels every doc with its "
+    "cluster representative = min doc_id. Transitive: the 4-word variant "
+    "joins its original only THROUGH the middle node. Oracle = recursive-"
+    "CTE reachability in DuckDB.",
+)
+def q_dup_clusters(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+
+    def truncated(drop: int, offset: int):
+        return d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks, 1, F.greatest(F.size(toks) - drop, F.lit(1)).cast("int")
+                ),
+            ).alias("text"),
+        )
+
+    corpus = d.unionAll(truncated(2, 1_000_000)).unionAll(truncated(4, 2_000_000))
+    s = corpus.select("doc_id", X.word_shingles(F.col("text"), 3).alias("sh"))
+    b = s.select(
+        (F.col("doc_id") - 1_000_000).alias("a_id"),
+        F.col("doc_id").alias("dst"),
+        F.col("sh").alias("sh_b"),
+    )
+    edges = (
+        s.join(b, F.col("doc_id") == F.col("a_id"))
+        .filter(
+            2 * F.size(F.array_intersect("sh", "sh_b"))
+            >= F.size(F.array_union("sh", "sh_b"))
+        )
+        .select(F.col("doc_id").alias("src"), "dst")
+    )
+    comp = connected_components(corpus.select("doc_id"), edges, id_col="doc_id")
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
+
+
+@register(
     "q_ngram_jaccard",
     """WITH t AS (
          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents

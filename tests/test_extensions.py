@@ -132,3 +132,39 @@ def test_salted_join_skips_complex_typed_salt_columns(spark):
     out = salted_join(fact, dim, fact_key="k", dim_key="dk", n_salts=4)
     got = sorted((r.k, r.payload, r.name) for r in out.collect())
     assert got == [(1, "a", "one"), (1, "b", "one"), (2, "c", "two")]
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Min-label propagation: a 5-chain collapses to its min id, a
+    singleton keeps its own, and convergence takes O(diameter) rounds."""
+    from real_time_rides_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    # chain 0-1-2-3-4 plus the separate pair 5-6
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    got = {
+        r.id: r.component for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5}
+
+
+def test_dup_clusters_are_transitive(spark):
+    """The doubly-truncated variant must land in its original's cluster
+    even though its only candidate edge is to the middle variant."""
+    from real_time_rides_data_pipeline_spark.registry import registry
+
+    comp = registry()["q_dup_clusters"].fn(spark, SMOKE_SF)
+    rows = {r.doc_id: r.cluster_rep for r in comp.collect()}
+    base_ids = [i for i in rows if i < 1_000_000 and i % 5 == 0]
+    assert base_ids
+    transitive = sum(
+        1
+        for i in base_ids
+        if rows.get(i + 1_000_000) == rows[i] and rows.get(i + 2_000_000) == rows[i]
+    )
+    # nearly every chain collapses fully (all fixture docs have >= 10 words)
+    assert transitive >= 0.9 * len(base_ids), (transitive, len(base_ids))
