@@ -66,10 +66,10 @@ def check_priority() -> tuple[str, ...]:
         # (b) r2-window keys, driver-unverified since the NTZ change
         # (q_cast_project/q_json_parse were re-greened in r3 — not repeated;
         # q_frame_sample/q_exact_dedup/q_simhash_neardup/q_ann_ivf/
-        # q_text_stats — timestamp-free documents/embeddings keys, r2-green
-        # — yield their slots to the new q_top2_per_key / q_stream_dim_join
-        # / q_partition_pruned_scan / q_stream_stream_join /
-        # q_grouped_normalize keys)
+        # q_text_stats/q_agg_cube — timestamp-free keys, r2-green — yield
+        # their slots to the new q_top2_per_key / q_stream_dim_join /
+        # q_partition_pruned_scan / q_stream_stream_join /
+        # q_grouped_normalize / q_dup_clusters keys)
         "q_malformed_filter", "q_struct_star", "q_derived_duration",
         "q_validity_filter", "q_bool_enrich", "q_point_lookup",
         "q_window_hourly_agg", "q_agg_count", "q_agg_avg_round",
@@ -81,7 +81,7 @@ def check_priority() -> tuple[str, ...]:
         "q_partition_pruned_scan", "q_stream_stream_join",
         "q_grouped_normalize", "q_minhash_neardup",
         "q_embed_neardup", "q_window_sliding",
-        "q_window_session", "q_set_ops", "q_agg_cube", "q_pivot",
+        "q_window_session", "q_set_ops", "q_dup_clusters", "q_pivot",
         "q_tpch_q1", "q_merge_upsert", "q_stateful_running",
     )
 
