@@ -375,6 +375,46 @@ def q_ann_ivf(spark, sf_dir):
 
 
 @register(
+    "q_repetition_score",
+    """SELECT doc_id,
+              CAST(len(sh_all) AS BIGINT) AS n_shingles,
+              CAST(len(list_distinct(sh_all)) AS BIGINT) AS n_distinct,
+              CAST(floor((len(sh_all) - len(list_distinct(sh_all))) * 1000000.0
+                         / len(sh_all)) AS BIGINT) AS rep_ppm
+       FROM (SELECT doc_id,
+                    [w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     for i in range(greatest(len(w) - 2, 1))] AS sh_all
+             FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                   FROM documents))""",
+    "Within-document repetition (the Gopher-style duplicate-n-gram quality "
+    "rule): fraction of repeated 3-word shingles per doc, reported as exact "
+    "integer counts plus a floored parts-per-million ratio — no float "
+    "comparison anywhere. Pure JVM (transform + array_distinct), narrow "
+    "map: the signal every corpus-cleaning pass computes before filtering.",
+)
+def q_repetition_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    w = X.tokens(F.col("text"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0)))
+    sh_all = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(3)]
+        ),
+    )
+    n_all = F.size(sh_all).cast("long")
+    n_distinct = F.size(F.array_distinct(sh_all)).cast("long")
+    return d.select(
+        "doc_id",
+        n_all.alias("n_shingles"),
+        n_distinct.alias("n_distinct"),
+        F.floor((n_all - n_distinct) * 1000000.0 / n_all).cast("long").alias(
+            "rep_ppm"
+        ),
+    )
+
+
+@register(
     "q_text_chunk",
     """SELECT doc_id, i AS chunk_idx,
               substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk

@@ -266,3 +266,23 @@ def test_partition_pruned_scan_touches_one_partition(spark):
     df = SPECS["q_partition_pruned_scan"].fn(spark, SMOKE_SF)
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "event_date" in executed
+
+
+def test_text_chunk_is_narrow_map(spark):
+    """Chunk fan-out must happen map-side: no hash shuffle, no join."""
+    plan = _plan(spark, "q_text_chunk")
+    assert "hashpartitioning(" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_repetition_score_is_narrow_map(spark):
+    plan = _plan(spark, "q_repetition_score")
+    assert "hashpartitioning(" not in plan, plan
+
+
+def test_grouped_normalize_single_shuffle(spark):
+    """applyInPandas = exactly one hash shuffle on the group key."""
+    plan = _plan(spark, "q_grouped_normalize")
+    n = plan.count("hashpartitioning(")
+    assert n == 1, f"{n} hash exchanges\n{plan}"
+    assert "FlatMapGroupsInPandas" in plan or "flatMapGroupsInPandas" in plan.lower(), plan
