@@ -18,6 +18,9 @@ SPECS = registry()
 def test_smoke_runs(spark, key):
     df = SPECS[key].fn(spark, SMOKE_SF)
     assert df.columns, f"{key} produced no columns"
+    # the driver canonicalizer sorts columns BY NAME before hashing —
+    # duplicate names would silently corrupt the comparison
+    assert len(set(df.columns)) == len(df.columns), df.columns
     df.limit(5).collect()  # plan executes
 
 
