@@ -38,6 +38,12 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=CPUS)
     specs = registry()
 
+    # Fail FAST if a headline-flagship key was renamed/removed — before the
+    # multi-minute timing loop, not at the final print.
+    flagship = ["q_window_hourly_agg", "q_pipeline_e2e"]
+    missing = [k for k in flagship if k not in specs]
+    assert not missing, f"flagship keys missing from registry: {missing}"
+
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
@@ -76,9 +82,9 @@ def main() -> None:
             indent=1,
             sort_keys=True,
         )
-    # Headline = flagship + the N most expensive keys, DERIVED from the
-    # measured timings (a hardcoded list silently drops renamed/removed keys).
-    flagship = ["q_window_hourly_agg", "q_pipeline_e2e"]
+    # Headline = flagship (existence asserted above) + the N most expensive
+    # keys, DERIVED from the measured timings (a hardcoded list silently
+    # drops renamed/removed keys).
     by_cost = sorted(timings, key=timings.get, reverse=True)
     headline = flagship + [k for k in by_cost if k not in flagship][:25]
     print(

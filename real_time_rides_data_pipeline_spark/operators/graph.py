@@ -53,6 +53,7 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.v == labels.id)
@@ -77,7 +78,17 @@ def connected_components(
         labels = updated.select("id", "component")
         if changed == 0:
             break
-    isolated = all_ids.join(labels.select("id"), "id", "left_anti").select(
-        "id", F.col("id").alias("component")
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): the graph has a component "
+            "deeper than max_iter — raise max_iter or switch to "
+            "large-star/small-star"
+        )
+    # Key the output to the DECLARED vertex set: ids appearing only in edges
+    # are dropped, vertices untouched by any edge label themselves. (The
+    # component label itself is just an identifier — it may be an edge-only
+    # id if that id is the minimum of its component.)
+    return all_ids.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
     )
-    return labels.unionAll(isolated)

@@ -84,30 +84,41 @@ def salted_join(
 
     ``salt_src`` must vary WITHIN a join key (a row-unique column such as an
     event id) — a salt derived from the join key itself is constant per key
-    and spreads nothing. With ``salt_src=None`` the salt hashes the fact's
-    scalar columns only: ``xxhash64`` rejects MapType outright (without a
-    legacy conf), and hashing wide array/struct payloads is wasted work —
-    scalar columns are row-varying for any realistic fact table.
+    and spreads nothing. With ``salt_src=None`` the salt hashes every fact
+    column whose type is hashable by ``xxhash64`` — everything except
+    MapType (rejected outright without a legacy conf), including arrays and
+    structs, which may be the only row-varying columns a fact has. If the
+    only hashable column is the join key itself, the salt would be
+    per-key-constant and the call fails loudly instead of silently
+    re-creating the skew.
     """
     if salt_src == fact_key:
         raise ValueError(
             "salt_src must differ from fact_key: a salt that is a function of "
             "the join key gives every row of a hot key the same salt"
         )
+
+    def contains_map(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return contains_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(contains_map(f.dataType) for f in dt.fields)
+        return False
+
     if salt_src:
         salt_cols = [F.col(salt_src)]
     else:
-        scalar_cols = [
-            f.name
-            for f in fact.schema.fields
-            if not isinstance(f.dataType, (T.MapType, T.ArrayType, T.StructType))
+        hashable = [
+            f.name for f in fact.schema.fields if not contains_map(f.dataType)
         ]
-        if not scalar_cols:
+        if not hashable or hashable == [fact_key]:
             raise ValueError(
-                "salt_src=None needs at least one scalar fact column to hash; "
-                "pass an explicit salt_src for all-complex-typed facts"
+                "salt_src=None found no row-varying hashable fact column "
+                "(xxhash64 cannot hash MapType): pass an explicit salt_src"
             )
-        salt_cols = [F.col(c) for c in scalar_cols]
+        salt_cols = [F.col(c) for c in hashable]
     salt = F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int")
     salted_fact = fact.withColumn("__salt", salt)
     salted_dim = dim.withColumn(

@@ -171,8 +171,10 @@ def q_simhash_neardup(spark, sf_dir):
                 array_to_string(w[1:greatest(len(w) - 4, 1)], ' ')
          FROM tok WHERE doc_id % 5 = 0
        ), s AS (
+         -- concat_ws (not ||): skips NULL words like Spark's concat_ws,
+         -- so sub-3-token docs shingle identically on both engines
          SELECT doc_id,
-                list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                list_distinct([concat_ws(' ', w[i+1], w[i+2], w[i+3])
                                for i in range(greatest(len(w) - 2, 1))]) AS sh
          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
                FROM corpus)
@@ -244,8 +246,10 @@ def q_dup_clusters(spark, sf_dir):
     """WITH t AS (
          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
        ), s AS (
+         -- concat_ws skips NULL words like Spark's concat_ws, so sub-3-token
+         -- docs shingle identically on both engines
          SELECT doc_id,
-                list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                list_distinct([concat_ws(' ', w[i+1], w[i+2], w[i+3])
                                for i in range(greatest(len(w) - 2, 1))]) AS sh
          FROM t
        )
@@ -382,7 +386,8 @@ def q_ann_ivf(spark, sf_dir):
               CAST(floor((len(sh_all) - len(list_distinct(sh_all))) * 1000000.0
                          / len(sh_all)) AS BIGINT) AS rep_ppm
        FROM (SELECT doc_id,
-                    [w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    -- concat_ws skips NULL words like Spark's concat_ws
+                    [concat_ws(' ', w[i+1], w[i+2], w[i+3])
                      for i in range(greatest(len(w) - 2, 1))] AS sh_all
              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
                    FROM documents))""",
@@ -1223,9 +1228,15 @@ def q_grouped_normalize(spark, sf_dir):
     schema = "event_id long, user_id long, norm_bp long"
 
     def norm(pdf):
+        import numpy as np
         import pandas as pd
 
-        c = (pdf["value"] * 100).round().astype("int64")
+        # half-AWAY-from-zero rounding (matches SQL round()); pandas
+        # Series.round is half-to-even and differs on exact .5 cents
+        v = pdf["value"].to_numpy() * 100
+        c = pd.Series(
+            np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype("int64")
+        )
         lo, hi = c.min(), c.max()
         span = hi - lo
         nb = (c - lo) * 10000 // span if span else c * 0

@@ -40,12 +40,15 @@ def stream_append_parquet(
     un-started writer so callers control lifecycle.
 
     ``merge_schema`` twins the Silver sink's schema-evolution opt-in
-    (``.option("mergeSchema", "true")``, 02_silver:114): a restarted query
-    whose upstream grew a column appends files with the widened schema. On
-    Delta the option makes the table schema evolve transactionally; on the
-    parquet sink, files with old and new schemas coexist and readers merge
-    them (``spark.read.option("mergeSchema", "true")``) — old rows read NULL
-    for the new columns, exactly Delta's post-evolution view.
+    (``.option("mergeSchema", "true")``, 02_silver:114) at the API level. On
+    a Delta sink the option makes the table schema evolve transactionally.
+    On THIS parquet sink the option itself is inert (mergeSchema is a
+    parquet read-side option): schema-divergent appends succeed regardless,
+    files with old and new schemas coexist, and readers opt into merging
+    with ``spark.read.option("mergeSchema", "true")`` — old rows read NULL
+    for the new columns, matching Delta's post-evolution view. The flag is
+    kept for call-site parity with the reference so a Delta-format port of
+    this sink changes one format string, not its callers.
     """
     w = (
         df.writeStream.format("parquet")

@@ -119,9 +119,10 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_salted_join_skips_complex_typed_salt_columns(spark):
-    """salt_src=None must hash only scalar columns: xxhash64 raises on
-    MapType, and the salted output must still equal the plain join."""
+def test_salted_join_skips_map_typed_salt_columns(spark):
+    """salt_src=None must skip MapType columns (xxhash64 rejects them) while
+    still hashing everything else, and the salted output must equal the
+    plain join."""
     from real_time_rides_data_pipeline_spark.operators.joins import salted_join
 
     fact = spark.createDataFrame(
@@ -168,3 +169,26 @@ def test_dup_clusters_are_transitive(spark):
     )
     # nearly every chain collapses fully (all fixture docs have >= 10 words)
     assert transitive >= 0.9 * len(base_ids), (transitive, len(base_ids))
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A component deeper than max_iter must fail loudly — silent partial
+    labels would poison downstream dedup."""
+    import pytest
+
+    from real_time_rides_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, chain, max_iter=2)
+    # and with enough rounds the same graph resolves fully
+    got = {
+        r.id: r.component
+        for r in connected_components(vertices, chain, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(6)}
