@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the operators whose correctness
+arguments are algebraic rather than example-driven: connected components vs
+a reference union-find, the as-of join vs per-row brute force, and the
+bounded-intermediate modular hash identity at extreme key magnitudes.
+
+Spark round-trips are slow, so examples are capped small; the point is
+randomized structural coverage, not volume."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(max_examples=5, deadline=None)
+
+
+def _union_find(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min vertex id per component
+    comp_min: dict[int, int] = {}
+    for v in range(n):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in range(n)}
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(min_value=1, max_value=12),
+    edge_idx=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=14
+    ),
+)
+def test_connected_components_matches_union_find(spark, n, edge_idx):
+    from real_time_rides_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(a % n, b % n) for a, b in edge_idx if a % n != b % n]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    if edges:
+        edf = spark.createDataFrame(edges, "src long, dst long")
+    else:
+        edf = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r.id: r.component
+        for r in connected_components(vertices, edf, max_iter=30).collect()
+    }
+    assert got == _union_find(n, edges)
+
+
+@settings(**SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+        min_size=1,
+        max_size=8,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000), st.integers(0, 99)),
+        max_size=8,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+def test_asof_join_matches_brute_force(spark, lefts, rights):
+    """asof_join(left, right) == per-row argmax of right_ts <= left_ts."""
+    from real_time_rides_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        "lid long, key long, lts long",
+    ).select("lid", "key", F.timestamp_micros(F.col("lts") * 1000000).alias("lts"))
+    right = spark.createDataFrame(
+        rights or [(99, -1, 0)], "key long, rts long, payload long"
+    ).select("key", F.timestamp_micros(F.col("rts") * 1000000).alias("rts"), "payload")
+    out = {
+        r.lid: r.payload
+        for r in asof_join(
+            left, right, key="key", left_ts="lts", right_ts="rts", payload="payload"
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, p) for rk, rt, p in (rights or [(99, -1, 0)]) if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert out[i] == want, (i, k, t, cands, out)
+
+
+@settings(**SETTINGS)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=6
+    )
+)
+def test_modular_hash_identity_never_overflows(spark, keys):
+    """The bounded-intermediate form ((k mod m)(K mod m)) mod m must equal
+    Python's arbitrary-precision (k*K) mod m even for keys near int64 max,
+    where the naive int64 multiply would wrap."""
+    from real_time_rides_data_pipeline_spark.operators.clean import (
+        KNUTH_MULT,
+        pseudo_distance_modular,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "key long")
+    got = {
+        r.key: r.d
+        for r in df.select(
+            "key", pseudo_distance_modular(F.col("key")).alias("d")
+        ).collect()
+    }
+    for k in keys:
+        want = round(((k * KNUTH_MULT) % 2000) / 100.0, 2)
+        assert abs(got[k] - want) < 1e-9, (k, got[k], want)
