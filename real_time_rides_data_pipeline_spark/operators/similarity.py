@@ -40,6 +40,53 @@ def brute_force_topk(
     )
 
 
+def fit_centroids_kmeans(
+    vectors: DataFrame,
+    k: int = 8,
+    sample_n: int = 1024,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Sampled spherical k-means fit — the real centroid source for IVF
+    (previously documented as the 100 TB path, now implemented).
+
+    Deterministic by construction: the sample is the first ``sample_n``
+    vectors by id (orderBy + limit — no RNG in the scan), init is a seeded
+    choice from that sample, and Lloyd iterations run in numpy on the
+    driver. The collect is bounded (sample_n × dim doubles, ~1 MB at
+    defaults) — fitting on a sample driver-side then broadcasting the
+    centroids into the assignment plan is the standard shape at any scale;
+    a distributed fit (e.g. MLlib KMeans) swaps in behind the same return
+    type when the sample must be larger than driver memory.
+
+    Centroids are unit-normalized and updated on the sphere (normalize →
+    mean → renormalize), matching the cosine metric the assignment uses.
+    Empty clusters keep their previous centroid.
+    """
+    import numpy as np
+
+    rows = vectors.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    X = np.array([[float(x) for x in r[0]] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ cents.T).argmax(axis=1)
+        updated = []
+        for j in range(len(cents)):
+            members = X[assign == j]
+            if len(members) == 0:
+                updated.append(cents[j])
+                continue
+            m = members.mean(axis=0)
+            norm = np.linalg.norm(m)
+            updated.append(m / norm if norm > 1e-12 else cents[j])
+        cents = np.array(updated)
+    return [[float(x) for x in c] for c in cents]
+
+
 def assign_ivf_cluster(
     vectors: DataFrame,
     centroids: list[list[float]],

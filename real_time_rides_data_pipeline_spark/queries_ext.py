@@ -342,33 +342,25 @@ def q_cosine_topk(spark, sf_dir):
 )
 def q_embed_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings", parallel=True)
-    # Fixed centroids (embeddings of vec_id 0..7, same convention as
-    # q_ann_ivf); at real scale these come from a sampled k-means fit.
-    cents = [
-        [float(x) for x in r[0]]
-        for r in emb.filter(F.col("vec_id") < 8)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    ]
+    # Centroids from the seeded sampled k-means fit (same as q_ann_ivf).
+    # Output is provably centroid-INDEPENDENT (the pruning bound is sound
+    # for any centroids; tests pin equality with brute force) — better
+    # centroids only tighten the pruning, i.e. fewer candidate blocks.
+    cents = SIM.fit_centroids_kmeans(emb, k=8, sample_n=512, seed=7)
     return SIM.cluster_pruned_pairs_above(emb, cents, 0.4)
 
 
 @register(
     "q_ann_ivf",
     None,  # recall<1 by construction; centroid assignment is engine-internal
-    "IVF ANN: 8 fixed centroids (embeddings of vec_id 0..7), probe the 2 "
-    "nearest clusters, exact top-10 within them — partition-pruned scan.",
+    "IVF ANN: 8 centroids from a seeded sampled spherical k-means fit "
+    "(fit_centroids_kmeans — deterministic sample, driver-side Lloyd, "
+    "broadcast into the plan), probe the 2 nearest clusters, exact top-10 "
+    "within them — partition-pruned scan.",
 )
 def q_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings", parallel=True)
-    cents = [
-        [float(x) for x in r[0]]
-        for r in emb.filter(F.col("vec_id") < 8)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    ]
+    cents = SIM.fit_centroids_kmeans(emb, k=8, sample_n=512, seed=7)
     qv = _query_vec(spark, sf_dir)
     return SIM.ivf_topk(emb, cents, qv, k=10, n_probe=2)
 

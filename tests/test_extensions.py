@@ -192,3 +192,15 @@ def test_connected_components_raises_on_non_convergence(spark):
         for r in connected_components(vertices, chain, max_iter=10).collect()
     }
     assert got == {i: 0 for i in range(6)}
+
+
+def test_kmeans_fit_is_deterministic_and_spherical(spark):
+    from real_time_rides_data_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    a = SIM.fit_centroids_kmeans(emb, k=4, sample_n=64, seed=7)
+    b = SIM.fit_centroids_kmeans(emb, k=4, sample_n=64, seed=7)
+    assert a == b  # same sample, same seed → bit-identical fit
+    assert len(a) == 4
+    for c in a:  # spherical update keeps centroids unit-norm
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
