@@ -6,15 +6,26 @@ graph, then one representative elected per cluster (keep it, drop the
 rest). The reference has no graph surface at all — this is part of the
 LLM-data-pipeline extension mandate (SURVEY.md §2.9).
 
-Scale notes (100 TB): min-label propagation converges in O(component
-diameter) rounds — near-dup clusters are shallow (stars/short chains), so
-a handful of rounds suffices; the large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond") drops
-that to O(log diameter) and is the documented upgrade path for adversarial
-graphs. Each round is one hash-shuffle join on vertex ids. Lineage is
-truncated per round with ``localCheckpoint`` (iterative plans otherwise
-grow unboundedly), and the per-round convergence check collects a single
-driver-side count — iteration control, not data movement.
+Two algorithms behind one API, selected by ``algorithm=``:
+
+- ``"star"`` (default) — alternating large-star/small-star (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14). Each
+  iteration is two grouped edge rewrites (one hash shuffle each) and
+  converges in O(log diameter) iterations, so a 100 TB pair graph with an
+  adversarially deep component still finishes in a handful of rounds.
+  Driver sync per iteration is ONE constant-size aggregate (edge count +
+  XOR hash signature) used purely for iteration control; a definitive
+  endpoint-label consistency check runs once at the end, so a (vanishingly
+  unlikely) signature collision fails loudly instead of returning wrong
+  labels.
+- ``"labelprop"`` — min-label propagation, one hash join per round,
+  O(component diameter) rounds. Kept as the simple reference
+  implementation and cross-checked against ``"star"`` in the property
+  tests; fine for shallow near-dup graphs (stars/short chains), not for
+  deep chains.
+
+Both truncate lineage per iteration with ``localCheckpoint`` (iterative
+plans otherwise grow unboundedly).
 """
 
 from __future__ import annotations
@@ -30,24 +41,134 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Label every vertex with the MINIMUM vertex id reachable from it
     (undirected): output columns ``(id, component)``. Deterministic —
     the representative of each cluster is its smallest id.
     """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    if algorithm == "star":
+        labels = _cc_star(e, max_iter)
+    elif algorithm == "labelprop":
+        labels = _cc_labelprop(e, max_iter)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}: star | labelprop")
+    # Key the output to the DECLARED vertex set: ids appearing only in edges
+    # are dropped, vertices untouched by any edge label themselves. (The
+    # component label itself is just an identifier — it may be an edge-only
+    # id if that id is the minimum of its component.)
+    all_ids = vertices.select(F.col(id_col).alias("id"))
+    return all_ids.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u over the SYMMETRIC neighborhood, connect every
+    strictly-larger neighbor to m = min(N(u) ∪ {u}). Emitted edges stay
+    within u's component (m and the neighbors are all reachable from u)."""
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.filter(F.col("u") != F.col("v"))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient every edge (larger → smaller); for each node u, connect u and
+    all its smaller neighbors to m = min neighbor. Output edges all point
+    child → smaller parent, so a fixed point is a union of min-rooted
+    stars."""
+    oriented = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        oriented.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+    return rewired.unionAll(self_edge).distinct()
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    """(count, xor-of-xxhash64) — an order-independent constant-size edge-set
+    fingerprint for iteration control. bit_xor never overflows (no ANSI
+    hazard) and duplicate cancellation can't bite: inputs are distinct."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).first()
+    return (row["n"], row["h"] if row["h"] is not None else 0)
+
+
+def _cc_star(e: DataFrame, max_iter: int) -> DataFrame:
+    edges = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    if edges.isEmpty():
+        return edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    orig = edges  # checkpointed — reused by the final consistency gate
+    sig = _signature(edges)
+    converged = False
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    # Fixed point = min-rooted stars: every (u, v) edge is (child, root).
+    # groupBy-min collapses any duplicate child rows so the vertex join
+    # can't fan out even if convergence was misjudged.
+    labels = edges.groupBy("u").agg(F.min("v").alias("component"))
+    roots = labels.select(F.col("component").alias("u"), F.col("component"))
+    labels = labels.unionAll(roots).groupBy("u").agg(
+        F.min("component").alias("component")
+    ).select(F.col("u").alias("id"), "component")
+    # Definitive gate, independent of the hash signature: every ORIGINAL
+    # edge must connect same-labeled endpoints. Both rewrites only ever
+    # emit intra-component edges, so labels can't over-merge — consistency
+    # here proves the labeling exactly.
+    la = labels.select(F.col("id").alias("u"), F.col("component").alias("ca"))
+    lb = labels.select(F.col("id").alias("v"), F.col("component").alias("cb"))
+    bad = (
+        orig
+        .join(la, "u", "left")
+        .join(lb, "v", "left")
+        .filter(
+            (F.col("ca") != F.col("cb")) | F.col("ca").isNull() | F.col("cb").isNull()
+        )
+        .count()
+    )
+    if bad != 0 or not converged:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_iter} iterations "
+            f"({bad} original edges still cross labels): raise max_iter"
+        )
+    return labels
+
+
+def _cc_labelprop(e: DataFrame, max_iter: int) -> DataFrame:
     # Materialize the symmetric edge list ONCE: it is re-read every round,
     # and without truncation the (possibly expensive) upstream
     # edge-generation DAG — shingling, candidate joins — would recompute
     # per iteration.
     sym = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionAll(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=True)
     )
-    all_ids = vertices.select(F.col(id_col).alias("id"))
     # Isolated vertices are trivially their own component — iterate only
     # over vertices that appear in an edge (typically a small fraction of a
-    # dedup corpus) and union the rest back at the end.
+    # dedup corpus); the caller unions the rest back.
     labels = (
         sym.select(F.col("u").alias("id")).distinct()
         .select("id", F.col("id").alias("component"))
@@ -82,13 +203,6 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing): the graph has a component "
-            "deeper than max_iter — raise max_iter or switch to "
-            "large-star/small-star"
+            "deeper than max_iter — raise max_iter or use algorithm='star'"
         )
-    # Key the output to the DECLARED vertex set: ids appearing only in edges
-    # are dropped, vertices untouched by any edge label themselves. (The
-    # component label itself is just an identifier — it may be an edge-only
-    # id if that id is the minimum of its component.)
-    return all_ids.join(labels, "id", "left").select(
-        "id", F.coalesce("component", F.col("id")).alias("component")
-    )
+    return labels

@@ -65,9 +65,22 @@ def fit_centroids_kmeans(
     mean → renormalize), matching the cosine metric the assignment uses.
     Empty clusters keep their previous centroid.
     """
+    import warnings
+
     import numpy as np
 
     rows = vectors.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    if not rows:
+        raise ValueError(
+            "fit_centroids_kmeans: the vectors frame is empty — cannot fit "
+            "centroids (callers index centroids positionally)"
+        )
+    if len(rows) < k:
+        warnings.warn(
+            f"fit_centroids_kmeans: sample has {len(rows)} rows < k={k}; "
+            f"returning {len(rows)} centroids",
+            stacklevel=2,
+        )
     X = np.array([[float(x) for x in r[0]] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -196,10 +196,11 @@ def q_simhash_neardup(spark, sf_dir):
     "truncation → 4-word truncation per 5th doc) yields candidate edges by "
     "id-structured equi-join with an EXACT integer jaccard threshold "
     "(2·|∩| ≥ |∪| ⇔ j ≥ 0.5 — no float), then connected components "
-    "(min-label propagation, operators/graph.py) labels every doc with its "
-    "cluster representative = min doc_id. Transitive: the 4-word variant "
-    "joins its original only THROUGH the middle node. Oracle = recursive-"
-    "CTE reachability in DuckDB.",
+    "(alternating large-star/small-star, operators/graph.py — O(log "
+    "diameter) rounds) labels every doc with its cluster representative = "
+    "min doc_id. Transitive: the 4-word variant joins its original only "
+    "THROUGH the middle node. Oracle = recursive-CTE reachability in "
+    "DuckDB.",
 )
 def q_dup_clusters(spark, sf_dir):
     from real_time_rides_data_pipeline_spark.operators.graph import (
@@ -210,8 +211,22 @@ def q_dup_clusters(spark, sf_dir):
     toks = X.tokens(F.col("text"))
 
     def truncated(drop: int, offset: int):
+        # Synthetic variant ids live in the +1e6/+2e6 bands; a fixture with
+        # doc_id >= 1e6 would silently collide, so the precondition is
+        # enforced IN the plan (per-row, no extra driver pass) — the guard
+        # produces the output column, so Catalyst cannot prune it.
+        guarded_id = F.when(
+            F.col("doc_id") < 1_000_000, F.col("doc_id") + offset
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "q_dup_clusters: doc_id >= 1_000_000 collides with the "
+                    "synthetic near-dup id bands — re-derive the offsets"
+                )
+            ).cast("long")
+        )
         return d.filter(F.col("doc_id") % 5 == 0).select(
-            (F.col("doc_id") + offset).alias("doc_id"),
+            guarded_id.alias("doc_id"),
             F.concat_ws(
                 " ",
                 F.slice(
@@ -355,14 +370,16 @@ def q_embed_neardup(spark, sf_dir):
     None,  # recall<1 by construction; centroid assignment is engine-internal
     "IVF ANN: 8 centroids from a seeded sampled spherical k-means fit "
     "(fit_centroids_kmeans — deterministic sample, driver-side Lloyd, "
-    "broadcast into the plan), probe the 2 nearest clusters, exact top-10 "
-    "within them — partition-pruned scan.",
+    "broadcast into the plan), probe the 3 nearest clusters, exact top-10 "
+    "within them — partition-pruned 3/8 scan. Measured mean recall@10 vs "
+    "brute force is ~0.6-0.7 on the fixtures (near-uniform embeddings — "
+    "the worst case for IVF); floor pinned in tests/test_extensions.py.",
 )
 def q_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings", parallel=True)
     cents = SIM.fit_centroids_kmeans(emb, k=8, sample_n=512, seed=7)
     qv = _query_vec(spark, sf_dir)
-    return SIM.ivf_topk(emb, cents, qv, k=10, n_probe=2)
+    return SIM.ivf_topk(emb, cents, qv, k=10, n_probe=3)
 
 
 # =========================================================================
@@ -1209,38 +1226,23 @@ def q_stream_stream_join(spark, sf_dir):
              FROM events)""",
     "Grouped-map applyInPandas (the third Pandas API next to mapInPandas "
     "and applyInPandasWithState): per-user min-max normalization of value "
-    "to basis points, computed whole-group-at-a-time in pandas. Exact "
-    "integer-cents arithmetic with floor division so the result is "
-    "bit-identical to the SQL window formulation on any engine. One hash "
-    "shuffle on the group key; each group is one Arrow batch — the shape "
-    "every per-group featurization/model-scoring step takes at 100 TB.",
+    "to basis points via operators/normalize.grouped_minmax_normalize with "
+    "engine='grouped_map' — cents are computed ONCE in Spark (shared "
+    "precision helper), the Python side does only exact int64 floor "
+    "division, so the result is bit-identical to the SQL window oracle. "
+    "This key deliberately exercises the grouped-map surface; the "
+    "operator's DEFAULT engine is the pure-JVM window twin, because "
+    "grouped-map loads one whole group per Arrow batch (giant-key OOM "
+    "hazard at 100 TB — see the operator docstring). Equality of the two "
+    "engines is pinned in tests/test_extensions.py.",
 )
 def q_grouped_normalize(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.normalize import (
+        grouped_minmax_normalize,
+    )
+
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    schema = "event_id long, user_id long, norm_bp long"
-
-    def norm(pdf):
-        import numpy as np
-        import pandas as pd
-
-        # half-AWAY-from-zero rounding (matches SQL round()); pandas
-        # Series.round is half-to-even and differs on exact .5 cents
-        v = pdf["value"].to_numpy() * 100
-        c = pd.Series(
-            np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype("int64")
-        )
-        lo, hi = c.min(), c.max()
-        span = hi - lo
-        nb = (c - lo) * 10000 // span if span else c * 0
-        return pd.DataFrame(
-            {
-                "event_id": pdf["event_id"],
-                "user_id": pdf["user_id"],
-                "norm_bp": nb.astype("int64"),
-            }
-        )
-
-    return ev.groupBy("user_id").applyInPandas(norm, schema)
+    return grouped_minmax_normalize(ev, engine="grouped_map")
 
 
 @register(

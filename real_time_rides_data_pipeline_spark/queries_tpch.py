@@ -7,9 +7,12 @@ rest of the classic join/agg shapes, adapted to the fixture schema:
 - There is NO ``partsupp`` table ⇒ Q2/Q11 are out of scope; Q9 uses
   ``p_retailprice`` as the unit-cost proxy; Q16/Q20 derive part↔supplier
   pairs from ``lineitem``.
-- ``lineitem`` has no commit/receipt dates or ship modes ⇒ Q12 is covered
-  by Q4's shape; Q21 re-keys "kept orders waiting" to "owned the LAST ship
-  date of a multi-supplier order".
+- ``lineitem`` has no commit/receipt dates or ship modes ⇒ Q12 keeps the
+  classic shape (lineitem⋈orders, priority-bucket counts per lineitem
+  category) with ``l_returnflag`` standing in for ``l_shipmode`` and
+  "shipped ≥ 90 days after order" standing in for the commit/receipt
+  lateness predicate; Q21 re-keys "kept orders waiting" to "owned the
+  LAST ship date of a multi-supplier order".
 - ``customer`` has no phone ⇒ Q22 groups by ``c_nationkey`` and defines
   inactivity as "no orders since 1999".
 
@@ -284,6 +287,45 @@ def q_tpch_q10(spark, sf_dir):
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q12",
+    """SELECT l_returnflag AS ship_bucket,
+              count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                  AS high_line_count,
+              count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                  AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+         AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY l_returnflag""",
+    "TPC-H Q12 (shipping priority audit), adapted to the fixture schema: "
+    "l_returnflag stands in for l_shipmode and 'shipped >= 90 days after "
+    "the order date' for the commit/receipt lateness predicate — the "
+    "kernel (fact⋈fact equi-join on the order key, conditional priority "
+    "counts per lineitem bucket) is unchanged. The shipdate range filter "
+    "is pushed to the lineitem scan; the join shuffles both sides on "
+    "l_orderkey/o_orderkey (no broadcast — both are fact tables at scale, "
+    "AQE may still elect one at fixture size).",
+)
+def q_tpch_q12(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_bucket"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
     )
 
 

@@ -185,13 +185,16 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(5)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(vertices, chain, max_iter=2)
-    # and with enough rounds the same graph resolves fully
-    got = {
-        r.id: r.component
-        for r in connected_components(vertices, chain, max_iter=10).collect()
-    }
-    assert got == {i: 0 for i in range(6)}
+        connected_components(vertices, chain, max_iter=2, algorithm="labelprop")
+    # and with enough rounds the same graph resolves fully (both algorithms)
+    for algorithm in ("star", "labelprop"):
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                vertices, chain, max_iter=10, algorithm=algorithm
+            ).collect()
+        }
+        assert got == {i: 0 for i in range(6)}, algorithm
 
 
 def test_kmeans_fit_is_deterministic_and_spherical(spark):
@@ -204,3 +207,68 @@ def test_kmeans_fit_is_deterministic_and_spherical(spark):
     assert len(a) == 4
     for c in a:  # spherical update keeps centroids unit-norm
         assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_ivf_recall_at_10_floor(spark):
+    """Recall@10 of the IVF path vs brute force, averaged over 8 query
+    vectors, under the same fitted centroids q_ann_ivf uses (k=8,
+    sample_n=512, seed=7, n_probe=3). The fixture embeddings are
+    near-uniform on the sphere — IVF's worst case — and the whole pipeline
+    is deterministic (seeded fit, fixed data), so the measured mean (0.60
+    at sf0.001) is exact; 0.5 is the asserted floor."""
+    from real_time_rides_data_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    cents = SIM.fit_centroids_kmeans(emb, k=8, sample_n=512, seed=7)
+    by_id = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    recalls = []
+    for qid in range(8):
+        qv = by_id[qid]
+        brute = {r["vec_id"] for r in SIM.brute_force_topk(emb, qv, k=10).collect()}
+        ivf = {
+            r["vec_id"]
+            for r in SIM.ivf_topk(emb, cents, qv, k=10, n_probe=3).collect()
+        }
+        recalls.append(len(brute & ivf) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_kmeans_fit_guards_degenerate_samples(spark):
+    import warnings
+
+    import pytest
+
+    from real_time_rides_data_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        SIM.fit_centroids_kmeans(empty, k=4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cents = SIM.fit_centroids_kmeans(emb.filter(F.col("vec_id") < 2), k=4)
+    assert len(cents) == 2
+    assert any("fewer" in str(x.message) or "< k" in str(x.message) for x in w)
+
+
+def test_grouped_normalize_engines_agree(spark):
+    """The grouped-map Pandas engine and the pure-JVM window engine are the
+    same operator semantics — bit-identical outputs (both do exact int64
+    floor-division on shared-helper cents)."""
+    from real_time_rides_data_pipeline_spark.operators.normalize import (
+        grouped_minmax_normalize,
+    )
+
+    ev = spark.read.parquet(f"{SMOKE_SF}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    win = {tuple(r) for r in grouped_minmax_normalize(ev, engine="window").collect()}
+    gm = {
+        tuple(r)
+        for r in grouped_minmax_normalize(ev, engine="grouped_map").collect()
+    }
+    assert win == gm
+    assert len(win) == ev.count()

@@ -53,11 +53,40 @@ def test_connected_components_matches_union_find(spark, n, edge_idx):
         edf = spark.createDataFrame(edges, "src long, dst long")
     else:
         edf = spark.createDataFrame([], "src long, dst long")
+    expected = _union_find(n, edges)
+    for algorithm in ("star", "labelprop"):
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                vertices, edf, max_iter=30, algorithm=algorithm
+            ).collect()
+        }
+        assert got == expected, algorithm
+
+
+def test_connected_components_star_converges_on_deep_chain(spark):
+    """A 60-edge path graph has diameter 60: label propagation needs ~60
+    rounds (loud-fails at max_iter=15), the large-star/small-star
+    alternation converges in O(log diameter) — well inside 15."""
+    import pytest
+
+    from real_time_rides_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(61)], "id long")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
     got = {
         r.id: r.component
-        for r in connected_components(vertices, edf, max_iter=30).collect()
+        for r in connected_components(vertices, edf, max_iter=15).collect()
     }
-    assert got == _union_find(n, edges)
+    assert got == {i: 0 for i in range(61)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            vertices, edf, max_iter=15, algorithm="labelprop"
+        ).collect()
 
 
 @settings(**SETTINGS)
