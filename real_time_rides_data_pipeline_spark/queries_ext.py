@@ -1213,6 +1213,101 @@ def q_stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "q_stream_stream_join_outer",
+    """SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id
+       FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a
+       LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') b
+         ON a.user_id = b.user_id
+        AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts""",
+    "Stream-stream LEFT OUTER interval join: unmatched clicks emit (click, "
+    "NULL) only once the watermark proves no view can still arrive — the "
+    "semantics that make outer joins hard in streams. Sides read DISTINCT "
+    "directories (identical sources over one dir dedup into a single scan "
+    "and stall the min-watermark, see tests/test_streaming.py), and two "
+    "far-future sentinel batches (user_id -1/-2) advance the watermark "
+    "past every real click so ALL unmatched rows flush: batch N's "
+    "eviction uses the watermark computed at the END of batch N-1, hence "
+    "two appends. The sentinel rows are filtered from the SINK table, not "
+    "inside the stream — an in-stream filter on user_id would be pushed "
+    "down through join and watermark into the scan, dropping the "
+    "sentinels before the watermark node ever sees them (watermark "
+    "frozen, outer rows never emit). Oracle = the plain batch LEFT JOIN.",
+)
+def q_stream_stream_join_outer(spark, sf_dir):
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views_b = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    # One driver scalar (max event time) to place the sentinels — iteration
+    # control, not data movement.
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    work = tempfile.mkdtemp(prefix="ssjout_")
+    cdir, vdir = f"{work}/clicks", f"{work}/views"
+    clicks_b.coalesce(1).write.parquet(cdir)
+    views_b.coalesce(1).write.parquet(vdir)
+    schema = clicks_b.schema
+
+    def side(tag: str, path: str):
+        s = parquet_stream(spark, path, schema, max_files_per_trigger=1)
+        return s.withWatermark("ts", "10 minutes").select(
+            F.col("event_id").alias(f"{tag}_id"),
+            F.col("user_id").alias(f"{tag}_user"),
+            F.col("ts").alias(f"{tag}_ts"),
+        )
+
+    joined = (
+        side("click", cdir)
+        .join(
+            side("view", vdir),
+            (F.col("click_user") == F.col("view_user"))
+            & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("view_ts") <= F.col("click_ts")),
+            "left_outer",
+        )
+        .select(
+            F.col("click_id"),
+            F.col("view_id"),
+            F.col("click_user").alias("user_id"),
+        )
+    )
+    name = f"ssjout_out_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for hours, uid in ((1, -1), (2, -2)):
+                sentinel_ts = max_ts + timedelta(hours=hours)
+                for path in (cdir, vdir):
+                    spark.createDataFrame(
+                        [(-1, uid, sentinel_ts)], schema
+                    ).coalesce(1).write.mode("append").parquet(path)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # Sentinel rows (negative user ids) are dropped from the sink table —
+    # a batch filter, safely pushable here.
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
     "q_grouped_normalize",
     """SELECT event_id, user_id,
               CASE WHEN mx = mn THEN 0

@@ -48,41 +48,41 @@ def registry() -> dict[str, QuerySpec]:
 def check_priority() -> tuple[str, ...]:
     """Driver-verification priority: the round driver oracle-checks only the
     FIRST 50 keys of ``__spark_entry__.queries()``, so keys whose code or
-    oracle changed this round — plus keys whose last driver check predates a
-    semantics-affecting engine change — are listed first. Rounds 1-3
-    together covered all registered keys at least once (CORRECTNESS_r01-r03);
-    round 4 priority = (a) the four list/map keys made hashable this round +
-    the new/changed-oracle keys, then (b) the r2-window keys that were
-    rotated out BEFORE the inferTimestampNTZ read-semantics change landed,
-    so they get re-verified under the new timestamp semantics. Keys not
-    listed keep registration order afterwards."""
+    oracle changed this round — plus keys whose last driver check is
+    oldest — are listed first. Board state entering round 5: all keys
+    r1-r4-checked EXCEPT q_repetition_score / q_text_chunk (registered in
+    r4 after the window was pinned — never driver-checked). Round 5
+    priority = (a) the two never-checked keys, (b) keys new or changed
+    this round (Q12, the outer stream-stream join, the star-CC rewrite
+    under q_dup_clusters, the normalize-operator rewrite, the IVF n_probe
+    change, the k-means guard feeding q_embed_neardup), (c) ALL 12 keys
+    whose latest check is still round 2 (pre-NTZ-change, argued
+    timestamp-free at registry-level but rotated here for a clean board),
+    (d) round-3-checked keys in registration order to fill the 50-slot
+    window. Keys not listed keep registration order afterwards."""
     return (
-        # (a) changed this round: list/map outputs serialized, scalar
-        # percentiles, new audio key, byte-length oracles, bounded-mod hashes,
-        # salted-join scalar-type filter
-        "q_array_agg", "q_map_funcs", "q_array_funcs", "q_approx_quantile",
-        "q_audio_meta", "q_top2_per_key", "q_multimodal_meta", "q_resize_meta",
-        "q_hash_sample", "q_rand_column", "q_salted_join",
-        # (b) r2-window keys, driver-unverified since the NTZ change
-        # (q_cast_project/q_json_parse were re-greened in r3 — not repeated;
-        # q_frame_sample/q_exact_dedup/q_simhash_neardup/q_ann_ivf/
-        # q_text_stats/q_agg_cube — timestamp-free keys, r2-green — yield
-        # their slots to the new q_top2_per_key / q_stream_dim_join /
-        # q_partition_pruned_scan / q_stream_stream_join /
-        # q_grouped_normalize / q_dup_clusters keys)
-        "q_malformed_filter", "q_struct_star", "q_derived_duration",
-        "q_validity_filter", "q_bool_enrich", "q_point_lookup",
-        "q_window_hourly_agg", "q_agg_count", "q_agg_avg_round",
-        "q_agg_cond_sum", "q_reagg_distinct", "q_count_all",
-        "q_gold_point_lookup", "q_topn", "q_row_number", "q_join_inner",
-        "q_join_left", "q_join_semi", "q_join_anti", "q_join_multiway",
-        "q_agg_stats", "q_approx_distinct", "q_pipeline_e2e",
-        "q_json_extract", "q_asof_latest", "q_stream_dim_join",
-        "q_partition_pruned_scan", "q_stream_stream_join",
-        "q_grouped_normalize", "q_minhash_neardup",
-        "q_embed_neardup", "q_window_sliding",
-        "q_window_session", "q_set_ops", "q_dup_clusters", "q_pivot",
-        "q_tpch_q1", "q_merge_upsert", "q_stateful_running",
+        # (a) never driver-checked (registered late in r4)
+        "q_repetition_score", "q_text_chunk",
+        # (b) new or changed in round 5
+        "q_tpch_q12", "q_stream_stream_join_outer", "q_dup_clusters",
+        "q_grouped_normalize", "q_ann_ivf", "q_embed_neardup",
+        # (c) latest driver check = round 2
+        "q_agg_cube", "q_cosine_topk", "q_doc_fingerprint", "q_exact_dedup",
+        "q_frame_sample", "q_lang_id", "q_ngram_jaccard", "q_quality_score",
+        "q_simhash_neardup", "q_text_stats", "q_token_count",
+        # (d) latest driver check = round 3, registration order (first 31
+        # fill the window; the rest roll to round 6)
+        "q_cast_project", "q_json_parse", "q_stream_dedup", "q_watermark",
+        "q_output_complete", "q_rank", "q_lag_lead", "q_running_sum",
+        "q_agg_rollup", "q_grouping_sets", "q_tpch_q3", "q_tpch_q6",
+        "q_string_funcs", "q_date_funcs", "q_explode_tokens",
+        "q_scalar_subquery", "q_histogram", "q_max_by", "q_sessionize",
+        "q_percentile_disc", "q_window_range_frame", "q_ntile_first_last",
+        "q_conditional_funcs", "q_bucketed_join", "q_tpch_q4", "q_tpch_q14",
+        "q_unpivot", "q_asof_join", "q_range_join", "q_tpch_q5",
+        "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13",
+        "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+        "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     )
 
 
