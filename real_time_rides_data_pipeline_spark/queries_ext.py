@@ -1236,7 +1236,9 @@ def q_stream_stream_join(spark, sf_dir):
 def q_stream_stream_join_outer(spark, sf_dir):
     import tempfile
     import uuid
-    from datetime import timedelta
+    from datetime import timedelta, timezone
+
+    from pyspark.sql import types
 
     from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
 
@@ -1291,12 +1293,29 @@ def q_stream_stream_join_outer(spark, sf_dir):
         )
         try:
             q.processAllAvailable()
+            # Sentinels are appended with pyarrow, not a Spark write: a
+            # 1-row createDataFrame→write while the streaming query holds
+            # the scheduler costs seconds per append (measured ~4.5 s);
+            # pq.write_table is microseconds and the file source only cares
+            # that a new file appears.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            ntz = isinstance(schema["ts"].dataType, types.TimestampNTZType)
+            pa_ts = pa.timestamp("us") if ntz else pa.timestamp("us", tz="UTC")
+            pa_schema = pa.schema(
+                [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", pa_ts)]
+            )
             for hours, uid in ((1, -1), (2, -2)):
                 sentinel_ts = max_ts + timedelta(hours=hours)
+                if not ntz:
+                    sentinel_ts = sentinel_ts.replace(tzinfo=timezone.utc)
+                tbl = pa.table(
+                    {"event_id": [-1], "user_id": [uid], "ts": [sentinel_ts]},
+                    schema=pa_schema,
+                )
                 for path in (cdir, vdir):
-                    spark.createDataFrame(
-                        [(-1, uid, sentinel_ts)], schema
-                    ).coalesce(1).write.mode("append").parquet(path)
+                    pq.write_table(tbl, f"{path}/sentinel-{hours}.parquet")
                 q.processAllAvailable()
         finally:
             q.stop()
