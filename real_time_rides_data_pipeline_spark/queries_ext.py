@@ -1467,3 +1467,224 @@ def q_tws_top_values(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out)
+
+
+# =========================================================================
+# Corpus curation round 5: relevance scoring, content addressing, PII,
+# edit-distance near-dup, stratified downsampling (q_tfidf_topk,
+# q_crypto_fingerprint, q_pii_redact, q_levenshtein_neardup,
+# q_stratified_sample)
+# =========================================================================
+
+
+@register(
+    "q_tfidf_topk",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         FROM documents
+       ), tf_t AS (
+         SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+       ), df_t AS (
+         SELECT term, count(*) AS df FROM tf_t GROUP BY term
+       ), s AS (
+         SELECT t.doc_id, t.term, t.tf, d.df,
+                t.tf * 1000000 // d.df AS score_ppm
+         FROM tf_t t JOIN df_t d ON t.term = d.term
+       )
+       SELECT doc_id, term, tf, df, score_ppm, rk
+       FROM (SELECT *, row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY score_ppm DESC, tf DESC, term ASC) AS rk
+             FROM s)
+       WHERE rk <= 3""",
+    "TF-IDF-style term relevance, exact-integer variant: per-(doc, term) "
+    "frequency joined to document frequency, scored tf*1e6 DIV df (for a "
+    "fixed doc this is monotone in tf*idf for any monotone idf(df), so the "
+    "per-doc top-3 ranking equals the TF-IDF ranking while staying "
+    "bit-exact — no float log). Ties broken (tf DESC, term ASC) for a "
+    "total order. Scale: two key shuffles (doc_id,term) then (term); the "
+    "df side is |vocab| rows and joined SHUFFLE-side (vocab at 100 TB far "
+    "exceeds broadcast budget); the top-k window repartitions by doc_id "
+    "only after tf/df — three exchanges total, each on the natural key, "
+    "all aggregates map-side partial first.",
+)
+def q_tfidf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "term", "tf", "df",
+        F.expr("tf * 1000000L DIV df").alias("score_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_ppm"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_ppm", "rk")
+    )
+
+
+@register(
+    "q_crypto_fingerprint",
+    """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+              substr(md5(text), 1, 4) AS shard_prefix
+       FROM documents""",
+    "Content-addressable fingerprinting: md5 + sha-256 hex digests of the "
+    "raw text (the identity used by exact-dedup manifests and "
+    "content-addressed blob stores), plus the first 4 hex chars as a "
+    "65536-way shard prefix — the standard way a 100 TB corpus is laid "
+    "out for object-store fan-out. Pure narrow map, zero shuffle, "
+    "whole-stage codegen; unlike xxhash64/hash these digests are "
+    "engine-portable (bit-identical in DuckDB, Spark, Trino), so the "
+    "fingerprint can serve as a cross-system join key.",
+)
+def q_crypto_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.substring(F.md5("text"), 1, 4).alias("shard_prefix"),
+    )
+
+
+@register(
+    "q_pii_redact",
+    """SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  'reach user' || CAST(doc_id AS VARCHAR) || '@' || source
+                    || '.example.com or 555-123-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' re: ' || substr(text, 1, 40),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+       FROM documents""",
+    "PII scrubbing for training corpora: email + phone patterns replaced "
+    "with typed placeholder tokens via chained regexp_replace. The fixture "
+    "text is synthetic words, so the key derives a contact line "
+    "(user<id>@<source>.example.com / 555-123-XXXX) deterministically from "
+    "each row and redacts THAT — the kernel is real, the PII is "
+    "synthesized in-plan. Patterns stay in the Java-regex ∩ RE2 common "
+    "subset (character classes + bounded repetition, no backrefs or "
+    "lookaround) so the oracle ('g' flag = Spark's replace-all default) is "
+    "bit-identical. Narrow map, no shuffle; regex cost is linear per row "
+    "and runs inside whole-stage codegen — the standard scrub pass before "
+    "any corpus leaves the bronze zone.",
+)
+def q_pii_redact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    contact = F.concat(
+        F.lit("reach user"), F.col("doc_id").cast("string"),
+        F.lit("@"), F.col("source"), F.lit(".example.com or 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "), F.substring(F.col("text"), 1, 40),
+    )
+    no_email = F.regexp_replace(
+        contact, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            no_email, r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "q_levenshtein_neardup",
+    """WITH c AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000,
+                substr(text, 1, greatest(len(text) - 8, 1))
+         FROM documents WHERE doc_id % 7 = 0
+       )
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              levenshtein(a.text, b.text) AS dist
+       FROM c a JOIN c b
+         ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+        AND a.doc_id < b.doc_id
+       WHERE levenshtein(a.text, b.text) <= 24""",
+    "Edit-distance near-dup (the OCR-noise / small-mutation family that "
+    "shingle Jaccard under-detects): prefix BLOCKING — equi-join on the "
+    "first 40 chars — bounds candidates, then exact Levenshtein <= 24 "
+    "verifies. Synthetic near-dups are every 7th doc with its last 8 chars "
+    "chopped (id + 1e6 band, collision-guarded in-plan like "
+    "q_dup_clusters). Scale: the O(len^2) DP runs ONLY on blocked "
+    "candidate pairs — one hash shuffle on the 40-char prefix, never "
+    "all-pairs; at 100 TB the block key would be hashed "
+    "(md5(prefix)) to keep exchange rows narrow. Levenshtein itself is "
+    "a JVM built-in, identical semantics in DuckDB.",
+)
+def q_levenshtein_neardup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    guarded_id = F.when(
+        F.col("doc_id") < 1_000_000, F.col("doc_id") + 1_000_000
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "q_levenshtein_neardup: doc_id >= 1_000_000 collides with "
+                "the synthetic near-dup id band — re-derive the offset"
+            )
+        ).cast("long")
+    )
+    variant = d.filter(F.col("doc_id") % 7 == 0).select(
+        guarded_id.alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.greatest(F.length("text") - 8, F.lit(1))
+        ).alias("text"),
+    )
+    c = d.unionAll(variant)
+    a = c.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("text").alias("a_text"),
+        F.substring("text", 1, 40).alias("blk"),
+    )
+    b = c.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("text").alias("b_text"),
+        F.substring("text", 1, 40).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.levenshtein("a_text", "b_text").alias("dist"),
+        )
+        .filter(F.col("dist") <= 24)
+    )
+
+
+@register(
+    "q_stratified_sample",
+    """SELECT doc_id, lang, source
+       FROM documents
+       WHERE ((doc_id % 100) * (2654435761 % 100)) % 100 <
+             CASE lang WHEN 'en' THEN 35 ELSE 100 END""",
+    "Stratified hash downsampling — the language-rebalancing pass of a "
+    "pretraining mix: per-stratum keep-rates (en is ~44% of the corpus, "
+    "so en keeps 35% while every other language keeps 100%) applied via "
+    "the same Knuth-multiplier modular hash as q_hash_sample, so "
+    "membership is a pure deterministic function of doc_id — replayable "
+    "across engines, backfills, and reruns, with NO RNG state. Narrow "
+    "map-side filter: the rate lookup is a CASE on the stratum column, "
+    "the hash never shuffles; at 100 TB the rates table would be a "
+    "broadcast join instead of a literal CASE.",
+)
+def q_stratified_sample(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.clean import KNUTH_MULT
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), 100) * F.lit(KNUTH_MULT % 100), F.lit(100)
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(35)).otherwise(F.lit(100))
+    return d.filter(h < rate).select("doc_id", "lang", "source")

