@@ -18,6 +18,7 @@ from real_time_rides_data_pipeline_spark.functions.vectors import (
     as_double,
     cosine,
     cosine_rounded,
+    dot,
 )
 
 
@@ -287,6 +288,98 @@ def cluster_pruned_pairs_above(
         "__salt", F.pmod(F.xxhash64(F.col("id_b")), F.lit(n_salt)).cast("int")
     )
     cand = a_x.join(b_s, ["cb", "__salt"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn("cosine_sim", cosine_rounded(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def hyperplane_planes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane family for cosine LSH — NO RNG:
+    sign(j, d) is the top bit of a Knuth multiplicative hash of the flat
+    (plane, dim) index. The top bit of w·2654435761 mod 2³² is well-mixed
+    (naive parities of linear forms produce colliding/degenerate planes —
+    pinned by a distinctness test). The same function generates the
+    oracle's literal, so signatures are reproducible across engines,
+    reruns, and backfills — the property that makes LSH bucket assignment
+    a JOIN KEY rather than a session artifact."""
+    return [
+        [
+            1.0
+            if (((j * dim + d + 1) * 2654435761) % 2**32) >> 31
+            else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def hyperplane_lsh_pairs_above(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int = 16,
+    n_bands: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine LSH near-dup: random-hyperplane signatures (SimHash for
+    embeddings, Charikar 2002), banded like MinHash — candidates collide on
+    at least one band of sign bits, then EXACT cosine ≥ threshold verifies.
+
+    Approximate by design (recall < 1: a near pair whose signs differ in
+    every band is missed); the verified candidates are a deterministic
+    subset of ``cosine_pairs_above``. Scale shape: signature is a narrow
+    map (n_planes dots per row); candidate generation is a self-equi-join
+    on (band_idx, band_bucket) — never all-pairs; the O(dim) exact cosine
+    runs only on collided pairs. Complements IVF (``ivf_topk``): LSH needs
+    no fitted model, IVF needs no bit budget.
+
+    ``dim`` must match the embedding width: zip_with pads the short side
+    with NULLs, which would silently null the dot product — so the plan
+    raises on any row whose vector length ≠ dim."""
+    planes = hyperplane_planes(n_planes, dim)
+    per_band = n_planes // n_bands
+    v = as_double(F.col(vec_col))
+    checked = F.when(F.size(v) == dim, v).otherwise(
+        F.raise_error(
+            F.lit(
+                f"hyperplane_lsh_pairs_above: embedding length != {dim}; "
+                "pass the actual dim= so planes span the vector"
+            )
+        ).cast("array<double>")
+    )
+    base = vectors.select(F.col(id_col).alias("id"), checked.alias("v"))
+    bits = [
+        (dot(F.col("v"), F.array(*[F.lit(x) for x in p])) >= 0).cast("int")
+        for p in planes
+    ]
+    bands = []
+    for b in range(n_bands):
+        bucket = sum(
+            (bits[b * per_band + j] * F.lit(1 << j) for j in range(per_band)),
+            start=F.lit(0),
+        )
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), bucket.alias("bucket"))
+        )
+    sig = base.select(
+        "id", "v", F.explode(F.array(*bands)).alias("bb")
+    ).select("id", "v", "bb.band_idx", "bb.bucket")
+    lhs = sig.select(
+        "band_idx", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    rhs = sig.select(
+        "band_idx", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    cand = (
+        lhs.join(rhs, ["band_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in BOTH bands appears twice; rows are identical
+        # (va/vb are functions of the ids), so id-level dedup is exact
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
         cand.withColumn("cosine_sim", cosine_rounded(F.col("va"), F.col("vb")))
         .filter(F.col("cosine_sim") >= threshold)

@@ -1688,3 +1688,86 @@ def q_stratified_sample(spark, sf_dir):
     )
     rate = F.when(F.col("lang") == "en", F.lit(35)).otherwise(F.lit(100))
     return d.filter(h < rate).select("doc_id", "lang", "source")
+
+
+def _lsh_oracle() -> str:
+    """Oracle for q_lsh_hyperplane, generated from the SAME deterministic
+    plane family the Spark operator uses (operators/similarity.
+    hyperplane_planes) — signature bits are bit-identical because both
+    engines left-fold the plane dot products over IEEE doubles."""
+    from real_time_rides_data_pipeline_spark.operators.similarity import (
+        hyperplane_planes,
+    )
+
+    planes = "[" + ", ".join(
+        "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in p) + "]"
+        for p in hyperplane_planes(16, 64)
+    ) + "]"
+    pow8 = "[1, 2, 4, 8, 16, 32, 64, 128]"
+    cos = _COSINE_SQL.format(q="b.embedding")
+    return f"""WITH sig AS (
+         SELECT vec_id, embedding,
+                [CASE WHEN list_reduce(list_transform(range(64),
+                           i -> embedding[i+1]::DOUBLE * pl[i+1]),
+                           (x, y) -> x + y) >= 0
+                      THEN 1 ELSE 0 END
+                 for pl in {planes}] AS bits
+         FROM embeddings
+       ), sb AS (
+         SELECT vec_id, embedding,
+                list_reduce(list_transform(range(8),
+                    j -> bits[j+1] * {pow8}[j+1]), (x, y) -> x + y) AS b0,
+                list_reduce(list_transform(range(8),
+                    j -> bits[j+9] * {pow8}[j+1]), (x, y) -> x + y) AS b1
+         FROM sig
+       )
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              floor(({cos}) * 1000000) / 1000000.0 AS cosine_sim
+       FROM sb a JOIN sb b
+         ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+       WHERE floor(({cos}) * 1000000) / 1000000.0 >= 0.4"""
+
+
+@register(
+    "q_lsh_hyperplane",
+    _lsh_oracle(),
+    "Random-hyperplane cosine LSH (Charikar SimHash for embeddings), "
+    "banded 2×8 bits: sign-bit signatures from 16 deterministic ±1 "
+    "hyperplanes, candidates collide on at least one band, exact cosine "
+    ">= 0.4 verifies — the model-free complement to q_ann_ivf (no "
+    "centroid fit, no sampling pass; a fixed bit budget instead). The "
+    "ORACLE recomputes the identical signatures in DuckDB and brute-"
+    "forces the band predicate, so this approximate index is still "
+    "HASH-checked, not rows-only: both engines agree bit-for-bit on "
+    "which pairs the index recalls. Scale: signature is a narrow map, "
+    "candidates come from a banded self-equi-join (the q_minhash_neardup "
+    "shape), exact cosine only on collisions.",
+)
+def q_lsh_hyperplane(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings", parallel=True)
+    return SIM.hyperplane_lsh_pairs_above(emb, threshold=0.4)
+
+
+@register(
+    "q_jsonl_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "JSONL (newline-delimited JSON) source/sink round-trip — the lingua "
+    "franca of LLM training corpora: the documents table is written as "
+    "JSONL and read back with an EXPLICIT schema, and the oracle checks "
+    "the round-trip is lossless against the parquet original. The read "
+    "deliberately passes schema= rather than relying on inference: "
+    "schema inference is a FULL EXTRA SCAN of the data (at 100 TB, a "
+    "100 TB pre-pass) and can mistype sparse fields; a declared schema "
+    "makes the JSONL scan single-pass, splittable by line, and "
+    "column-pruned at the parser. Writer fan-out follows the input "
+    "partitioning — no shuffle either direction.",
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_") + "/docs"
+    d.write.mode("overwrite").json(path)
+    return spark.read.schema(d.schema).json(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )

@@ -1196,3 +1196,88 @@ def q_rollup_reagg(spark, sf_dir):
             F.sum("__n").alias("n_events"),
         )
     )
+
+
+@register(
+    "q_gapfill_spine",
+    """WITH h AS (
+         SELECT date_trunc('hour', ts) AS hour_ts,
+                sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+                count(*) AS n_events
+         FROM events
+         WHERE event_type = 'purchase' AND value >= 450.0
+         GROUP BY 1
+       ), b AS (
+         SELECT date_trunc('hour', min(ts)) AS mn,
+                date_trunc('hour', max(ts)) AS mx
+         FROM events
+       ), spine AS (
+         SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+         FROM b
+       )
+       SELECT s.hour_ts,
+              coalesce(h.total_cents, 0) AS total_cents,
+              coalesce(h.n_events, 0) AS n_events
+       FROM spine s LEFT JOIN h USING (hour_ts)""",
+    "Time-series GAP FILLING: a sparse hourly series (high-value "
+    "purchases — most hours have none) is joined onto a dense calendar "
+    "spine generated with sequence()/explode between the data's own "
+    "min/max hour, absent hours zero-filled — the densification step "
+    "before any rolling-window model sees the series. Scale shape: the "
+    "raw-data work is ONE partial-first aggregation; the spine and the "
+    "aggregated series are both hour-grain (~9k rows/year no matter how "
+    "many TB of raw events), so the left join broadcasts the aggregate — "
+    "fact-table volume never touches the join. Spine bounds come from the "
+    "data (min/max agg = one scalar row), not a config literal, so "
+    "backfills stay replayable.",
+)
+def q_gapfill_spine(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 450.0))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(
+            F.sum(cents(F.col("value"))).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    return spine.join(F.broadcast(hourly), "hour_ts", "left").select(
+        "hour_ts",
+        F.coalesce("total_cents", F.lit(0)).alias("total_cents"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@register(
+    "q_posexplode",
+    """SELECT doc_id, u.pos, u.term
+       FROM (SELECT doc_id,
+                    unnest([{'pos': i + 1, 'term': w[i + 1]}
+                            for i in range(len(w))]) AS u
+             FROM (SELECT doc_id,
+                          string_split_regex(trim(text), '\\s+') AS w
+                   FROM documents))""",
+    "Position-aware explode (posexplode — the ordinality-preserving "
+    "lateral): every token with its 1-based position, the shape that "
+    "feeds positional n-gram models and span labeling where plain "
+    "explode loses order. Map-side fan-out only — the position is "
+    "generated WITH the row, no window, no shuffle, no join; order is a "
+    "per-row property so the operator is embarrassingly parallel at any "
+    "scale.",
+)
+def q_posexplode(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    return d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")

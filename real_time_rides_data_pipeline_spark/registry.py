@@ -58,7 +58,8 @@ def check_priority() -> tuple[str, ...]:
     change, the k-means guard feeding q_embed_neardup, and the eight
     round-5 additions: TF-IDF, crypto fingerprint, PII redact,
     Levenshtein near-dup, stratified sample, percentile_cont, salted
-    skew agg, rollup re-agg), (c) ALL 12 keys whose latest check is
+    skew agg, rollup re-agg, hyperplane LSH, gap-fill spine,
+    posexplode, JSONL round-trip), (c) ALL 12 keys whose latest check is
     still round 2 (pre-NTZ-change, argued timestamp-free at
     registry-level but rotated here for a clean board),
     (d) round-3-checked keys in registration order to fill the 50-slot
@@ -72,12 +73,14 @@ def check_priority() -> tuple[str, ...]:
         "q_tfidf_topk", "q_crypto_fingerprint", "q_pii_redact",
         "q_levenshtein_neardup", "q_stratified_sample",
         "q_percentile_cont", "q_skew_salted_agg", "q_rollup_reagg",
+        "q_lsh_hyperplane", "q_gapfill_spine", "q_posexplode",
+        "q_jsonl_roundtrip",
         # (c) latest driver check = round 2
         "q_agg_cube", "q_cosine_topk", "q_doc_fingerprint", "q_exact_dedup",
         "q_frame_sample", "q_lang_id", "q_ngram_jaccard", "q_quality_score",
         "q_simhash_neardup", "q_text_stats", "q_token_count",
-        # (d) latest driver check = round 3, registration order (first 23
-        # fill the window after (a)+(b)+(c) = 27; the rest roll to round 6)
+        # (d) latest driver check = round 3, registration order (first 19
+        # fill the window after (a)+(b)+(c) = 31; the rest roll to round 6)
         "q_cast_project", "q_json_parse", "q_stream_dedup", "q_watermark",
         "q_output_complete", "q_rank", "q_lag_lead", "q_running_sum",
         "q_agg_rollup", "q_grouping_sets", "q_tpch_q3", "q_tpch_q6",

@@ -272,3 +272,41 @@ def test_grouped_normalize_engines_agree(spark):
     }
     assert win == gm
     assert len(win) == ev.count()
+
+
+def test_hyperplane_planes_distinct_and_balanced():
+    """The deterministic plane family must not collapse (the naive parity
+    of an odd-prime linear form makes all same-parity planes identical)."""
+    from real_time_rides_data_pipeline_spark.operators.similarity import (
+        hyperplane_planes,
+    )
+
+    planes = hyperplane_planes(16, 64)
+    assert len({tuple(p) for p in planes}) == 16
+    for p in planes:  # roughly balanced signs — not constant planes
+        pos = sum(1 for x in p if x > 0)
+        assert 16 <= pos <= 48, pos
+
+
+def test_lsh_pairs_subset_of_exact(spark):
+    """Every LSH-recalled pair must appear in the exact all-pairs result
+    with the identical similarity (LSH trades recall, never precision)."""
+    from real_time_rides_data_pipeline_spark.operators.similarity import (
+        cosine_pairs_above,
+        hyperplane_lsh_pairs_above,
+    )
+    from real_time_rides_data_pipeline_spark.sources import load_fixture
+    from tests.conftest import SMOKE_SF
+
+    emb = load_fixture(spark, "embeddings", SMOKE_SF)
+    lsh = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in hyperplane_lsh_pairs_above(emb, 0.4).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in cosine_pairs_above(emb, 0.4).collect()
+    }
+    assert lsh, "LSH recalled nothing at sf0.001 — banding is broken"
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())

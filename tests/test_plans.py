@@ -342,3 +342,25 @@ def test_tfidf_no_broadcast_of_vocab(spark):
     plan = _plan(spark, "q_tfidf_topk")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_posexplode_is_narrow_map(spark):
+    plan = _plan(spark, "q_posexplode")
+    assert "hashpartitioning(" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_gapfill_broadcasts_hourly_agg(spark):
+    """Both join sides are hour-grain; the aggregated series must broadcast
+    so no fact-volume ever reaches the join."""
+    plan = _plan(spark, "q_gapfill_spine")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_" in plan, plan  # raw-data agg map-side combines
+
+
+def test_lsh_hyperplane_no_allpairs(spark):
+    """Candidate generation must be the banded equi-join, never a nested
+    loop over N^2 pairs."""
+    plan = _plan(spark, "q_lsh_hyperplane")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
