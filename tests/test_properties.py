@@ -150,3 +150,71 @@ def test_modular_hash_identity_never_overflows(spark, keys):
     for k in keys:
         want = round(((k * KNUTH_MULT) % 2000) / 100.0, 2)
         assert abs(got[k] - want) < 1e-9, (k, got[k], want)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),                      # group key
+            st.integers(-(10**6), 10**6),           # cents value
+            st.sampled_from(["a", "b", "c"]),       # secondary dim
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_salted_agg_equals_plain_agg(spark, rows):
+    """The salt must be semantically invisible: two-phase (key, salt) →
+    key aggregation equals the direct groupBy for any data, including
+    negative values and singleton/hot keys."""
+    df = spark.createDataFrame(
+        [(k, v, s) for k, v, s in rows], "k long, c long, s string"
+    )
+    salted = (
+        df.withColumn("__salt", F.pmod(F.col("c"), F.lit(4)))
+        .groupBy("k", "__salt")
+        .agg(F.sum("c").alias("__s"), F.count(F.lit(1)).alias("__n"))
+        .groupBy("k")
+        .agg(F.sum("__s").alias("total"), F.sum("__n").alias("n"))
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10**7),                  # seconds offset
+            st.integers(-(10**4), 10**4),           # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rollup_reagg_mergeability(spark, rows):
+    """sum/count carried at minute grain re-aggregate to hour grain
+    identically to aggregating raw rows — the contract that makes rollup
+    pyramids valid at any grain pair."""
+    df = spark.createDataFrame(
+        [(F_ts, c) for F_ts, c in rows], "sec long, c long"
+    ).select(
+        F.timestamp_seconds(F.col("sec")).alias("ts"), "c"
+    )
+    minute = df.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    via_minute = minute.groupBy(F.date_trunc("hour", "m").alias("h")).agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
+    direct = df.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    assert sorted(map(tuple, via_minute.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
