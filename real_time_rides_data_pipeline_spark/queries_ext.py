@@ -1771,3 +1771,87 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return spark.read.schema(d.schema).json(path).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "q_decontaminate",
+    """WITH train AS (
+         SELECT doc_id,
+                list_distinct(
+                    [concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5],
+                               w[i+6], w[i+7], w[i+8])
+                     for i in range(greatest(len(w) - 7, 1))]) AS sh
+         FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\\s+') AS w
+               FROM documents)
+       ), eval_grams AS (
+         SELECT DISTINCT
+                unnest([concat_ws(' ', v[i+1], v[i+2], v[i+3], v[i+4],
+                                  v[i+5], v[i+6], v[i+7], v[i+8])
+                        for i in range(greatest(len(v) - 7, 1))]) AS g
+         FROM (SELECT w[3:] AS v
+               FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+                     FROM documents WHERE doc_id % 97 = 0))
+       )
+       SELECT DISTINCT t.doc_id AS contaminated_doc_id
+       FROM (SELECT doc_id, unnest(sh) AS g FROM train) t
+       JOIN eval_grams USING (g)""",
+    "Benchmark DECONTAMINATION (the GPT-3-style n-gram overlap scrub): "
+    "training docs sharing any 8-word shingle with an eval benchmark are "
+    "flagged for removal so test answers don't leak into the training "
+    "mix. The stand-in benchmark derives from the corpus itself (every "
+    "97th doc minus its first two tokens — the realistic case where a "
+    "benchmark quotes a span of a crawled page), so flagged docs are "
+    "sparse but non-empty at every SF. Shape: distinct shingles exploded "
+    "per doc, the eval side's distinct grams BROADCAST (benchmarks are "
+    "small — millions of grams vs the corpus's trillions) and semi-joined "
+    "against training grams — a hash join keyed on the shingle, never "
+    "doc×doc; flagged ids from one distinct on the gram-join output.",
+)
+def q_decontaminate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    eval_text = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.concat_ws(
+            " ",
+            F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(1)).cast("int")),
+        ).alias("text")
+    )
+    eval_grams = eval_text.select(
+        F.explode(X.word_shingles(F.col("text"), 8)).alias("g")
+    ).distinct()
+    train_grams = d.select(
+        "doc_id", F.explode(X.word_shingles(F.col("text"), 8)).alias("g")
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g", "left_semi")
+        .select(F.col("doc_id").alias("contaminated_doc_id"))
+        .distinct()
+    )
+
+
+@register(
+    "q_dataset_mix",
+    """SELECT doc_id, lang, copy_idx
+       FROM (SELECT doc_id, lang,
+                    unnest(range(CASE WHEN lang = 'en' THEN 1 ELSE 3 END))
+                        AS copy_idx
+             FROM documents)""",
+    "Weighted DATASET MIXING (epoch factors): low-resource languages are "
+    "upsampled 3x into the training mix while en passes through once — "
+    "each copy tagged with its epoch index so downstream shuffling/"
+    "sharding can interleave deterministically. Map-side fan-out via "
+    "explode over a per-row sequence; no shuffle, no RNG — the mix is a "
+    "pure function of (doc_id, lang, weight table), so a backfill "
+    "reproduces the identical corpus. At 100 TB the weight table is a "
+    "broadcast join instead of a CASE literal, and fractional epoch "
+    "factors compose with q_hash_sample's modular-hash keep-rule.",
+)
+def q_dataset_mix(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_copies = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(3))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), n_copies - 1)).alias("copy_idx"),
+    )

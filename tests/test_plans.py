@@ -364,3 +364,17 @@ def test_lsh_hyperplane_no_allpairs(spark):
     plan = _plan(spark, "q_lsh_hyperplane")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The benchmark gram set must broadcast; the gram join must never be
+    doc-pair-shaped."""
+    plan = _plan(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dataset_mix_is_narrow_map(spark):
+    plan = _plan(spark, "q_dataset_mix")
+    assert "hashpartitioning(" not in plan, plan
+    assert "Join" not in plan, plan
