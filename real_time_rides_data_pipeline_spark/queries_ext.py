@@ -1855,3 +1855,48 @@ def q_dataset_mix(spark, sf_dir):
         "lang",
         F.explode(F.sequence(F.lit(0), n_copies - 1)).alias("copy_idx"),
     )
+
+
+@register(
+    "q_orc_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "ORC source/sink round-trip: documents written as ORC (Spark-native "
+    "columnar alternative where the lakehouse standardized on ORC — Hive "
+    "heritage) and read back losslessly; the oracle is the parquet "
+    "original. Same scan properties as parquet: splittable stripes, "
+    "predicate pushdown, column projection; writer fan-out follows input "
+    "partitioning — no shuffle either direction.",
+)
+def q_orc_roundtrip(spark, sf_dir):
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="orc_") + "/docs"
+    d.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "q_csv_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "CSV source/sink round-trip with an EXPLICIT schema and header: the "
+    "interchange format every external vendor drop arrives in. Quoting "
+    "handles embedded delimiters; schema= (not inferSchema) keeps the "
+    "read single-pass — inference costs a full extra scan at 100 TB and "
+    "mistypes sparse columns. Lossless round-trip checked against the "
+    "parquet original.",
+)
+def q_csv_roundtrip(spark, sf_dir):
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="csv_") + "/docs"
+    d.write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema(d.schema)
+        .option("header", True)
+        .csv(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
