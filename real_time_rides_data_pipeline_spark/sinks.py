@@ -144,3 +144,45 @@ def foreach_batch_merge(
     if trigger_seconds is not None:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file COMPACTION — the maintenance op every streaming parquet
+    sink eventually needs: micro-batch appends leave one-file-per-trigger
+    fragments whose per-file open/footer cost dominates scans long before
+    data volume does. Rewrites ``path`` into ``ceil(bytes/target)`` files
+    (pure coalesce — a partition-count reduction with NO shuffle) and swaps
+    the directory atomically (write temp → rename; single-writer contract,
+    same model as merge_upsert_parquet). Returns the output file count.
+
+    Scale notes: this is the parquet twin of Delta's OPTIMIZE /
+    bin-packing; on object stores the swap becomes a manifest commit
+    (Delta/Iceberg) because rename is not atomic there — with delta-spark
+    on the classpath prefer ``DeltaTable.optimize()``. Coalesce (not
+    repartition) keeps compaction shuffle-free; if downstream needs
+    clustering by key, that's a layout decision for repartitionByRange at
+    WRITE time, not for the compactor."""
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+    tmp = f"{path}__compact_{uuid.uuid4().hex}"
+    df.coalesce(n_files).write.parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -181,3 +181,26 @@ def test_delta_merge_and_ddl(tmp_path):
         cwd=REPO_DIR,
     )
     assert proc.returncode == 0 and "DELTA-OK" in proc.stdout, proc.stderr[-2000:]
+
+
+def test_compact_parquet_dir_preserves_data(spark, tmp_path):
+    """Fragmented sink dir → few files, identical rows, stable schema."""
+    import os
+
+    from real_time_rides_data_pipeline_spark.sinks import compact_parquet_dir
+    from real_time_rides_data_pipeline_spark.sources import load_fixture
+    from tests.conftest import SMOKE_SF
+
+    d = load_fixture(spark, "documents", SMOKE_SF)
+    path = str(tmp_path / "frag")
+    d.repartition(32).write.parquet(path)
+    n_before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert n_before >= 32
+    before = sorted(r.doc_id for r in d.collect())
+    n_after = compact_parquet_dir(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert n_after < n_before
+    got = spark.read.parquet(path)
+    assert sorted(r.doc_id for r in got.collect()) == before
+    assert set(got.columns) == set(d.columns)
