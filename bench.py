@@ -50,16 +50,29 @@ def main() -> None:
     # Warmup: JVM JIT + codegen + parquet footer caches.
     run(specs["q_window_hourly_agg"].fn(spark, SF_DIR))
 
-    # min-of-2: the local JVM shows rare multi-second scheduler/JIT stalls
-    # on repeated single-task stages; min is the standard robust estimator.
-    timings: dict[str, float] = {}
-    for key in sorted(specs):
-        best = float("inf")
-        for _ in range(2):
+    # Two INTERLEAVED full passes, min per key. Back-to-back per-key reps
+    # share any sustained host stall window (measured 2026-08-14 on the
+    # shared container: q_embed_neardup 5→33 s across full runs with zero
+    # code change — both adjacent reps inside the window, so plain
+    # min-of-2 kept 33 s); a key's two passes here run minutes apart, so a
+    # stall window hits different keys in each pass and the min cancels
+    # it (min is safe under additive noise — it never underestimates).
+    # Total cost identical to per-key min-of-2.
+    passes: dict[str, list[float]] = {k: [] for k in specs}
+    for _ in range(2):
+        for key in sorted(specs):
             t0 = time.perf_counter()
             run(specs[key].fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[key] = round(best, 4)
+            passes[key].append(time.perf_counter() - t0)
+    # Targeted third rep where the two passes STILL disagree >2× on a
+    # non-trivial key (stall window spanned both passes for that key).
+    for key in sorted(specs):
+        reps = passes[key]
+        if min(reps) > 1.0 and max(reps) > 2.0 * min(reps):
+            t0 = time.perf_counter()
+            run(specs[key].fn(spark, SF_DIR))
+            reps.append(time.perf_counter() - t0)
+    timings = {k: round(min(v), 4) for k, v in passes.items()}
 
     total = round(sum(timings.values()), 4)
     sf = sf_from_dir(SF_DIR)
