@@ -1281,3 +1281,34 @@ def q_posexplode(spark, sf_dir):
     return d.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "term")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+
+
+@register(
+    "q_sql_entry",
+    """SELECT event_type,
+              count(*) AS n_events,
+              sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+              max(ts) AS last_ts
+       FROM events GROUP BY event_type""",
+    "SQL-STRING entry point (SURVEY §3.3 — the reference's "
+    "verify_gold_layer_data.py runs spark.sql over a metastore table): "
+    "the fixture is registered as a temp view and the query goes through "
+    "ANTLR parse → analyzer resolution → the SAME Catalyst/Tungsten "
+    "pipeline as the DataFrame API — one engine, two front ends. The SQL "
+    "text is dialect-shared with the DuckDB oracle verbatim. Per-call "
+    "unique view name so concurrent sessions/benches never collide; plan "
+    "shape (partial+final hash agg over one exchange) pinned in "
+    "tests/test_plans.py equals the DataFrame twin's.",
+)
+def q_sql_entry(spark, sf_dir):
+    import uuid
+
+    name = f"events_sqlentry_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "events").createOrReplaceTempView(name)
+    return spark.sql(
+        f"""SELECT event_type,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+                   max(ts) AS last_ts
+            FROM {name} GROUP BY event_type"""
+    )

@@ -60,7 +60,7 @@ def check_priority() -> tuple[str, ...]:
     Levenshtein near-dup, stratified sample, percentile_cont, salted
     skew agg, rollup re-agg, hyperplane LSH, gap-fill spine,
     posexplode, JSONL round-trip, decontamination, dataset mix,
-    ORC/CSV round-trips), (c) ALL 12 keys whose latest check is
+    ORC/CSV round-trips, the spark.sql entry), (c) ALL 12 keys whose latest check is
     still round 2 (pre-NTZ-change, argued timestamp-free at
     registry-level but rotated here for a clean board),
     (d) round-3-checked keys in registration order to fill the 50-slot
@@ -76,13 +76,13 @@ def check_priority() -> tuple[str, ...]:
         "q_percentile_cont", "q_skew_salted_agg", "q_rollup_reagg",
         "q_lsh_hyperplane", "q_gapfill_spine", "q_posexplode",
         "q_jsonl_roundtrip", "q_decontaminate", "q_dataset_mix",
-        "q_orc_roundtrip", "q_csv_roundtrip",
+        "q_orc_roundtrip", "q_csv_roundtrip", "q_sql_entry",
         # (c) latest driver check = round 2
         "q_agg_cube", "q_cosine_topk", "q_doc_fingerprint", "q_exact_dedup",
         "q_frame_sample", "q_lang_id", "q_ngram_jaccard", "q_quality_score",
         "q_simhash_neardup", "q_text_stats", "q_token_count",
-        # (d) latest driver check = round 3, registration order (first 15
-        # fill the window after (a)+(b)+(c) = 35; the rest roll to round 6)
+        # (d) latest driver check = round 3, registration order (first 14
+        # fill the window after (a)+(b)+(c) = 36; the rest roll to round 6)
         "q_cast_project", "q_json_parse", "q_stream_dedup", "q_watermark",
         "q_output_complete", "q_rank", "q_lag_lead", "q_running_sum",
         "q_agg_rollup", "q_grouping_sets", "q_tpch_q3", "q_tpch_q6",

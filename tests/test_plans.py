@@ -378,3 +378,12 @@ def test_dataset_mix_is_narrow_map(spark):
     plan = _plan(spark, "q_dataset_mix")
     assert "hashpartitioning(" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_sql_entry_plans_like_dataframe_agg(spark):
+    """The SQL-string front end must produce the same partial+final hash
+    aggregate shape as the DataFrame API — one engine, two parsers."""
+    plan = _plan(spark, "q_sql_entry")
+    assert "partial_" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "hashpartitioning(" in plan, plan
