@@ -4,7 +4,9 @@ extensions — "credible analytics engine over the star-schema fixtures").
 Q1/Q3/Q4/Q6/Q14 live in queries.py / queries_olap.py; this module adds the
 rest of the classic join/agg shapes, adapted to the fixture schema:
 
-- There is NO ``partsupp`` table ⇒ Q2/Q11 are out of scope; Q9 uses
+- There is NO ``partsupp`` table ⇒ Q2/Q11 run over a DERIVED partsupp
+  (deterministic mod-8 bucket join of part×supplier with LCG-derived
+  integer qty/cost — see the round-5 section below); Q9 uses
   ``p_retailprice`` as the unit-cost proxy; Q16/Q20 derive part↔supplier
   pairs from ``lineitem``.
 - ``lineitem`` has no commit/receipt dates or ship modes ⇒ Q12 keeps the
@@ -654,4 +656,159 @@ def q_tpch_q22(spark, sf_dir):
                 "totacctbal"
             ),
         )
+    )
+
+
+# =========================================================================
+# Q2 / Q11 over a DERIVED partsupp (round 5)
+#
+# The fixture set has no partsupp table; rather than leave the two classic
+# partsupp kernels unimplemented, both engines derive the SAME deterministic
+# part↔supplier relation in-plan: supplier s supplies part p iff their keys
+# agree mod 8 (an equi-join on the computed bucket — never a cross join),
+# with integer availqty/supplycost as fixed linear-congruential functions of
+# the key pair. The derivation is the documented stand-in for a fixture
+# gap, not a TPC-H-spec partsupp; the JOIN/AGG SHAPES of Q2 (per-group
+# argmin via window over a 4-way dim join) and Q11 (group value vs a
+# global scalar threshold) are exactly the classic ones.
+# =========================================================================
+
+_PARTSUPP_SQL = """
+    SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+           (p_partkey * 7 + s_suppkey * 13) % 9999 + 1 AS ps_availqty,
+           (p_partkey * 31 + s_suppkey * 17) % 100000 + 100
+               AS ps_supplycost_cents
+    FROM part JOIN supplier ON p_partkey % 8 = s_suppkey % 8
+"""
+
+
+def _derived_partsupp(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_partkey") % 8).alias("__b")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", (F.col("s_suppkey") % 8).alias("__b")
+    )
+    return p.join(s, "__b").select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("s_suppkey").alias("ps_suppkey"),
+        ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 13) % 9999 + 1).alias(
+            "ps_availqty"
+        ),
+        (
+            (F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 100000 + 100
+        ).alias("ps_supplycost_cents"),
+    )
+
+
+@register(
+    "q_tpch_q2",
+    f"""WITH ps AS ({_PARTSUPP_SQL}),
+       eu AS (
+         SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents,
+                s.s_name, s.s_acctbal, n.n_name
+         FROM ps
+         JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey
+         WHERE r.r_name = 'EUROPE'
+       ), j AS (
+         SELECT p.p_partkey, p.p_brand, p.p_type, eu.*,
+                min(eu.ps_supplycost_cents) OVER (PARTITION BY p.p_partkey)
+                    AS __mn
+         FROM part p JOIN eu ON eu.ps_partkey = p.p_partkey
+         WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+       )
+       SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+              ps_supplycost_cents
+       FROM j WHERE ps_supplycost_cents = __mn
+       ORDER BY s_acctbal DESC, s_name, p_partkey, ps_suppkey
+       LIMIT 100""",
+    "TPC-H Q2 shape (minimum-cost supplier): for every size-15 ECONOMY "
+    "part, the EUROPE supplier(s) offering the minimum supply cost — the "
+    "classic correlated-scalar-subquery kernel, decorrelated into a "
+    "per-part window min over the 4-way dim join (supplier⋈nation⋈region "
+    "broadcast; one shuffle on p_partkey shared by window and argmin "
+    "filter). LIMIT 100 under a unique total order (acctbal DESC, name, "
+    "part, supplier) → TakeOrderedAndProject. partsupp is the derived "
+    "stand-in documented above.",
+)
+def q_tpch_q2(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ps = _derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    eu = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    j = p.join(eu, p.p_partkey == eu.ps_partkey)
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("__mn", F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("__mn"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost_cents",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "s_name", "p_partkey",
+            # ps_suppkey is projected out; s_name is unique per supplier in
+            # the fixture, so (acctbal, name, part) is already total — the
+            # extra key exists only in the oracle's ORDER BY where it is
+            # equally redundant.
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q11",
+    f"""WITH ps AS ({_PARTSUPP_SQL}),
+       de AS (
+         SELECT ps.ps_partkey,
+                ps.ps_supplycost_cents * ps.ps_availqty AS v
+         FROM ps
+         JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE n.n_name = 'NATION_7'
+       ), grouped AS (
+         SELECT ps_partkey, sum(v) AS value_cents FROM de GROUP BY ps_partkey
+       ), total AS (SELECT sum(v) AS t FROM de)
+       SELECT g.ps_partkey, g.value_cents
+       FROM grouped g, total
+       WHERE g.value_cents * 2000 > total.t""",
+    "TPC-H Q11 shape (important stock): per-part inventory value held by "
+    "one nation's suppliers (NATION_7 — the fixture's synthetic names), keeping parts whose value exceeds 1/2000 of the "
+    "national total — group aggregate HAVING a GLOBAL scalar threshold. "
+    "The scalar is a one-row aggregate cross-joined (broadcast) into the "
+    "filter, the exact decorrelation Spark and DuckDB both plan; the "
+    "comparison is integer×integer vs integer (no fraction literal, no "
+    "float) so the threshold is bit-exact. value = cost_cents × qty stays "
+    "< 2^54 at any fixture SF. partsupp is the derived stand-in.",
+)
+def q_tpch_q11(spark, sf_dir):
+    ps = _derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    de = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    grouped = de.groupBy("ps_partkey").agg(F.sum("v").alias("value_cents"))
+    total = de.agg(F.sum("v").alias("t"))
+    return (
+        grouped.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 2000 > F.col("t"))
+        .select("ps_partkey", "value_cents")
     )

@@ -60,7 +60,8 @@ def check_priority() -> tuple[str, ...]:
     Levenshtein near-dup, stratified sample, percentile_cont, salted
     skew agg, rollup re-agg, hyperplane LSH, gap-fill spine,
     posexplode, JSONL round-trip, decontamination, dataset mix,
-    ORC/CSV round-trips, the spark.sql entry), (c) ALL 12 keys whose latest check is
+    ORC/CSV round-trips, the spark.sql entry, derived-partsupp
+    Q2/Q11), (c) ALL 12 keys whose latest check is
     still round 2 (pre-NTZ-change, argued timestamp-free at
     registry-level but rotated here for a clean board),
     (d) round-3-checked keys in registration order to fill the 50-slot
@@ -77,12 +78,13 @@ def check_priority() -> tuple[str, ...]:
         "q_lsh_hyperplane", "q_gapfill_spine", "q_posexplode",
         "q_jsonl_roundtrip", "q_decontaminate", "q_dataset_mix",
         "q_orc_roundtrip", "q_csv_roundtrip", "q_sql_entry",
+        "q_tpch_q2", "q_tpch_q11",
         # (c) latest driver check = round 2
         "q_agg_cube", "q_cosine_topk", "q_doc_fingerprint", "q_exact_dedup",
         "q_frame_sample", "q_lang_id", "q_ngram_jaccard", "q_quality_score",
         "q_simhash_neardup", "q_text_stats", "q_token_count",
-        # (d) latest driver check = round 3, registration order (first 14
-        # fill the window after (a)+(b)+(c) = 36; the rest roll to round 6)
+        # (d) latest driver check = round 3, registration order (first 12
+        # fill the window after (a)+(b)+(c) = 38; the rest roll to round 6)
         "q_cast_project", "q_json_parse", "q_stream_dedup", "q_watermark",
         "q_output_complete", "q_rank", "q_lag_lead", "q_running_sum",
         "q_agg_rollup", "q_grouping_sets", "q_tpch_q3", "q_tpch_q6",

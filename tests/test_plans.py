@@ -387,3 +387,20 @@ def test_sql_entry_plans_like_dataframe_agg(spark):
     assert "partial_" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "hashpartitioning(" in plan, plan
+
+
+def test_tpch_q2_shape(spark):
+    """Derived partsupp must be an equi-join on the mod bucket (no
+    cartesian), dims broadcast, and the LIMIT a TakeOrderedAndProject."""
+    plan = _plan(spark, "q_tpch_q2")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q11_broadcasts_scalar_threshold(spark):
+    plan = _plan(spark, "q_tpch_q11")
+    assert "CartesianProduct" not in plan, plan
+    # the 1-row global total joins via broadcast nested loop or broadcast
+    # hash; what must NOT happen is a shuffle of `grouped` against it
+    assert "partial_" in plan, plan
