@@ -62,8 +62,12 @@ def grouped_minmax_normalize(
         return spanned.select(
             *id_cols,
             key_col,
+            # NULL cents stay NULL even in a constant group (the bare
+            # mx=mn→0 arm would mint a 0 for them), keeping both engines
+            # NULL-identical.
             F.expr(
-                f"CASE WHEN __mx = __mn THEN 0L "
+                f"CASE WHEN __c IS NULL THEN CAST(NULL AS BIGINT) "
+                f"WHEN __mx = __mn THEN 0L "
                 f"ELSE (__c - __mn) * {int(scale)} DIV (__mx - __mn) END"
             ).alias(out_col),
         )
@@ -78,13 +82,20 @@ def grouped_minmax_normalize(
         def norm(pdf):
             import pandas as pd
 
-            c = pdf["__c"].astype("int64")
+            # Nullable Int64 (not int64): Arrow delivers NULL cents as NaN
+            # in a float column, and plain astype("int64") would crash on
+            # it. With Int64, NA propagates through the arithmetic and
+            # comes back out as SQL NULL — matching the window engine,
+            # whose min/max skip NULLs and whose expression yields NULL
+            # for the NULL row (engine equality incl. NULLs is pinned in
+            # tests/test_extensions.py).
+            c = pdf["__c"].astype("Int64")
             lo, hi = c.min(), c.max()
-            span = hi - lo
+            span = (hi - lo) if pd.notna(hi) else None
             nb = (c - lo) * scale // span if span else c * 0
             out = {col: pdf[col] for col in id_cols}
             out[key_col] = pdf[key_col]
-            out[out_col] = nb.astype("int64")
+            out[out_col] = nb.astype("Int64")
             return pd.DataFrame(out)
 
         return base.groupBy(key_col).applyInPandas(norm, out_schema)

@@ -1234,9 +1234,9 @@ def q_stream_stream_join(spark, sf_dir):
     "frozen, outer rows never emit). Oracle = the plain batch LEFT JOIN.",
 )
 def q_stream_stream_join_outer(spark, sf_dir):
+    import os
     import tempfile
     import uuid
-    from datetime import timedelta, timezone
 
     from pyspark.sql import types
 
@@ -1250,8 +1250,11 @@ def q_stream_stream_join_outer(spark, sf_dir):
         "event_id", "user_id", "ts"
     )
     # One driver scalar (max event time) to place the sentinels — iteration
-    # control, not data movement.
-    max_ts = ev.agg(F.max("ts")).first()[0]
+    # control, not data movement. Collected as EPOCH MICROS, never as a
+    # Python datetime (see the sentinel-write comment below).
+    max_us = ev.agg(
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("us")
+    ).first()[0]
     work = tempfile.mkdtemp(prefix="ssjout_")
     cdir, vdir = f"{work}/clicks", f"{work}/views"
     clicks_b.coalesce(1).write.parquet(cdir)
@@ -1297,7 +1300,16 @@ def q_stream_stream_join_outer(spark, sf_dir):
             # 1-row createDataFrame→write while the streaming query holds
             # the scheduler costs seconds per append (measured ~4.5 s);
             # pq.write_table is microseconds and the file source only cares
-            # that a new file appears.
+            # that a new file appears. Two hazards are designed around:
+            # (a) timestamps are carried as EPOCH MICROS end-to-end —
+            # collecting a Python datetime would round-trip through the
+            # DRIVER's OS timezone (TimestampType.fromInternal uses
+            # fromtimestamp), so re-stamping it UTC on a non-UTC host
+            # would shift the sentinel hours BEFORE the real max event
+            # time and the outer rows would silently never flush;
+            # (b) files are written OUTSIDE the monitored directory and
+            # os.rename'd in (atomic on the same FS), so the polling file
+            # source can never list a half-written footer.
             import pyarrow as pa
             import pyarrow.parquet as pq
 
@@ -1307,15 +1319,19 @@ def q_stream_stream_join_outer(spark, sf_dir):
                 [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", pa_ts)]
             )
             for hours, uid in ((1, -1), (2, -2)):
-                sentinel_ts = max_ts + timedelta(hours=hours)
-                if not ntz:
-                    sentinel_ts = sentinel_ts.replace(tzinfo=timezone.utc)
+                sentinel_us = max_us + hours * 3_600_000_000
                 tbl = pa.table(
-                    {"event_id": [-1], "user_id": [uid], "ts": [sentinel_ts]},
+                    {
+                        "event_id": pa.array([-1], pa.int64()),
+                        "user_id": pa.array([uid], pa.int64()),
+                        "ts": pa.array([sentinel_us], pa.int64()).cast(pa_ts),
+                    },
                     schema=pa_schema,
                 )
                 for path in (cdir, vdir):
-                    pq.write_table(tbl, f"{path}/sentinel-{hours}.parquet")
+                    staged = f"{work}/stage-{hours}-{os.path.basename(path)}.parquet"
+                    pq.write_table(tbl, staged)
+                    os.rename(staged, f"{path}/sentinel-{hours}.parquet")
                 q.processAllAvailable()
         finally:
             q.stop()
@@ -1602,7 +1618,7 @@ def q_pii_redact(spark, sf_dir):
     """WITH c AS (
          SELECT doc_id, text FROM documents
          UNION ALL
-         SELECT doc_id + 1000000,
+         SELECT doc_id + 7000000,
                 substr(text, 1, greatest(len(text) - 8, 1))
          FROM documents WHERE doc_id % 7 = 0
        )
@@ -1616,8 +1632,9 @@ def q_pii_redact(spark, sf_dir):
     "shingle Jaccard under-detects): prefix BLOCKING — equi-join on the "
     "first 40 chars — bounds candidates, then exact Levenshtein <= 24 "
     "verifies. Synthetic near-dups are every 7th doc with its last 8 chars "
-    "chopped (id + 1e6 band, collision-guarded in-plan like "
-    "q_dup_clusters). Scale: the O(len^2) DP runs ONLY on blocked "
+    "chopped (id + 7e6 band — 7e6 ≡ 0 mod 7, so any REAL doc whose id "
+    "falls in the collision band is itself in the guarded %7 branch and "
+    "raises; a 1e6 band would be unsound here since 1e6 % 7 = 1). Scale: the O(len^2) DP runs ONLY on blocked "
     "candidate pairs — one hash shuffle on the 40-char prefix, never "
     "all-pairs; at 100 TB the block key would be hashed "
     "(md5(prefix)) to keep exchange rows narrow. Levenshtein itself is "
@@ -1626,11 +1643,11 @@ def q_pii_redact(spark, sf_dir):
 def q_levenshtein_neardup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
     guarded_id = F.when(
-        F.col("doc_id") < 1_000_000, F.col("doc_id") + 1_000_000
+        F.col("doc_id") < 7_000_000, F.col("doc_id") + 7_000_000
     ).otherwise(
         F.raise_error(
             F.lit(
-                "q_levenshtein_neardup: doc_id >= 1_000_000 collides with "
+                "q_levenshtein_neardup: doc_id >= 7_000_000 collides with "
                 "the synthetic near-dup id band — re-derive the offset"
             )
         ).cast("long")

@@ -1205,7 +1205,7 @@ def q_rollup_reagg(spark, sf_dir):
                 sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
                 count(*) AS n_events
          FROM events
-         WHERE event_type = 'purchase' AND value >= 450.0
+         WHERE event_type = 'purchase' AND value >= 300.0
          GROUP BY 1
        ), b AS (
          SELECT date_trunc('hour', min(ts)) AS mn,
@@ -1220,7 +1220,8 @@ def q_rollup_reagg(spark, sf_dir):
               coalesce(h.n_events, 0) AS n_events
        FROM spine s LEFT JOIN h USING (hour_ts)""",
     "Time-series GAP FILLING: a sparse hourly series (high-value "
-    "purchases — most hours have none) is joined onto a dense calendar "
+    "purchases — a handful of matched hours even at sf0.01, so the "
+    "join's MATCH path is oracle-exercised, not just the zero fill) is joined onto a dense calendar "
     "spine generated with sequence()/explode between the data's own "
     "min/max hour, absent hours zero-filled — the densification step "
     "before any rolling-window model sees the series. Scale shape: the "
@@ -1234,7 +1235,7 @@ def q_rollup_reagg(spark, sf_dir):
 def q_gapfill_spine(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     hourly = (
-        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 450.0))
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 300.0))
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
         .agg(
             F.sum(cents(F.col("value"))).alias("total_cents"),

@@ -61,9 +61,10 @@ def check_priority() -> tuple[str, ...]:
     skew agg, rollup re-agg, hyperplane LSH, gap-fill spine,
     posexplode, JSONL round-trip, decontamination, dataset mix,
     ORC/CSV round-trips, the spark.sql entry, derived-partsupp
-    Q2/Q11), (c) ALL 12 keys whose latest check is
-    still round 2 (pre-NTZ-change, argued timestamp-free at
-    registry-level but rotated here for a clean board),
+    Q2/Q11), (c) the keys whose latest check is
+    still round 2 — 11 listed here, the 12th (q_ann_ivf) sits in (b)
+    because it also changed this round (pre-NTZ-change keys, argued
+    timestamp-free at registry-level but rotated for a clean board),
     (d) round-3-checked keys in registration order to fill the 50-slot
     window. Keys not listed keep registration order afterwards."""
     return (

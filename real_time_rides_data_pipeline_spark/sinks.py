@@ -166,6 +166,22 @@ def compact_parquet_dir(
     repartition) keeps compaction shuffle-free; if downstream needs
     clustering by key, that's a layout decision for repartitionByRange at
     WRITE time, not for the compactor."""
+    # Refuse Hive-partitioned layouts: reading key=value subdirs folds the
+    # partition column into the data and the rewrite would FLATTEN the
+    # layout, silently breaking directory pruning for every consumer.
+    # Compact those per-partition (or via Delta OPTIMIZE, which is
+    # layout-aware).
+    part_dirs = [
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"compact_parquet_dir: {path} is Hive-partitioned "
+            f"({part_dirs[:3]}...); compact each partition directory "
+            "instead — a flat rewrite would destroy the partitioning"
+        )
     df = spark.read.parquet(path)
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))
@@ -178,7 +194,11 @@ def compact_parquet_dir(
     df.coalesce(n_files).write.parquet(tmp)
     old = f"{path}__old_{uuid.uuid4().hex}"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # roll back — never leave `path` missing
+        raise
     shutil.rmtree(old)
     return sum(
         1

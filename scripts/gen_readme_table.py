@@ -43,7 +43,11 @@ def main() -> None:
     )
     readme = re.sub(
         r"\| Key \| Oracle \| What it covers \|\n\|---\|---\|---\|\n(\|.*\|\n?)+",
-        table + "\n",
+        # callable replacement: doc text must be spliced LITERALLY — as a
+        # template string, a doc containing \s or \g<...> (regexes are
+        # quoted in several docstrings) would crash re.sub or inject group
+        # references into README.md
+        lambda _m: table + "\n",
         readme,
     )
     (ROOT / "README.md").write_text(readme)

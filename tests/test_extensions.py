@@ -274,6 +274,34 @@ def test_grouped_normalize_engines_agree(spark):
     assert len(win) == ev.count()
 
 
+def test_grouped_normalize_engines_agree_on_nulls(spark):
+    """NULL values must come out NULL from BOTH engines — including inside
+    a constant group, where the mx=mn→0 CASE arm would otherwise mint a 0
+    (window) while pandas Int64 NA propagates (grouped_map); and an
+    all-NULL group must not crash the Arrow int conversion."""
+    from real_time_rides_data_pipeline_spark.operators.normalize import (
+        grouped_minmax_normalize,
+    )
+
+    rows = [
+        (1, 10, 1.0), (2, 10, 3.0), (3, 10, None),   # mixed group
+        (4, 20, 7.0), (5, 20, 7.0), (6, 20, None),   # constant group + NULL
+        (7, 30, None),                                # all-NULL group
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    win = {
+        tuple(r) for r in grouped_minmax_normalize(df, engine="window").collect()
+    }
+    gm = {
+        tuple(r)
+        for r in grouped_minmax_normalize(df, engine="grouped_map").collect()
+    }
+    assert win == gm
+    by_id = {r[0]: r[2] for r in win}
+    assert by_id[3] is None and by_id[6] is None and by_id[7] is None
+    assert by_id[1] == 0 and by_id[2] == 10000 and by_id[4] == 0
+
+
 def test_hyperplane_planes_distinct_and_balanced():
     """The deterministic plane family must not collapse (the naive parity
     of an odd-prime linear form makes all same-parity planes identical)."""
