@@ -218,3 +218,65 @@ def test_rollup_reagg_mergeability(spark, rows):
     assert sorted(map(tuple, via_minute.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+@settings(**SETTINGS)
+@given(
+    seeds=st.lists(st.integers(0, 2**31 - 1), min_size=2, max_size=5),
+    dup_idx=st.integers(0, 4),
+)
+def test_lsh_always_recalls_exact_duplicate_vectors(spark, seeds, dup_idx):
+    """An exact-duplicate embedding pair has identical sign signatures in
+    EVERY band, so hyperplane LSH must always recall it (recall loss only
+    applies to near-but-not-identical pairs)."""
+    from real_time_rides_data_pipeline_spark.operators.similarity import (
+        hyperplane_lsh_pairs_above,
+    )
+
+    def vec(seed: int) -> list[float]:
+        # deterministic non-zero vector from the seed, no RNG
+        return [((seed * 31 + d * 17) % 1000) / 1000.0 + 0.001 for d in range(64)]
+
+    rows = [(i, vec(s)) for i, s in enumerate(seeds)]
+    dup_src = rows[dup_idx % len(rows)]
+    rows.append((len(rows), dup_src[1]))  # exact duplicate, new id
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in hyperplane_lsh_pairs_above(df, threshold=0.99).collect()
+    }
+    assert (dup_src[0], len(rows) - 1) in got, got
+
+
+@settings(**SETTINGS)
+@given(gram_words=st.integers(8, 12), n_docs=st.integers(2, 6))
+def test_decontaminate_flags_doc_containing_eval_gram(spark, gram_words, n_docs):
+    """Constructive guarantee: a training doc that literally contains an
+    8-word span of an eval doc is always flagged — pins the shingle
+    window arithmetic against off-by-one regressions."""
+    from real_time_rides_data_pipeline_spark.functions.text import word_shingles
+    from pyspark.sql import functions as F
+
+    eval_text = " ".join(f"ev{i}" for i in range(gram_words))
+    # training docs: one embeds the first 8 eval words mid-sentence,
+    # the rest are disjoint vocab
+    contaminated = "pre filler " + " ".join(f"ev{i}" for i in range(8)) + " post"
+    docs = [(0, contaminated)] + [
+        (i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(1, n_docs)
+    ]
+    train = spark.createDataFrame(docs, "doc_id long, text string")
+    egrams = spark.createDataFrame([(eval_text,)], "text string").select(
+        F.explode(word_shingles(F.col("text"), 8)).alias("g")
+    )
+    flagged = {
+        r.doc_id
+        for r in train.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), 8)).alias("g")
+        )
+        .join(egrams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert 0 in flagged
+    assert flagged == {0}
