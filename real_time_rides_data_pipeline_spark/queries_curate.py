@@ -1,0 +1,384 @@
+"""Corpus-curation + modern-SQL-surface extensions (round 5 additions).
+
+Same registry contract as queries.py / queries_ext.py (SURVEY.md §2.9 scope:
+LLM-data-pipeline operators mandated by BASELINE.json). Determinism rules
+(SURVEY §7.4) throughout: exact integer cents / counts, floor-truncated
+ratios, every tie broken by a total order, no engine-local rounding.
+
+Scale notes (100 TB):
+- Every key here is either a narrow map over the scan (variant/url/bytes),
+  one hash-shuffle on an explicit key (pack/zorder/dominant-token), or a
+  two-level agg with a broadcast stats join (zscore). No all-pairs work,
+  no driver-side data collects, no per-row Python except the single
+  Arrow-batched ``mapInArrow`` demonstrator.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from real_time_rides_data_pipeline_spark.functions import text as X
+from real_time_rides_data_pipeline_spark.functions.precision import cents
+from real_time_rides_data_pipeline_spark.registry import _t, register
+
+# =========================================================================
+# Modern SQL surface: VARIANT JSON, LATERAL subquery
+# =========================================================================
+
+
+@register(
+    "q_variant_json",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+       FROM events
+       WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50""",
+    "Semi-structured access through Spark 4's VARIANT type: parse_json once "
+    "into the binary variant encoding, then typed variant_get extraction — "
+    "the engine shreds the variant at parse time so repeated path access "
+    "never re-parses the JSON text (vs get_json_object which re-parses per "
+    "call). Narrow map over the scan, filter pushed onto the extracted "
+    "value. Reference stores raw JSON strings end-to-end "
+    "(01_bronze_realtime_rides.py:73-76); this is the modern typed upgrade.",
+)
+def q_variant_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return ev.select("event_id", k.alias("k_val")).filter(F.col("k_val") >= 50)
+
+
+@register(
+    "q_lateral_topk",
+    """SELECT c.c_custkey, c.c_mktsegment,
+              o.o_orderkey AS top_orderkey,
+              CAST(round(o.o_totalprice * 100) AS BIGINT) AS top_price_cents
+       FROM customer c,
+            LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_custkey = c.c_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o""",
+    "Correlated LATERAL subquery with ORDER BY + LIMIT (top-1 order per "
+    "customer) through the SQL front end. Catalyst DECORRELATES this — the "
+    "plan is a window-rank/aggregate over one shuffle, not a per-customer "
+    "nested loop — so the SQL-dialect convenience costs nothing at scale. "
+    "Price tiebreak on o_orderkey gives a total order; cents keep the "
+    "compared value exact.",
+)
+def q_lateral_topk(spark, sf_dir):
+    cust = f"cust_lat_{uuid.uuid4().hex[:8]}"
+    orders = f"ord_lat_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(cust)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(orders)
+    return spark.sql(
+        f"""SELECT c.c_custkey, c.c_mktsegment,
+                   o.o_orderkey AS top_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS top_price_cents
+            FROM {cust} c,
+                 LATERAL (SELECT o_orderkey, o_totalprice FROM {orders}
+                          WHERE o_custkey = c.c_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o"""
+    )
+
+
+# =========================================================================
+# Corpus curation: URL parsing, sequence packing, dominant token
+# =========================================================================
+
+
+@register(
+    "q_url_extract",
+    """SELECT doc_id,
+              regexp_extract(url, '^https?://([^/]+)', 1) AS url_host,
+              regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS url_path,
+              regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS url_lang
+       FROM (SELECT doc_id,
+                    'https://' || source || '.example.com/' || lang || '/'
+                        || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+             FROM documents)""",
+    "URL decomposition (host / path / query-param) via Spark's built-in "
+    "parse_url — the first step of every web-corpus curation pass (domain "
+    "blocklists, per-host dedup, site-level quality priors). The fixture "
+    "has no real URLs, so a deterministic URL is synthesized from "
+    "(source, lang, doc_id) and then parsed back; the DuckDB oracle uses "
+    "the equivalent regexes, pinning parse_url's host/path/query semantics. "
+    "Pure JVM narrow map — streams through the scan at any corpus size.",
+)
+def q_url_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("url_host"),
+        F.parse_url(url, F.lit("PATH")).alias("url_path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("url_lang"),
+    )
+
+
+@register(
+    "q_sequence_pack",
+    """WITH t AS (SELECT doc_id % 8 AS shard, doc_id,
+                         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+                  FROM documents),
+            c AS (SELECT shard, doc_id, n_tok,
+                         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+                             AS cum
+                  FROM t)
+       SELECT shard, CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+              count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+       FROM c GROUP BY shard, pack_id""",
+    "Training-sequence packing: assign documents to fixed token-budget "
+    "packs (2048 tokens) by running offset — the step that turns a shuffled "
+    "corpus into dense model contexts. A single GLOBAL cumulative sum would "
+    "serialize the whole corpus through one partition, so packing is "
+    "sharded: shard = doc_id % 8, cumsum per shard (at 100 TB: thousands of "
+    "shards, each an independent in-partition running sum after ONE hash "
+    "shuffle). A doc whose offset crosses a 2048 boundary starts its pack "
+    "(packs can overflow the budget by less than one doc — the standard "
+    "greedy-packing contract; exact bin packing is NP-hard and "
+    "order-destroying).",
+)
+def q_sequence_pack(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    t = d.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    # offsets are exact integers far below 2^52, so floor(double/2048) is
+    # exact (functions.precision module docstring, fact 2)
+    return (
+        c.withColumn(
+            "pack_id", F.floor((F.col("cum") - F.col("n_tok")) / 2048).cast("long")
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("pack_tokens"),
+        )
+    )
+
+
+@register(
+    "q_dominant_token",
+    """WITH cnt AS (SELECT doc_id, tok, count(*) AS c
+                    FROM (SELECT doc_id,
+                                 unnest(string_split_regex(trim(text), '\\s+'))
+                                     AS tok
+                          FROM documents)
+                    GROUP BY doc_id, tok),
+            tot AS (SELECT doc_id, tok, c,
+                           sum(c) OVER (PARTITION BY doc_id) AS n_tokens,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY c DESC, tok) AS rn
+                    FROM cnt)
+       SELECT doc_id, tok AS top_token, CAST(c AS BIGINT) AS top_count,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(floor(c * 1000000.0 / n_tokens) AS BIGINT) AS top_ppm
+       FROM tot WHERE rn = 1""",
+    "Dominant-token ratio per document (boilerplate / template detection: a "
+    "single token carrying a large share of the doc is a classic junk "
+    "signal, complementary to the shingle-level q_repetition_score). "
+    "explode → two-level hash agg on (doc_id, token) → per-doc argmax via "
+    "row_number with a (count DESC, token ASC) total order. Both shuffles "
+    "key on doc_id(+token) — at 100 TB this is the canonical scalable "
+    "wordcount shape, no skew beyond the largest single document.",
+)
+def q_dominant_token(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    cnt = (
+        d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wd = Window.partitionBy("doc_id")
+    wr = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("tok"))
+    tot = cnt.select(
+        "doc_id",
+        "tok",
+        "c",
+        F.sum("c").over(wd).alias("n_tokens"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return tot.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("tok").alias("top_token"),
+        F.col("c").cast("long").alias("top_count"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("c") * 1000000.0 / F.col("n_tokens"))
+        .cast("long")
+        .alias("top_ppm"),
+    )
+
+
+# =========================================================================
+# Exact-arithmetic outlier detection (z-score without float hazards)
+# =========================================================================
+
+
+@register(
+    "q_zscore_outlier",
+    """WITH t AS (SELECT event_type,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+            g AS (SELECT event_type, count(*) AS n,
+                         sum(v) AS s, sum(v * v) AS q
+                  FROM t GROUP BY event_type)
+       SELECT t.event_type,
+              CAST(g.n AS BIGINT) AS n_total,
+              CAST(sum(CASE WHEN (g.n * t.v - g.s) * (g.n * t.v - g.s)
+                                 > 4 * (g.n * g.q - g.s * g.s)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              CAST(sum(CASE WHEN (g.n * t.v - g.s) * (g.n * t.v - g.s)
+                                 > 4 * (g.n * g.q - g.s * g.s)
+                            THEN t.v ELSE 0 END) AS BIGINT) AS outlier_cents
+       FROM t JOIN g USING (event_type)
+       GROUP BY t.event_type, g.n""",
+    "Per-group |z| > 2 outlier detection with EXACT integer arithmetic: the "
+    "float z-score z = (v-mean)/stddev is engine-unstable (summation order, "
+    "sqrt ulp), but z^2 > 4 is algebraically (n*v - s)^2 > 4*(n*q - s^2) "
+    "over integer cents — every term exact, no mean, no sqrt, no division. "
+    "Intermediates are decimal(38,0) (Spark) / HUGEINT (DuckDB): at 1e12 "
+    "rows per group with 7-digit cents the largest term is ~1e38 — full "
+    "100 TB headroom. Plan: one partial+final hash agg for the 4-row stats "
+    "frame, broadcast back onto the scan, one final agg — the same "
+    "two-pass shape any distributed stddev takes.",
+)
+def q_zscore_outlier(spark, sf_dir):
+    dec = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select("event_type", cents(F.col("value")).alias("v"))
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+    )
+    j = t.join(F.broadcast(g), "event_type")
+    lhs = (F.col("n").cast(dec) * F.col("v").cast(dec) - F.col("s").cast(dec))
+    rhs = F.lit(4).cast(dec) * (
+        F.col("n").cast(dec) * F.col("q").cast(dec)
+        - F.col("s").cast(dec) * F.col("s").cast(dec)
+    )
+    is_out = (lhs * lhs) > rhs
+    return j.groupBy("event_type", "n").agg(
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.sum(F.when(is_out, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("outlier_cents"),
+    ).select(
+        "event_type",
+        F.col("n").alias("n_total"),
+        "n_outliers",
+        "outlier_cents",
+    )
+
+
+# =========================================================================
+# Arrow-native metadata pass (mapInArrow — the zero-copy Python surface)
+# =========================================================================
+
+
+@register(
+    "q_arrow_bytes",
+    """SELECT doc_id,
+              CAST(strlen(text) AS BIGINT) AS n_bytes,
+              CAST(length(text) AS BIGINT) AS n_chars
+       FROM documents""",
+    "Arrow-native metadata extraction via mapInArrow: the Python function "
+    "receives pyarrow RecordBatches and answers with pyarrow compute "
+    "kernels (binary_length = UTF-8 bytes, utf8_length = codepoints) — no "
+    "pandas materialization, no per-row Python, vectorized C++ on both "
+    "sides of the Arrow boundary. This is the fastest Python extension "
+    "surface Spark has (the decode stubs in operators/multimodal.py use "
+    "mapInPandas; this key pins the leaner Arrow-level twin). Narrow map, "
+    "batch-size-bounded memory, embarrassingly parallel at 100 TB.",
+)
+def q_arrow_bytes(spark, sf_dir):
+    import pyarrow as pa
+
+    d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    schema = StructType.fromDDL("doc_id long, n_bytes long, n_chars long")
+
+    def meta(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id").cast(pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_chars"],
+            )
+
+    return d.mapInArrow(meta, schema)
+
+
+# =========================================================================
+# Z-order (Morton) layout — multi-dimensional clustering for data skipping
+# =========================================================================
+
+_ZBITS = 8  # 8 bits per dimension → 16-bit Morton code, 256 top buckets
+
+
+def _z_oracle_sql() -> str:
+    x, y = "(l_partkey % 256)", "(l_suppkey % 256)"
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""WITH t AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y,
+                     ({z}) AS z
+              FROM lineitem)
+       SELECT CAST(z // 256 AS BIGINT) AS z_bucket, count(*) AS n_rows,
+              CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+              CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+       FROM t GROUP BY z_bucket"""
+
+
+@register(
+    "q_zorder_layout",
+    _z_oracle_sql(),
+    "Z-order (Morton) clustering key: interleave the bits of two join/filter "
+    "dimensions so that sorting by ONE derived key co-locates rows that are "
+    "close in BOTH — the layout trick behind multi-dimensional data "
+    "skipping (Delta OPTIMIZE ZORDER BY, reference's storage layer is "
+    "Delta: 03_gold_realtime_rides.py:75). Each 256-row z-bucket covers a "
+    "16x16 (x,y) rectangle — the min/max spans in the output ARE the "
+    "per-file column statistics a scan would prune on; a 1-D sort on "
+    "either dimension would leave the other's span at full width. Bit "
+    "interleave is pure integer arithmetic in whole-stage codegen; one "
+    "hash agg on the bucket.",
+)
+def q_zorder_layout(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    x = (F.col("l_partkey") % 256).cast("int")
+    y = (F.col("l_suppkey") % 256).cast("int")
+    z = F.lit(0)
+    for i in range(_ZBITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    t = li.select(x.alias("x"), y.alias("y"), z.alias("z"))
+    return t.groupBy(
+        F.floor(F.col("z") / 256).cast("long").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").cast("long").alias("x_min"),
+        F.max("x").cast("long").alias("x_max"),
+        F.min("y").cast("long").alias("y_min"),
+        F.max("y").cast("long").alias("y_max"),
+    )

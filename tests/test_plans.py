@@ -404,3 +404,49 @@ def test_tpch_q11_broadcasts_scalar_threshold(spark):
     # the 1-row global total joins via broadcast nested loop or broadcast
     # hash; what must NOT happen is a shuffle of `grouped` against it
     assert "partial_" in plan, plan
+
+
+def test_lateral_topk_decorrelates(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT 1) must decorrelate into a
+    window-group-limit over ONE shuffle plus a broadcast join — never a
+    per-outer-row nested loop."""
+    plan = _plan(spark, "q_lateral_topk")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zscore_outlier_broadcasts_stats(spark):
+    """The 4-row per-group stats frame must broadcast back onto the scan —
+    shuffling the fact side against it would be a full extra exchange."""
+    plan = _plan(spark, "q_zscore_outlier")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_" in plan, plan
+
+
+def test_zorder_single_exchange(spark):
+    """Bit interleave + bucket agg must be one partial+final hash agg over
+    exactly one exchange; the Morton arithmetic stays in codegen."""
+    import re
+
+    plan = _plan(spark, "q_zorder_layout")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "partial_" in plan, plan
+
+
+def test_sequence_pack_single_data_shuffle(spark):
+    """Shard → cumsum → pack agg must reuse the shard partitioning: one
+    hashpartitioning exchange total (the scan-parallelism round-robin is
+    fixture-only), with the final agg exchange-free on top of the window."""
+    plan = _plan(spark, "q_sequence_pack")
+    assert plan.count("hashpartitioning(shard") == 1, plan
+    assert "RoundRobinPartitioning" in plan, plan  # the fixture-only guard
+
+
+def test_variant_json_stays_codegen(spark):
+    """VARIANT parse/extract is a narrow map: no exchange, no join, scan
+    reads only (event_id, props)."""
+    plan = _plan(spark, "q_variant_json")
+    assert "Exchange" not in plan, plan
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "props" in schema_line and "value" not in schema_line, schema_line
