@@ -146,30 +146,13 @@ def q_url_extract(spark, sf_dir):
     "order-destroying).",
 )
 def q_sequence_pack(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.packing import pack_stats
+
     d = _t(spark, sf_dir, "documents", parallel=True)
     t = d.select(
-        (F.col("doc_id") % 8).alias("shard"),
-        "doc_id",
-        X.token_count(F.col("text")).cast("long").alias("n_tok"),
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("n_tok")
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = t.withColumn("cum", F.sum("n_tok").over(w))
-    # offsets are exact integers far below 2^52, so floor(double/2048) is
-    # exact (functions.precision module docstring, fact 2)
-    return (
-        c.withColumn(
-            "pack_id", F.floor((F.col("cum") - F.col("n_tok")) / 2048).cast("long")
-        )
-        .groupBy("shard", "pack_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("pack_tokens"),
-        )
-    )
+    return pack_stats(t, "doc_id", "n_tok", budget=2048, n_shards=8)
 
 
 @register(
@@ -367,14 +350,12 @@ def _z_oracle_sql() -> str:
     "hash agg on the bucket.",
 )
 def q_zorder_layout(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.layout import morton_code
+
     li = _t(spark, sf_dir, "lineitem")
     x = (F.col("l_partkey") % 256).cast("int")
     y = (F.col("l_suppkey") % 256).cast("int")
-    z = F.lit(0)
-    for i in range(_ZBITS):
-        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-    t = li.select(x.alias("x"), y.alias("y"), z.alias("z"))
+    t = li.select(x.alias("x"), y.alias("y"), morton_code(x, y, _ZBITS).alias("z"))
     return t.groupBy(
         F.floor(F.col("z") / 256).cast("long").alias("z_bucket")
     ).agg(

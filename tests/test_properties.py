@@ -280,3 +280,93 @@ def test_decontaminate_flags_doc_containing_eval_gram(spark, gram_words, n_docs)
     }
     assert 0 in flagged
     assert flagged == {0}
+
+
+@settings(**SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_morton_code_matches_reference(spark, pairs):
+    """The JVM bit-interleave must equal the driver-side reference
+    implementation for arbitrary in-range inputs."""
+    from real_time_rides_data_pipeline_spark.functions.layout import (
+        morton_code,
+        morton_code_py,
+    )
+
+    df = spark.createDataFrame(pairs, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", morton_code(F.col("x"), F.col("y"), 8).alias("z")
+        ).collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == morton_code_py(x, y, 8), (x, y)
+
+
+def test_morton_bucket_spans_are_bounded(spark):
+    """Textbook z-order guarantee: a bucket of 256 consecutive 16-bit
+    z-values spans at most 16 distinct values per dimension (high 4 bits
+    of each dimension are fixed). Exhaustive over the full 256x256 grid."""
+    from real_time_rides_data_pipeline_spark.functions.layout import morton_code
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("x"),
+        (F.col("id") / 256).cast("int").alias("y"),
+    )
+    spans = (
+        grid.select(
+            "x", "y", morton_code(F.col("x"), F.col("y"), 8).alias("z")
+        )
+        .groupBy(F.floor(F.col("z") / 256).alias("b"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(spans) == 256
+    for r in spans:
+        assert r["n"] == 256
+        assert r["xs"] <= 15 and r["ys"] <= 15, dict(r.asDict())
+
+
+@settings(**SETTINGS)
+@given(
+    toks=st.lists(st.integers(1, 500), min_size=1, max_size=40),
+    budget=st.sampled_from([64, 256, 2048]),
+)
+def test_sequence_pack_invariants(spark, toks, budget):
+    """Greedy packing contract: token totals preserved; every document's
+    pack equals a sequential driver-side re-pack (a doc larger than the
+    budget legitimately SKIPS pack ids — offset buckets, not a counter —
+    so contiguity is deliberately not asserted)."""
+    from real_time_rides_data_pipeline_spark.operators.packing import (
+        pack_assignments,
+        pack_stats,
+    )
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    n_shards = 4
+    stats = pack_stats(df, "doc_id", "n_tok", budget, n_shards).collect()
+    assert sum(r["pack_tokens"] for r in stats) == sum(toks)
+    assert sum(r["n_docs"] for r in stats) == len(toks)
+    # per-doc assignment agrees with a sequential driver-side re-pack
+    assigns = pack_assignments(df, "doc_id", "n_tok", budget, n_shards).collect()
+    expect: dict[int, int] = {}
+    for shard in range(n_shards):
+        offset = 0
+        for i, t in rows:
+            if i % n_shards != shard:
+                continue
+            expect[i] = offset // budget
+            offset += t
+    for r in assigns:
+        assert r["pack_id"] == expect[r["doc_id"]], dict(r.asDict())
