@@ -485,3 +485,75 @@ def q_scd2_history(spark, sf_dir):
         "valid_from",
         "n_events",
     )
+
+
+# =========================================================================
+# Paragraph-level dedup (C4/RefinedWeb boilerplate removal)
+# =========================================================================
+
+
+@register(
+    "q_paragraph_dedup",
+    """WITH p AS (SELECT doc_id, i AS pos,
+                         array_to_string(list_slice(
+                             string_split_regex(trim(text), '\\s+'),
+                             i * 10 + 1, i * 10 + 10), ' ') AS para
+                  FROM documents,
+                       UNNEST(generate_series(0,
+                           greatest((len(string_split_regex(trim(text),
+                                                            '\\s+')) + 9) // 10,
+                                    1) - 1)) AS t(i)),
+            c AS (SELECT doc_id, pos, para,
+                         count(*) OVER (PARTITION BY para) AS cnt
+                  FROM p),
+            d AS (SELECT doc_id, pos, para, cnt,
+                         sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id) AS n_dropped
+                  FROM c)
+       SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS clean_text,
+              count(*) AS n_kept,
+              CAST(max(n_dropped) AS BIGINT) AS n_dropped
+       FROM d WHERE cnt = 1
+       GROUP BY doc_id""",
+    "Paragraph-level corpus dedup (the C4/RefinedWeb boilerplate rule): "
+    "chunk each doc into 10-token paragraphs, drop EVERY occurrence of any "
+    "paragraph appearing more than once corpus-wide, reassemble the "
+    "survivors in order (223 of 2497 paragraphs are naturally duplicated "
+    "at sf0.01 — non-vacuous without synthesis; a doc losing all its "
+    "paragraphs drops out entirely, in both engines, by construction). "
+    "Shape: map-side chunk fan-out → paragraph-frequency shuffle → doc_id "
+    "shuffle for drop-count + ordered reassembly (array_sort of "
+    "(pos, para) structs — no assumption that collect_list preserves "
+    "order). Two shuffle keys end-to-end; both are plain hash "
+    "partitionings that scale with the corpus.",
+)
+def q_paragraph_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    w = X.tokens(F.col("text"))
+    n_par = F.greatest(
+        F.expr("(size(split(trim(text), '\\\\s+')) + 9) div 10"), F.lit(1)
+    )
+    paras = F.transform(
+        F.sequence(F.lit(0), (n_par - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 10 + 1, 10)),
+    )
+    p = d.select("doc_id", F.posexplode(paras).alias("pos", "para"))
+    c = p.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("para")))
+    dd = c.withColumn(
+        "n_dropped",
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).over(
+            Window.partitionBy("doc_id")
+        ),
+    )
+    kept = dd.filter(F.col("cnt") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("n_dropped").cast("long").alias("n_dropped"),
+    )

@@ -361,3 +361,30 @@ def test_expectations_partition_rows(spark):
     assert set(stats) == set(rules)
     for r in stats.values():
         assert r["n_pass"] + r["n_fail"] == total
+
+
+def test_paragraph_dedup_drops_all_copies(spark):
+    """A paragraph injected into two different docs must vanish from BOTH
+    reassembled texts; unique paragraphs survive in order."""
+    from pyspark.sql import functions as F
+
+    from real_time_rides_data_pipeline_spark.queries import registry as _reg
+
+    fn = _reg()["q_paragraph_dedup"].fn
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        shared = " ".join(f"s{i}" for i in range(10))
+        u1 = " ".join(f"a{i}" for i in range(10))
+        u2 = " ".join(f"b{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [
+                (0, f"{u1} {shared}", "en", "src1", 0),
+                (1, f"{shared} {u2}", "en", "src1", 0),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r["doc_id"]: r for r in fn(spark, tmp).collect()}
+        assert out[0]["clean_text"] == u1 and out[0]["n_dropped"] == 1
+        assert out[1]["clean_text"] == u2 and out[1]["n_dropped"] == 1
