@@ -557,3 +557,61 @@ def q_paragraph_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_kept"),
         F.max("n_dropped").cast("long").alias("n_dropped"),
     )
+
+
+@register(
+    "q_incremental_dedup",
+    """WITH batch AS (
+           SELECT doc_id, lang, source, text FROM documents
+           WHERE doc_id >= 400
+           UNION ALL
+           -- deterministic re-crawl: the first 50 corpus docs re-offered
+           -- under new ingest ids (+1e6 band, same collision guard as
+           -- q_dup_clusters)
+           SELECT doc_id + 1000000, lang, source, text FROM documents
+           WHERE doc_id < 50)
+       SELECT n.doc_id, n.lang, n.source
+       FROM batch n
+       WHERE NOT EXISTS (SELECT 1 FROM documents c
+                         WHERE c.doc_id < 400 AND md5(c.text) = md5(n.text))""",
+    "Incremental corpus dedup: a NEW ingest batch — the novel docs "
+    "(doc_id >= 400) plus a deterministic RE-CRAWL of the first 50 corpus "
+    "docs under fresh ids — is admitted only where its content fingerprint "
+    "is absent from the EXISTING corpus (doc_id < 400). The re-crawl half "
+    "makes the anti-join non-vacuous (exactly those 50 are rejected); "
+    "distinct from within-corpus q_exact_dedup. Keyed on md5(text): at "
+    "100 TB the corpus side is a pre-materialized fingerprint table "
+    "(32 bytes/doc, not the text), the anti-join is a plain hash shuffle "
+    "on the digest, and left_anti never materializes the match.",
+)
+def q_incremental_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    corpus = d.filter(F.col("doc_id") < 400).select(
+        X.md5_fingerprint(F.col("text")).alias("fp")
+    )
+    # re-crawl ids live in the +1e6 band; enforce the no-collision
+    # precondition in-plan (the guard produces the output column, so
+    # Catalyst cannot prune it — same pattern as q_dup_clusters)
+    recrawl_id = F.when(
+        F.col("doc_id") < 1_000_000, F.col("doc_id") + 1_000_000
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "q_incremental_dedup: doc_id >= 1_000_000 collides with "
+                "the synthetic re-crawl id band — re-derive the offset"
+            )
+        ).cast("long")
+    )
+    batch = (
+        d.filter(F.col("doc_id") >= 400)
+        .select("doc_id", "lang", "source", "text")
+        .unionAll(
+            d.filter(F.col("doc_id") < 50).select(
+                recrawl_id.alias("doc_id"), "lang", "source", "text"
+            )
+        )
+    )
+    new = batch.select(
+        "doc_id", "lang", "source", X.md5_fingerprint(F.col("text")).alias("fp")
+    )
+    return new.join(corpus, "fp", "left_anti").select("doc_id", "lang", "source")

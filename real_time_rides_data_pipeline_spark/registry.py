@@ -65,13 +65,17 @@ def check_priority() -> tuple[str, ...]:
     Q2/Q11, and the eleven curate-module keys: VARIANT, LATERAL,
     URL parse, sequence packing, dominant token, exact z-score,
     mapInArrow bytes, z-order layout, expectations, SCD2
-    history, paragraph dedup), (c) the keys whose latest check is
+    history, paragraph dedup, incremental dedup), (c) the keys whose
+    latest check is
     still round 2 — 11 listed here, the 12th (q_ann_ivf) sits in (b)
     because it also changed this round (pre-NTZ-change keys, argued
     timestamp-free at registry-level but rotated for a clean board),
     (d) round-3-checked keys in registration order to fill the 50-slot
-    window ((a)+(b)+(c) = 50 fills the window exactly; all of (d) rolls
-    to round 6). Keys not listed keep registration order afterwards."""
+    window ((a)+(b) = 40 plus the first 10 of (c) fill the 50 slots —
+    q_token_count, last in (c), rolls to round 6: it is r2-checked but
+    timestamp-free and unchanged, the weakest claim on a slot; all of
+    (d) also rolls). Keys not listed keep registration order
+    afterwards."""
     return (
         # (a) never driver-checked (registered late in r4)
         "q_repetition_score", "q_text_chunk",
@@ -88,13 +92,13 @@ def check_priority() -> tuple[str, ...]:
         "q_variant_json", "q_lateral_topk", "q_url_extract",
         "q_sequence_pack", "q_dominant_token", "q_zscore_outlier",
         "q_arrow_bytes", "q_zorder_layout", "q_expectations",
-        "q_scd2_history", "q_paragraph_dedup",
+        "q_scd2_history", "q_paragraph_dedup", "q_incremental_dedup",
         # (c) latest driver check = round 2
         "q_agg_cube", "q_cosine_topk", "q_doc_fingerprint", "q_exact_dedup",
         "q_frame_sample", "q_lang_id", "q_ngram_jaccard", "q_quality_score",
         "q_simhash_neardup", "q_text_stats", "q_token_count",
-        # (d) latest driver check = round 3, registration order ((a)+(b)+(c)
-        # = 50 fills the window exactly; all of (d) rolls to round 6)
+        # (d) latest driver check = round 3, registration order ((a)+(b) +
+        # first 10 of (c) fill the 50 slots; the rest roll to round 6)
         "q_cast_project", "q_json_parse", "q_stream_dedup", "q_watermark",
         "q_output_complete", "q_rank", "q_lag_lead", "q_running_sum",
         "q_agg_rollup", "q_grouping_sets", "q_tpch_q3", "q_tpch_q6",
