@@ -71,11 +71,9 @@ def check_priority() -> tuple[str, ...]:
     because it also changed this round (pre-NTZ-change keys, argued
     timestamp-free at registry-level but rotated for a clean board),
     (d) round-3-checked keys in registration order to fill the 50-slot
-    window ((a)+(b) = 40 plus the first 10 of (c) fill the 50 slots —
-    q_token_count, last in (c), rolls to round 6: it is r2-checked but
-    timestamp-free and unchanged, the weakest claim on a slot; all of
-    (d) also rolls). Keys not listed keep registration order
-    afterwards."""
+    window ((a) 2 + (b) 37 + (c) 11 = 50 fills the window exactly —
+    q_token_count is the 50th key; all of (d) rolls to round 6). Keys
+    not listed keep registration order afterwards."""
     return (
         # (a) never driver-checked (registered late in r4)
         "q_repetition_score", "q_text_chunk",
@@ -97,8 +95,8 @@ def check_priority() -> tuple[str, ...]:
         "q_agg_cube", "q_cosine_topk", "q_doc_fingerprint", "q_exact_dedup",
         "q_frame_sample", "q_lang_id", "q_ngram_jaccard", "q_quality_score",
         "q_simhash_neardup", "q_text_stats", "q_token_count",
-        # (d) latest driver check = round 3, registration order ((a)+(b) +
-        # first 10 of (c) fill the 50 slots; the rest roll to round 6)
+        # (d) latest driver check = round 3, registration order ((a)+(b)+(c)
+        # = 50 fills the window exactly; all of (d) rolls to round 6)
         "q_cast_project", "q_json_parse", "q_stream_dedup", "q_watermark",
         "q_output_complete", "q_rank", "q_lag_lead", "q_running_sum",
         "q_agg_rollup", "q_grouping_sets", "q_tpch_q3", "q_tpch_q6",
