@@ -6,10 +6,11 @@ LLM-data-pipeline operators mandated by BASELINE.json). Determinism rules
 ratios, every tie broken by a total order, no engine-local rounding.
 
 Scale notes (100 TB):
-- Every key here is either a narrow map over the scan (variant/url/bytes),
-  one hash-shuffle on an explicit key (pack/zorder/dominant-token), or a
-  two-level agg with a broadcast stats join (zscore). No all-pairs work,
-  no driver-side data collects, no per-row Python except the single
+- Every key here is a narrow map over the scan (variant/url/bytes/
+  expectations), one-or-two hash shuffles on explicit keys (pack/zorder/
+  dominant-token/SCD2/paragraph-dedup), a broadcast-stats two-level agg
+  (zscore), or a fingerprint anti-join (incremental dedup). No all-pairs
+  work, no driver-side data collects, no per-row Python except the single
   Arrow-batched ``mapInArrow`` demonstrator.
 """
 
@@ -244,10 +245,13 @@ def q_zscore_outlier(spark, sf_dir):
     dec = "decimal(38,0)"
     ev = _t(spark, sf_dir, "events")
     t = ev.select("event_type", cents(F.col("value")).alias("v"))
+    # accumulate s and q in decimal(38,0) from the start: at the claimed
+    # 1e12-rows-per-group scale, sum(v*v) over 7-digit cents (~1e22)
+    # overflows int64 long before the comparison arithmetic runs
     g = t.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("v").cast("long").alias("s"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("q"),
     )
     j = t.join(F.broadcast(g), "event_type")
     lhs = (F.col("n").cast(dec) * F.col("v").cast(dec) - F.col("s").cast(dec))
