@@ -482,3 +482,70 @@ def test_silver_checkpoint_restart_is_exactly_once(spark, workdir):
     # phase-2 rows on top of the phase-1 sink contents
     assert streamed.count() > n_phase1
     assert streamed.count() == batch.count()
+
+
+def test_gold_merge_checkpoint_restart_converges(spark, workdir):
+    """Restart the Gold agg+MERGE stream from its checkpoint mid-corpus:
+    the windowed state and the MERGE sink must both survive the stop —
+    windows whose rows straddle the restart boundary re-merge to the
+    correct totals (update-mode re-emission + latest-wins MERGE makes the
+    restart invisible), and the reference's own invariant
+    (sum of gold counts = silver rows) holds over the full input."""
+    staging = f"{workdir}/grestart_staging"
+    silver_in = f"{workdir}/grestart_silver"
+    gold_path = f"{workdir}/grestart_gold"
+    ckpt = f"{workdir}/grestart_ckpt"
+    os.makedirs(silver_in)
+    # silver-shaped input: batch silver_transform of generated bronze,
+    # written as 6 time-sliced files (ordered, like a real Silver table)
+    bronze_staging = f"{workdir}/grestart_bronze"
+    write_bronze_input(spark, bronze_staging, GenConfig(seed=13, n_events=N_EVENTS), n_files=6)
+    silver = silver_transform(spark.read.parquet(bronze_staging)).orderBy(
+        "event_timestamp"
+    )
+    silver.coalesce(1).write.parquet(staging)
+    # re-slice into 6 ordered files by hour-rank so arrival is time-ordered
+    rows = spark.read.parquet(staging).orderBy("event_timestamp")
+    n = rows.count()
+    pdf = rows.toPandas()
+    chunk = (n + 5) // 6
+    schema = rows.schema
+    for i in range(6):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part) == 0:
+            continue
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{staging}_sliced")
+    files = sorted(
+        f for f in os.listdir(f"{staging}_sliced")
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    assert len(files) == 6
+
+    def run_phase(names):
+        for f in names:
+            shutil.copy(
+                os.path.join(f"{staging}_sliced", f), os.path.join(silver_in, f)
+            )
+        q = run_streaming_gold(
+            parquet_stream(spark, silver_in, schema),
+            gold_path, ckpt, watermark="2 hours",
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_phase(files[:3])
+    mid = spark.read.parquet(gold_path).agg(F.sum("total_rides_hourly")).first()[0]
+    assert 0 < mid < n
+    run_phase(files[3:])
+
+    gold = spark.read.parquet(gold_path)
+    batch = gold_transform(spark.read.parquet(f"{staging}_sliced"))
+    cols = list(GOLD_KEYS) + [
+        "total_rides_hourly",
+        "avg_fare_hourly",
+        "total_suspicious_rides_hourly",
+    ]
+    assert _sorted_rows(gold, cols) == _sorted_rows(batch, cols)
+    assert gold.agg(F.sum("total_rides_hourly")).first()[0] == n
