@@ -619,3 +619,36 @@ def q_incremental_dedup(spark, sf_dir):
         "doc_id", "lang", "source", X.md5_fingerprint(F.col("text")).alias("fp")
     )
     return new.join(corpus, "fp", "left_anti").select("doc_id", "lang", "source")
+
+
+# =========================================================================
+# Mergeable-sketch architecture: sharded HLL union
+# =========================================================================
+
+
+@register(
+    "q_hll_shard_merge",
+    None,  # rows-only: HLL estimates are sketch-algorithm-specific
+    "The 100 TB distinct-count architecture made explicit: per-shard "
+    "Apache DataSketches HLL sketches (hll_sketch_agg over 8 hash shards "
+    "of events.user_id) UNION-merged into one global estimate "
+    "(hll_union_agg + hll_sketch_estimate) — how every warehouse computes "
+    "COUNT(DISTINCT) incrementally: shard/partition sketches persist as "
+    "bytes, re-aggregation merges sketches instead of rescanning raw data. "
+    "DuckDB's HLL is a different algorithm, so the driver check is "
+    "rows-only BY DESIGN; the exactness claim that IS testable — the "
+    "sharded-merged estimate equals the single-pass estimate bit-for-bit, "
+    "because sketch union is associative — is pinned in "
+    "tests/test_extensions.py, and the estimate's relative error vs the "
+    "true distinct count is asserted < 5%.",
+)
+def q_hll_shard_merge(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    shards = ev.groupBy(
+        F.pmod(F.xxhash64("user_id"), F.lit(8)).alias("shard")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    return shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
+        .cast("long")
+        .alias("distinct_users_est")
+    )

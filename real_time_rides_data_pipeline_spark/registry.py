@@ -62,18 +62,21 @@ def check_priority() -> tuple[str, ...]:
     skew agg, rollup re-agg, hyperplane LSH, gap-fill spine,
     posexplode, JSONL round-trip, decontamination, dataset mix,
     ORC/CSV round-trips, the spark.sql entry, derived-partsupp
-    Q2/Q11, and the eleven curate-module keys: VARIANT, LATERAL,
+    Q2/Q11, and the thirteen curate-module keys: VARIANT, LATERAL,
     URL parse, sequence packing, dominant token, exact z-score,
-    mapInArrow bytes, z-order layout, expectations, SCD2
-    history, paragraph dedup, incremental dedup), (c) the keys whose
-    latest check is
+    mapInArrow bytes, z-order layout, expectations, SCD2 history,
+    paragraph dedup, incremental dedup, HLL shard merge), (c) the keys
+    whose latest check is
     still round 2 — 11 listed here, the 12th (q_ann_ivf) sits in (b)
     because it also changed this round (pre-NTZ-change keys, argued
     timestamp-free at registry-level but rotated for a clean board),
     (d) round-3-checked keys in registration order to fill the 50-slot
-    window ((a) 2 + (b) 37 + (c) 11 = 50 fills the window exactly —
-    q_token_count is the 50th key; all of (d) rolls to round 6). Keys
-    not listed keep registration order afterwards."""
+    window ((a) 2 + (b) 38 + (c) 11 = 51 overflows by one:
+    q_token_count, last of (c), rolls to round 6 — it is r2-checked,
+    timestamp-free, and unchanged, the weakest claim on a slot, while a
+    never-checked new key (q_hll_shard_merge) takes precedence; all of
+    (d) also rolls). Keys not listed keep registration order
+    afterwards."""
     return (
         # (a) never driver-checked (registered late in r4)
         "q_repetition_score", "q_text_chunk",
@@ -91,12 +94,13 @@ def check_priority() -> tuple[str, ...]:
         "q_sequence_pack", "q_dominant_token", "q_zscore_outlier",
         "q_arrow_bytes", "q_zorder_layout", "q_expectations",
         "q_scd2_history", "q_paragraph_dedup", "q_incremental_dedup",
+        "q_hll_shard_merge",
         # (c) latest driver check = round 2
         "q_agg_cube", "q_cosine_topk", "q_doc_fingerprint", "q_exact_dedup",
         "q_frame_sample", "q_lang_id", "q_ngram_jaccard", "q_quality_score",
         "q_simhash_neardup", "q_text_stats", "q_token_count",
         # (d) latest driver check = round 3, registration order ((a)+(b)+(c)
-        # = 50 fills the window exactly; all of (d) rolls to round 6)
+        # = 51 overflows by one — q_token_count and all of (d) roll to r6)
         "q_cast_project", "q_json_parse", "q_stream_dedup", "q_watermark",
         "q_output_complete", "q_rank", "q_lag_lead", "q_running_sum",
         "q_agg_rollup", "q_grouping_sets", "q_tpch_q3", "q_tpch_q6",

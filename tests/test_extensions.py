@@ -388,3 +388,24 @@ def test_paragraph_dedup_drops_all_copies(spark):
         out = {r["doc_id"]: r for r in fn(spark, tmp).collect()}
         assert out[0]["clean_text"] == u1 and out[0]["n_dropped"] == 1
         assert out[1]["clean_text"] == u2 and out[1]["n_dropped"] == 1
+
+
+def test_hll_shard_merge_equals_single_pass_and_bounds_error(spark):
+    """Sketch union is associative: the sharded-merged estimate must equal
+    the single-pass sketch estimate EXACTLY (same algorithm, same lgK),
+    and sit within 5% of the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from real_time_rides_data_pipeline_spark.queries import registry as _reg
+    from real_time_rides_data_pipeline_spark.sources import load_fixture
+
+    from tests.conftest import ORACLE_SF
+
+    sharded = _reg()["q_hll_shard_merge"].fn(spark, ORACLE_SF).first()[0]
+    ev = load_fixture(spark, "events", ORACLE_SF)
+    single = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).cast("long")
+    ).first()[0]
+    assert sharded == single
+    true = ev.select("user_id").distinct().count()
+    assert abs(sharded - true) / true < 0.05, (sharded, true)
