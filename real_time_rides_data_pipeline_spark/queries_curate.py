@@ -446,9 +446,13 @@ def q_expectations(spark, sf_dir):
                              OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              AS island
                   FROM o)
-       SELECT user_id, event_type, island AS version,
-              min(ts) AS valid_from, count(*) AS n_events
-       FROM f GROUP BY user_id, event_type, island""",
+       SELECT user_id, event_type, version, valid_from,
+              lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                  AS valid_to,
+              n_events
+       FROM (SELECT user_id, event_type, island AS version,
+                    min(ts) AS valid_from, count(*) AS n_events
+             FROM f GROUP BY user_id, event_type, island)""",
     "Slowly-changing-dimension type-2 history: collapse an event log into "
     "per-key versioned intervals (a new version starts whenever the tracked "
     "attribute changes) — the standard warehouse op for 'what was this "
@@ -480,13 +484,24 @@ def q_scd2_history(spark, sf_dir):
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("island"),
     )
-    return f.groupBy("user_id", "event_type", "island").agg(
+    grouped = f.groupBy("user_id", "event_type", "island").agg(
         F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
     ).select(
         "user_id",
         "event_type",
         F.col("island").alias("version"),
         "valid_from",
+        "n_events",
+    )
+    # valid_to = next version's start (NULL for the current/open interval);
+    # lead keys on the same user_id partitioning — sort only, no new shuffle
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return grouped.select(
+        "user_id",
+        "event_type",
+        "version",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
         "n_events",
     )
 
