@@ -204,3 +204,34 @@ def test_compact_parquet_dir_preserves_data(spark, tmp_path):
     got = spark.read.parquet(path)
     assert sorted(r.doc_id for r in got.collect()) == before
     assert set(got.columns) == set(d.columns)
+
+
+def test_kafka_options_match_reference_contract():
+    """The Kafka source builder (runtime-blocked here: no connector jar)
+    must reproduce the reference's option contract
+    (01_bronze_realtime_rides.py:26-42): topic subscribe, earliest
+    offsets, SASL_SSL/PLAIN when credentials are supplied, and the
+    backpressure cap that bounds the first micro-batch."""
+    from real_time_rides_data_pipeline_spark.sources.kafka import kafka_options
+
+    plain = kafka_options("broker:9092")
+    assert plain["subscribe"] == "rides_stream"
+    assert plain["startingOffsets"] == "earliest"
+    assert plain["kafka.bootstrap.servers"] == "broker:9092"
+    assert int(plain["maxOffsetsPerTrigger"]) > 0
+    assert "kafka.sasl.jaas.config" not in plain
+
+    auth = kafka_options("b:9092", sasl_username="u", sasl_password="p")
+    assert auth["kafka.security.protocol"] == "SASL_SSL"
+    assert auth["kafka.sasl.mechanism"] == "PLAIN"
+    assert 'username="u"' in auth["kafka.sasl.jaas.config"]
+    assert auth["kafka.sasl.jaas.config"].rstrip().endswith(";")
+
+
+def test_kafka_stream_raises_clear_error_without_jar(spark):
+    from real_time_rides_data_pipeline_spark.sources.kafka import kafka_stream
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_stream(spark, bootstrap_servers="b:9092")
