@@ -41,6 +41,15 @@ def expectation_stats(df: DataFrame, expectations: dict[str, Column]) -> DataFra
     """One row per expectation: (expectation, n_pass, n_fail), n_pass+n_fail
     = row count. Single aggregate pass, then a stack() unpivot of the one
     result row — the unpivot touches E*1 values, not data."""
+    import re
+
+    for name in expectations:
+        # names are spliced into a selectExpr stack() literal — restrict to
+        # identifier characters so a quote can neither break nor inject SQL
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(
+                f"expectation name {name!r} must match [A-Za-z0-9_]+"
+            )
     aggs = []
     for name, cond in expectations.items():
         ok = F.coalesce(cond, F.lit(False))

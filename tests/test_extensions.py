@@ -437,3 +437,14 @@ def test_ivf_recall_floor_and_full_probe_exactness(spark):
         for r in SIM.ivf_topk(emb, cents, qv, k=10, n_probe=8).collect()
     }
     assert ivf_all == set(brute10), (ivf_all, brute10)
+
+
+def test_expectation_stats_rejects_unsafe_names(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from real_time_rides_data_pipeline_spark.operators import quality as Q
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="must match"):
+        Q.expectation_stats(df, {"bad'name": F.col("id") >= 0})
