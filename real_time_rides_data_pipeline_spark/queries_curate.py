@@ -667,3 +667,128 @@ def q_hll_shard_merge(spark, sf_dir):
         .cast("long")
         .alias("distinct_users_est")
     )
+
+
+# =========================================================================
+# Type & SQL surface: remaining window funcs, collation, try-ops, DECIMAL
+# =========================================================================
+
+
+@register(
+    "q_cume_dist_nth",
+    """SELECT event_id, user_id,
+              floor(cume_dist() OVER w * 1000000) / 1000000.0 AS cdist,
+              CAST(round(nth_value(value, 2) OVER
+                  (PARTITION BY user_id ORDER BY value, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  * 100) AS BIGINT) AS second_lowest_cents
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""",
+    "The last two OVER-clause functions not yet pinned: cume_dist (peer-"
+    "group cumulative fraction — (value, event_id) ordering makes every "
+    "key unique, so the fraction is i/N of exact small integers, identical "
+    "doubles in both engines, floor-truncated per SURVEY §7.4) and "
+    "nth_value with an explicit full frame (the default frame stops at "
+    "CURRENT ROW and would leave rows 1..n-1 NULL). One window shuffle on "
+    "user_id.",
+)
+def q_cume_dist_nth(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.floor(F.cume_dist().over(w) * 1000000) / 1000000.0).alias("cdist"),
+        cents(F.nth_value("value", 2).over(wf)).alias("second_lowest_cents"),
+    )
+
+
+@register(
+    "q_collated_group",
+    """SELECT lower(mixed) AS source_lc, count(*) AS n
+       FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                         ELSE source END AS mixed
+             FROM documents)
+       GROUP BY lower(mixed)""",
+    "Spark 4 COLLATION surface: grouping under UTF8_LCASE merges case "
+    "variants engine-side — no lower() rewrite of the data. The fixture "
+    "sources are all-lowercase, so a deterministic mixed-case variant "
+    "(upper for even doc_ids) makes the merge non-vacuous; the grouped "
+    "key's surviving case is engine-internal, so the output label is "
+    "normalized with lower() AFTER grouping (deterministic either way). "
+    "DuckDB oracle: group by lower() — provably the same partition for "
+    "ASCII. One hash agg; collation support means the comparison happens "
+    "in the hash function, not via a derived column at 100 TB.",
+)
+def q_collated_group(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    mixed = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(F.col("source"))
+    ).otherwise(F.col("source"))
+    return (
+        d.select(F.collate(mixed, "UTF8_LCASE").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("k")).alias("source_lc"), "n")
+    )
+
+
+@register(
+    "q_try_arithmetic",
+    """SELECT event_id,
+              CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) = 50
+                   THEN NULL
+                   ELSE floor(value /
+                        (CAST(json_extract_string(props, '$.k') AS INTEGER) - 50)
+                        * 10000) / 10000.0
+              END AS safe_ratio
+       FROM events""",
+    "ANSI-mode error-safe arithmetic: try_divide yields NULL on /0 instead "
+    "of failing the 100 TB job at hour nine on one poison row. The divisor "
+    "(k - 50) crosses zero across the fixture, so the NULL arm is "
+    "exercised; non-NULL results are one IEEE division of identical "
+    "operands in both engines, floor-truncated. Narrow map, no shuffle.",
+)
+def q_try_arithmetic(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events", parallel=True)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    ratio = F.try_divide(F.col("value"), (k - 50).cast("double"))
+    return ev.select(
+        "event_id",
+        (F.floor(ratio * 10000) / 10000.0).alias("safe_ratio"),
+    )
+
+
+@register(
+    "q_decimal_money",
+    """SELECT o_orderstatus,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+              count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                  // count(*) AS avg_cents_floor
+       FROM orders GROUP BY o_orderstatus""",
+    "DecimalType money arithmetic — the cleaner alternative to the cents "
+    "trick used elsewhere: cast 2-dp doubles to DECIMAL(18,2) at the scan "
+    "(both engines round the same binary value onto the same 2-dp "
+    "decimal), then SUM is exact fixed-point at any row count — no "
+    "summation-order nondeterminism, no int64 ceiling (Spark widens to "
+    "DECIMAL(28,2)). The average is reported as floor cents via integer "
+    "division to avoid engine-specific decimal-division scale rules. One "
+    "partial+final hash agg.",
+)
+def q_decimal_money(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy("o_orderstatus").agg(
+        F.sum(dec).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return g.select(
+        "o_orderstatus",
+        "total_price",
+        "n_orders",
+        F.expr("CAST(total_price * 100 AS BIGINT) div n_orders").alias(
+            "avg_cents_floor"
+        ),
+    )

@@ -62,20 +62,23 @@ def check_priority() -> tuple[str, ...]:
     skew agg, rollup re-agg, hyperplane LSH, gap-fill spine,
     posexplode, JSONL round-trip, decontamination, dataset mix,
     ORC/CSV round-trips, the spark.sql entry, derived-partsupp
-    Q2/Q11, and the thirteen curate-module keys: VARIANT, LATERAL,
+    Q2/Q11, and the seventeen curate-module keys: VARIANT, LATERAL,
     URL parse, sequence packing, dominant token, exact z-score,
     mapInArrow bytes, z-order layout, expectations, SCD2 history,
-    paragraph dedup, incremental dedup, HLL shard merge), (c) the keys
-    whose latest check is
+    paragraph dedup, incremental dedup, HLL shard merge, cume_dist/
+    nth_value, collated group, try-arithmetic, DECIMAL money), (c) the
+    keys whose latest check is
     still round 2 — 11 listed here, the 12th (q_ann_ivf) sits in (b)
     because it also changed this round (pre-NTZ-change keys, argued
     timestamp-free at registry-level but rotated for a clean board),
     (d) round-3-checked keys in registration order to fill the 50-slot
-    window ((a) 2 + (b) 38 + (c) 11 = 51 overflows by one:
-    q_token_count, last of (c), rolls to round 6 — it is r2-checked,
-    timestamp-free, and unchanged, the weakest claim on a slot, while a
-    never-checked new key (q_hll_shard_merge) takes precedence; all of
-    (d) also rolls). Keys not listed keep registration order
+    window ((a) 2 + (b) 42 + (c) 11 = 55 overflows by five: (c) is
+    ordered so the five stale keys the r4 verdict NAMES stay in the
+    window, then q_cosine_topk; the other five r2-cohort keys
+    (doc_fingerprint, lang_id, ngram_jaccard, quality_score,
+    token_count — all timestamp-free and unchanged, the weakest claims
+    on a slot) roll to round 6 behind the never-checked new keys; all
+    of (d) also rolls). Keys not listed keep registration order
     afterwards."""
     return (
         # (a) never driver-checked (registered late in r4)
@@ -94,13 +97,17 @@ def check_priority() -> tuple[str, ...]:
         "q_sequence_pack", "q_dominant_token", "q_zscore_outlier",
         "q_arrow_bytes", "q_zorder_layout", "q_expectations",
         "q_scd2_history", "q_paragraph_dedup", "q_incremental_dedup",
-        "q_hll_shard_merge",
-        # (c) latest driver check = round 2
-        "q_agg_cube", "q_cosine_topk", "q_doc_fingerprint", "q_exact_dedup",
-        "q_frame_sample", "q_lang_id", "q_ngram_jaccard", "q_quality_score",
-        "q_simhash_neardup", "q_text_stats", "q_token_count",
-        # (d) latest driver check = round 3, registration order ((a)+(b)+(c)
-        # = 51 overflows by one — q_token_count and all of (d) roll to r6)
+        "q_hll_shard_merge", "q_cume_dist_nth", "q_collated_group",
+        "q_try_arithmetic", "q_decimal_money",
+        # (c) latest driver check = round 2 — the five the r4 verdict names
+        # first (its sixth, q_ann_ivf, sits in (b)); the rest of the r2
+        # cohort after, in registration order
+        "q_agg_cube", "q_exact_dedup", "q_frame_sample",
+        "q_simhash_neardup", "q_text_stats",
+        "q_cosine_topk", "q_doc_fingerprint", "q_lang_id",
+        "q_ngram_jaccard", "q_quality_score", "q_token_count",
+        # (d) latest driver check = round 3, registration order ((a)+(b)
+        # + first 6 of (c) fill the 50 slots; the rest roll to round 6)
         "q_cast_project", "q_json_parse", "q_stream_dedup", "q_watermark",
         "q_output_complete", "q_rank", "q_lag_lead", "q_running_sum",
         "q_agg_rollup", "q_grouping_sets", "q_tpch_q3", "q_tpch_q6",
