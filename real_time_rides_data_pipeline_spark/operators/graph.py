@@ -120,7 +120,11 @@ def _cc_star(e: DataFrame, max_iter: int) -> DataFrame:
     sig = _signature(edges)
     converged = False
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the signature aggregate right below is the
+        # action that materializes it, so each iteration costs ONE driver
+        # round-trip, not two — halves the sync count that makes this the
+        # most stall-sensitive operator on a contended host
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_sig = _signature(edges)
         if new_sig == sig:
             converged = True
@@ -193,7 +197,9 @@ def _cc_labelprop(e: DataFrame, max_iter: int) -> DataFrame:
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below materializes it — one
+            # driver round-trip per round instead of two
+            .localCheckpoint(eager=False)
         )
         changed = updated.filter(F.col("component") < F.col("prev")).count()
         labels = updated.select("id", "component")
