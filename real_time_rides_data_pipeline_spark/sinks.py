@@ -34,6 +34,7 @@ def stream_append_parquet(
     checkpoint: str,
     trigger_seconds: int | None = 10,
     merge_schema: bool = False,
+    available_now: bool = False,
 ) -> DataStreamWriter:
     """Append sink with checkpoint + fixed micro-batch trigger — the Bronze/
     Silver sink shape (01_bronze:82-90, 02_silver:112-118). Returns the
@@ -58,6 +59,17 @@ def stream_append_parquet(
     )
     if merge_schema:
         w = w.option("mergeSchema", "true")
+    if available_now:
+        # Trigger.AvailableNow: drain the current backlog in rate-limited
+        # micro-batches, then terminate — the production mode for
+        # incremental batch jobs (process-what-arrived-since-last-run on a
+        # schedule, exactly-once via the same checkpoint). Mutually
+        # exclusive with a processing-time trigger.
+        if trigger_seconds is not None:
+            raise ValueError(
+                "available_now and trigger_seconds are mutually exclusive"
+            )
+        return w.trigger(availableNow=True)
     if trigger_seconds is not None:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w

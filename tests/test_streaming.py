@@ -549,3 +549,47 @@ def test_gold_merge_checkpoint_restart_converges(spark, workdir):
     ]
     assert _sorted_rows(gold, cols) == _sorted_rows(batch, cols)
     assert gold.agg(F.sum("total_rides_hourly")).first()[0] == n
+
+
+def test_available_now_drains_and_terminates(spark, workdir, bronze_input):
+    """Trigger.AvailableNow: the query must drain the existing backlog,
+    TERMINATE ON ITS OWN (no stop() call), and a second invocation over
+    the same checkpoint must be a no-op — the scheduled-incremental-batch
+    mode (process what arrived since last run, exactly-once)."""
+    from real_time_rides_data_pipeline_spark.sinks import stream_append_parquet
+
+    input_path, _ = bronze_input
+    out = f"{workdir}/avail_silver"
+    ckpt = f"{workdir}/avail_ckpt"
+    silver = silver_transform(
+        parquet_stream(spark, input_path, BRONZE_SCHEMA), watermark="2 hours"
+    )
+    q = stream_append_parquet(
+        silver, out, ckpt, trigger_seconds=None, available_now=True
+    ).start()
+    assert q.awaitTermination(120), "availableNow query did not self-terminate"
+    n1 = spark.read.parquet(out).count()
+    batch = silver_transform(spark.read.parquet(input_path))
+    assert n1 == batch.count()
+    # rerun with nothing new: terminates immediately, appends nothing
+    q2 = stream_append_parquet(
+        silver, out, ckpt, trigger_seconds=None, available_now=True
+    ).start()
+    assert q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_available_now_rejects_processing_time_combo(spark, workdir, bronze_input):
+    import pytest as _pytest
+
+    from real_time_rides_data_pipeline_spark.sinks import stream_append_parquet
+
+    input_path, _ = bronze_input
+    silver = silver_transform(
+        parquet_stream(spark, input_path, BRONZE_SCHEMA), watermark="2 hours"
+    )
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        stream_append_parquet(
+            silver, f"{workdir}/x", f"{workdir}/xc",
+            trigger_seconds=10, available_now=True,
+        )
