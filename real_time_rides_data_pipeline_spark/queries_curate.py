@@ -792,3 +792,127 @@ def q_decimal_money(spark, sf_dir):
             "avg_cents_floor"
         ),
     )
+
+
+# =========================================================================
+# Corpus curation, continued: vocab coverage, quality-percentile filter
+# (registered after the round-5 driver window filled — first in line for
+# round 6's check window; pytest-oracle-green meanwhile)
+# =========================================================================
+
+
+@register(
+    "q_vocab_coverage",
+    """WITH cnt AS (SELECT tok, count(*) AS c
+                    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+                              AS tok
+                          FROM documents)
+                    GROUP BY tok),
+            top AS (SELECT c FROM cnt ORDER BY c DESC, tok LIMIT 1000),
+            tot AS (SELECT sum(c) AS t FROM cnt)
+       SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+              CAST(sum(top.c) AS BIGINT) AS covered_tokens,
+              CAST(t AS BIGINT) AS total_tokens,
+              CAST(floor(sum(top.c) * 1000000.0 / t) AS BIGINT)
+                  AS coverage_ppm
+       FROM top, tot GROUP BY t""",
+    "Vocabulary coverage — the measurement run before fitting any "
+    "tokenizer: what fraction of all token occurrences the top-1000 "
+    "types cover (Zipf mass). Word counts are one explode + hash agg on "
+    "the token; the top-K is a TakeOrderedAndProject ((count DESC, token "
+    "ASC) total order), and the coverage division folds two one-row "
+    "aggregates — the 100 TB cost is the one wordcount shuffle, "
+    "everything after is scalar.",
+)
+def q_vocab_coverage(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    cnt = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.col("c").desc(), "tok").limit(1000)
+    top_agg = top.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("c").cast("long").alias("covered_tokens"),
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("total_tokens"))
+    return top_agg.crossJoin(tot).select(
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        F.floor(F.col("covered_tokens") * 1000000.0 / F.col("total_tokens"))
+        .cast("long")
+        .alias("coverage_ppm"),
+    )
+
+
+#: DuckDB twin of functions.text.quality_score as a (doc_id, lang, q)
+#: subquery — same floored arithmetic as the q_quality_score oracle
+#: (queries_ext.py), with lang carried through for the grouped filter.
+_QUALITY_SCORES_SQL = """
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    ), f AS (
+      SELECT doc_id, lang, n_chars, len(toks) AS n_tokens,
+             len(list_filter(list_transform(toks, t -> lower(t)),
+                 t -> list_contains(['the','a','of','and','to','is','in',
+                                     'that','it','for'], t)))
+                 AS n_stopwords,
+             n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                 AS n_nonalnum,
+             floor((n_chars - len(toks) + 1) * 10000.0 / len(toks)) / 10000.0
+                 AS mean_word_len
+      FROM t
+    )
+    SELECT doc_id, lang,
+           floor(greatest(least(
+               0.5 + least(floor(n_stopwords * 10000.0 / n_tokens)
+                           / 10000.0 * 2, 0.3)
+                   - least(floor(n_nonalnum * 10000.0 / n_chars)
+                           / 10000.0 * 2, 0.4)
+                   - CASE WHEN mean_word_len < 3 OR mean_word_len > 12
+                          THEN 0.2 ELSE 0.0 END,
+               1.0), 0.0) * 10000) / 10000.0 AS q
+    FROM f
+"""
+
+
+@register(
+    "q_quality_topfrac",
+    f"""WITH s AS ({_QUALITY_SCORES_SQL}),
+            thr AS (SELECT quantile_cont(q, 0.2) AS t FROM s)
+       SELECT lang, count(*) AS n_total,
+              CAST(sum(CASE WHEN q > t THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept
+       FROM s, thr GROUP BY lang""",
+    "Quality-percentile corpus filter: keep documents scoring above the "
+    "corpus P20 of the deterministic quality heuristic — thresholding on "
+    "a learned-or-heuristic quality score is the final gate of every "
+    "curation pipeline, and the cut point must come from the DATA (a "
+    "fixed constant drifts as the corpus changes). Exact "
+    "percentile_cont over the floor-rounded scores: the interpolation "
+    "runs the same IEEE ops on identical doubles in both engines. Plan: "
+    "one score pass + a 1-row percentile aggregate broadcast back over "
+    "the scores — the same two-pass broadcast-scalar shape as "
+    "q_zscore_outlier.",
+)
+def q_quality_topfrac(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    s = d.select("doc_id", "lang", quality_score(F.col("text")).alias("q"))
+    thr = s.agg(F.percentile("q", F.lit(0.2)).alias("t"))
+    return (
+        s.crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("q") > F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

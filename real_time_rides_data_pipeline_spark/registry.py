@@ -106,8 +106,12 @@ def check_priority() -> tuple[str, ...]:
         "q_simhash_neardup", "q_text_stats",
         "q_cosine_topk", "q_doc_fingerprint", "q_lang_id",
         "q_ngram_jaccard", "q_quality_score", "q_token_count",
-        # (d) latest driver check = round 3, registration order ((a)+(b)
-        # + first 6 of (c) fill the 50 slots; the rest roll to round 6)
+        # (e) registered AFTER the round-5 window filled (positions 51-52:
+        # (a)+(b) + first 6 of (c) take the 50 slots) — deliberately queued
+        # first in line for round 6's window, unlike the accidental r4
+        # hole; pytest-oracle-green meanwhile
+        "q_vocab_coverage", "q_quality_topfrac",
+        # (d) latest driver check = round 3, registration order
         "q_cast_project", "q_json_parse", "q_stream_dedup", "q_watermark",
         "q_output_complete", "q_rank", "q_lag_lead", "q_running_sum",
         "q_agg_rollup", "q_grouping_sets", "q_tpch_q3", "q_tpch_q6",
