@@ -450,7 +450,8 @@ def q_expectations(spark, sf_dir):
               lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
                   AS valid_to,
               n_events
-       FROM (SELECT user_id, event_type, island AS version,
+       FROM (SELECT user_id, event_type,
+                    CAST(island AS BIGINT) AS version,
                     min(ts) AS valid_from, count(*) AS n_events
              FROM f GROUP BY user_id, event_type, island)""",
     "Slowly-changing-dimension type-2 history: collapse an event log into "
@@ -763,10 +764,12 @@ def q_try_arithmetic(spark, sf_dir):
 @register(
     "q_decimal_money",
     """SELECT o_orderstatus,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(28,2)) AS total_price,
               count(*) AS n_orders,
-              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
-                  // count(*) AS avg_cents_floor
+              CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT)
+                   // count(*) AS BIGINT) AS avg_cents_floor
        FROM orders GROUP BY o_orderstatus""",
     "DecimalType money arithmetic — the cleaner alternative to the cents "
     "trick used elsewhere: cast 2-dp doubles to DECIMAL(18,2) at the scan "

@@ -1118,9 +1118,11 @@ def q_percentile_cont(spark, sf_dir):
 @register(
     "q_skew_salted_agg",
     """SELECT event_type,
-              sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents,
               count(*) AS n_events,
-              sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS avg_cents
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*)
+                   AS BIGINT) AS avg_cents
        FROM events GROUP BY event_type""",
     "Two-phase SALTED aggregation — the skewed-key pattern q_salted_join "
     "demonstrates for joins, applied to aggregation: phase 1 groups by "
@@ -1158,7 +1160,8 @@ def q_skew_salted_agg(spark, sf_dir):
 @register(
     "q_rollup_reagg",
     """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
-              sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents,
               count(*) AS n_events
        FROM events GROUP BY 1, 2""",
     "Incremental rollup re-aggregation — the hypertable/materialized-"
@@ -1202,7 +1205,8 @@ def q_rollup_reagg(spark, sf_dir):
     "q_gapfill_spine",
     """WITH h AS (
          SELECT date_trunc('hour', ts) AS hour_ts,
-                sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS total_cents,
                 count(*) AS n_events
          FROM events
          WHERE event_type = 'purchase' AND value >= 300.0
@@ -1288,7 +1292,8 @@ def q_posexplode(spark, sf_dir):
     "q_sql_entry",
     """SELECT event_type,
               count(*) AS n_events,
-              sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents,
               max(ts) AS last_ts
        FROM events GROUP BY event_type""",
     "SQL-STRING entry point (SURVEY §3.3 — the reference's "
@@ -1309,7 +1314,8 @@ def q_sql_entry(spark, sf_dir):
     return spark.sql(
         f"""SELECT event_type,
                    count(*) AS n_events,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents,
                    max(ts) AS last_ts
             FROM {name} GROUP BY event_type"""
     )

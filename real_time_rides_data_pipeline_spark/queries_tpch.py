@@ -779,8 +779,9 @@ def q_tpch_q2(spark, sf_dir):
          JOIN nation n ON n.n_nationkey = s.s_nationkey
          WHERE n.n_name = 'NATION_7'
        ), grouped AS (
-         SELECT ps_partkey, sum(v) AS value_cents FROM de GROUP BY ps_partkey
-       ), total AS (SELECT sum(v) AS t FROM de)
+         SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+         FROM de GROUP BY ps_partkey
+       ), total AS (SELECT CAST(sum(v) AS BIGINT) AS t FROM de)
        SELECT g.ps_partkey, g.value_cents
        FROM grouped g, total
        WHERE g.value_cents * 2000 > total.t""",

@@ -48,70 +48,33 @@ def registry() -> dict[str, QuerySpec]:
 
 def check_priority() -> tuple[str, ...]:
     """Driver-verification priority: the round driver oracle-checks only the
-    FIRST 50 keys of ``__spark_entry__.queries()``, so keys whose code or
-    oracle changed this round — plus keys whose last driver check is
-    oldest — are listed first. Board state entering round 5: all keys
-    r1-r4-checked EXCEPT q_repetition_score / q_text_chunk (registered in
-    r4 after the window was pinned — never driver-checked). Round 5
-    priority = (a) the two never-checked keys, (b) keys new or changed
-    this round (Q12, the outer stream-stream join, the star-CC rewrite
-    under q_dup_clusters, the normalize-operator rewrite, the IVF n_probe
-    change, the k-means guard feeding q_embed_neardup, and the eight
-    round-5 additions: TF-IDF, crypto fingerprint, PII redact,
-    Levenshtein near-dup, stratified sample, percentile_cont, salted
-    skew agg, rollup re-agg, hyperplane LSH, gap-fill spine,
-    posexplode, JSONL round-trip, decontamination, dataset mix,
-    ORC/CSV round-trips, the spark.sql entry, derived-partsupp
-    Q2/Q11, and the seventeen curate-module keys: VARIANT, LATERAL,
-    URL parse, sequence packing, dominant token, exact z-score,
-    mapInArrow bytes, z-order layout, expectations, SCD2 history,
-    paragraph dedup, incremental dedup, HLL shard merge, cume_dist/
-    nth_value, collated group, try-arithmetic, DECIMAL money), (c) the
-    keys whose latest check is
-    still round 2 — 11 listed here, the 12th (q_ann_ivf) sits in (b)
-    because it also changed this round (pre-NTZ-change keys, argued
-    timestamp-free at registry-level but rotated for a clean board),
-    (d) round-3-checked keys in registration order to fill the 50-slot
-    window ((a) 2 + (b) 42 + (c) 11 = 55 overflows by five: (c) is
-    ordered so the five stale keys the r4 verdict NAMES stay in the
-    window, then q_cosine_topk; the other five r2-cohort keys
-    (doc_fingerprint, lang_id, ngram_jaccard, quality_score,
-    token_count — all timestamp-free and unchanged, the weakest claims
-    on a slot) roll to round 6 behind the never-checked new keys; all
-    of (d) also rolls). Keys not listed keep registration order
-    afterwards."""
+    FIRST 50 keys of ``__spark_entry__.queries()``. Board state entering
+    round 6 (CORRECTNESS_r01-r05 union): 145/147 keys checked at least
+    once; q_vocab_coverage / q_quality_topfrac registered after the r5
+    window filled (never checked); 7 r5-checked keys FAILED hash with the
+    DuckDB HUGEINT-widening oracle bug, fixed this round (outer sums now
+    CAST(... AS BIGINT); q_decimal_money aligned to DECIMAL(28,2));
+    5 keys last checked r2, 43 last checked r3. Round 6 priority =
+    (a) the two never-checked keys, (b) the seven re-fixed oracles —
+    these MUST re-check green this round, (c) keys newly registered in
+    round 6, (d) the r2-stale cohort, (e) the r3-stale cohort in
+    registration order (2+7+|c|+5 head slots leave ~50-14-|c| of the 43
+    for this window; the tail rolls to round 7 — new keys outrank the
+    stale rotation because a never-checked key has no driver row at all,
+    while r3-stale keys hold green ones). Keys not listed keep
+    registration order afterwards."""
     return (
-        # (a) never driver-checked (registered late in r4)
-        "q_repetition_score", "q_text_chunk",
-        # (b) new or changed in round 5
-        "q_tpch_q12", "q_stream_stream_join_outer", "q_dup_clusters",
-        "q_grouped_normalize", "q_ann_ivf", "q_embed_neardup",
-        "q_tfidf_topk", "q_crypto_fingerprint", "q_pii_redact",
-        "q_levenshtein_neardup", "q_stratified_sample",
-        "q_percentile_cont", "q_skew_salted_agg", "q_rollup_reagg",
-        "q_lsh_hyperplane", "q_gapfill_spine", "q_posexplode",
-        "q_jsonl_roundtrip", "q_decontaminate", "q_dataset_mix",
-        "q_orc_roundtrip", "q_csv_roundtrip", "q_sql_entry",
-        "q_tpch_q2", "q_tpch_q11",
-        "q_variant_json", "q_lateral_topk", "q_url_extract",
-        "q_sequence_pack", "q_dominant_token", "q_zscore_outlier",
-        "q_arrow_bytes", "q_zorder_layout", "q_expectations",
-        "q_scd2_history", "q_paragraph_dedup", "q_incremental_dedup",
-        "q_hll_shard_merge", "q_cume_dist_nth", "q_collated_group",
-        "q_try_arithmetic", "q_decimal_money",
-        # (c) latest driver check = round 2 — the five the r4 verdict names
-        # first (its sixth, q_ann_ivf, sits in (b)); the rest of the r2
-        # cohort after, in registration order
-        "q_agg_cube", "q_exact_dedup", "q_frame_sample",
-        "q_simhash_neardup", "q_text_stats",
-        "q_cosine_topk", "q_doc_fingerprint", "q_lang_id",
-        "q_ngram_jaccard", "q_quality_score", "q_token_count",
-        # (e) registered AFTER the round-5 window filled (positions 51-52:
-        # (a)+(b) + first 6 of (c) take the 50 slots) — deliberately queued
-        # first in line for round 6's window, unlike the accidental r4
-        # hole; pytest-oracle-green meanwhile
+        # (a) never driver-checked (registered after the r5 window filled)
         "q_vocab_coverage", "q_quality_topfrac",
-        # (d) latest driver check = round 3, registration order
+        # (b) the seven r5 hash-fails, oracles re-fixed this round
+        "q_decimal_money", "q_gapfill_spine", "q_rollup_reagg",
+        "q_scd2_history", "q_skew_salted_agg", "q_sql_entry", "q_tpch_q11",
+        # (c) new in round 6
+        # (registered this round; appended here as they land)
+        # (d) latest driver check = round 2
+        "q_doc_fingerprint", "q_lang_id", "q_ngram_jaccard",
+        "q_quality_score", "q_token_count",
+        # (e) latest driver check = round 3, registration order
         "q_cast_project", "q_json_parse", "q_stream_dedup", "q_watermark",
         "q_output_complete", "q_rank", "q_lag_lead", "q_running_sum",
         "q_agg_rollup", "q_grouping_sets", "q_tpch_q3", "q_tpch_q6",

@@ -35,6 +35,32 @@ def test_oracle_match(spark, duck, key):
     assert not problems, "\n".join(problems)
 
 
+def test_harness_catches_hugeint_widening(spark, duck):
+    """Regression for the round-5 driver hash-fails: a DuckDB oracle whose
+    outer ``sum(BIGINT)`` widens to HUGEINT (Arrow decimal128) while Spark
+    emits int64 must FAIL the local harness — the old ``Decimal→float``
+    canonicalization masked exactly this (VERDICT.md r5, items 1-2)."""
+    from pyspark.sql import functions as F
+
+    con = duck(ORACLE_SF)
+    ev = spark.read.parquet(f"{ORACLE_SF}/events.parquet")
+    df = ev.groupBy("event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents")
+    )
+    uncast = (
+        "SELECT event_type, sum(CAST(round(value * 100) AS BIGINT)) "
+        "AS total_cents FROM events GROUP BY event_type"
+    )
+    problems = compare(df, con, uncast, "widening_repro")
+    assert problems and "decimal128" in problems[0], problems
+    cast = (
+        "SELECT event_type, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_cents FROM events GROUP BY event_type"
+    )
+    assert not compare(df, con, cast, "widening_fixed")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
