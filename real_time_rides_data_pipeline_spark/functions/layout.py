@@ -22,9 +22,16 @@ from pyspark.sql import functions as F
 def morton_code(x: Column, y: Column, bits: int) -> Column:
     """Interleave the low ``bits`` bits of two non-negative int columns:
     bit i of x lands at position 2i, bit i of y at 2i+1. Caller masks the
-    inputs into [0, 2^bits) first (e.g. ``col % 256`` for bits=8)."""
-    xi = x.cast("int")
-    yi = y.cast("int")
+    inputs into [0, 2^bits) first (e.g. ``col % 256`` for bits=8).
+
+    ``bits`` is capped at 31: the z-value is built in a LONG (64-bit), and
+    the highest interleaved bit lands at position 2*bits-1 = 61 < 63, so
+    the sign bit is never touched (for bits > 15 an INT accumulator would
+    silently corrupt z — the former public-API hazard)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    xi = x.cast("long")
+    yi = y.cast("long")
     z: Column = F.lit(0)
     for i in range(bits):
         z = z + F.shiftleft(F.shiftright(xi, i).bitwiseAND(F.lit(1)), 2 * i)

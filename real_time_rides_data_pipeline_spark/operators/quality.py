@@ -43,6 +43,9 @@ def expectation_stats(df: DataFrame, expectations: dict[str, Column]) -> DataFra
     result row — the unpivot touches E*1 values, not data."""
     import re
 
+    if not expectations:
+        # stack(0, ) is a confusing runtime SQL parse error; fail clearly
+        raise ValueError("expectations must be non-empty")
     for name in expectations:
         # names are spliced into a selectExpr stack() literal — restrict to
         # identifier characters so a quote can neither break nor inject SQL

@@ -28,11 +28,18 @@ except ImportError:
     HAVE_DELTA = False
 
 
+#: Sentinel distinguishing "caller said nothing" from an explicit
+#: ``trigger_seconds=None`` — so ``available_now=True`` with the DEFAULT
+#: trigger works (the default resolves to 10 only on the processing-time
+#: path) while an EXPLICIT processing-time trigger still conflicts.
+_TRIGGER_UNSET = object()
+
+
 def stream_append_parquet(
     df: DataFrame,
     path: str,
     checkpoint: str,
-    trigger_seconds: int | None = 10,
+    trigger_seconds: int | None | object = _TRIGGER_UNSET,
     merge_schema: bool = False,
     available_now: bool = False,
 ) -> DataStreamWriter:
@@ -64,12 +71,16 @@ def stream_append_parquet(
         # micro-batches, then terminate — the production mode for
         # incremental batch jobs (process-what-arrived-since-last-run on a
         # schedule, exactly-once via the same checkpoint). Mutually
-        # exclusive with a processing-time trigger.
-        if trigger_seconds is not None:
+        # exclusive with an EXPLICIT processing-time trigger; the unset
+        # default is simply ignored (it only means anything on the
+        # processing-time path).
+        if trigger_seconds is not _TRIGGER_UNSET and trigger_seconds is not None:
             raise ValueError(
                 "available_now and trigger_seconds are mutually exclusive"
             )
         return w.trigger(availableNow=True)
+    if trigger_seconds is _TRIGGER_UNSET:
+        trigger_seconds = 10
     if trigger_seconds is not None:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w

@@ -448,3 +448,14 @@ def test_expectation_stats_rejects_unsafe_names(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="must match"):
         Q.expectation_stats(df, {"bad'name": F.col("id") >= 0})
+
+
+def test_expectation_stats_rejects_empty_dict(spark):
+    """ADVICE r5: an empty expectations dict used to build 'stack(0, )' —
+    a confusing runtime SQL parse error; must fail fast instead."""
+    import pytest
+
+    from real_time_rides_data_pipeline_spark.operators import quality as Q
+
+    with pytest.raises(ValueError, match="non-empty"):
+        Q.expectation_stats(spark.range(3), {})

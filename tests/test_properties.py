@@ -370,3 +370,29 @@ def test_sequence_pack_invariants(spark, toks, budget):
             offset += t
     for r in assigns:
         assert r["pack_id"] == expect[r["doc_id"]], dict(r.asDict())
+
+
+def test_morton_code_wide_bits_and_guard(spark):
+    """ADVICE r5: for bits > 15 the old int accumulator hit the sign bit.
+    bits=20 must match the driver reference near the top of the range, and
+    out-of-range bits must raise."""
+    import pytest
+
+    from real_time_rides_data_pipeline_spark.functions.layout import (
+        morton_code,
+        morton_code_py,
+    )
+
+    top = (1 << 20) - 1
+    pairs = [(top, top), (top, 0), (0, top), (123456, 654321)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", morton_code(F.col("x"), F.col("y"), 20).alias("z")
+        ).collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == morton_code_py(x, y, 20), (x, y)
+    with pytest.raises(ValueError, match=r"\[1, 31\]"):
+        morton_code(F.col("x"), F.col("y"), 32)

@@ -593,3 +593,21 @@ def test_available_now_rejects_processing_time_combo(spark, workdir, bronze_inpu
             silver, f"{workdir}/x", f"{workdir}/xc",
             trigger_seconds=10, available_now=True,
         )
+
+
+def test_available_now_with_default_trigger(spark, workdir, bronze_input):
+    """ADVICE r5 footgun closed: available_now=True with the DEFAULT
+    trigger_seconds (caller passes nothing) must build an AvailableNow
+    writer, not raise — only an EXPLICIT processing-time trigger conflicts."""
+    from real_time_rides_data_pipeline_spark.sinks import stream_append_parquet
+
+    input_path, _ = bronze_input
+    silver = silver_transform(
+        parquet_stream(spark, input_path, BRONZE_SCHEMA), watermark="2 hours"
+    )
+    out = f"{workdir}/avail_default"
+    q = stream_append_parquet(
+        silver, out, f"{workdir}/avail_default_ckpt", available_now=True
+    ).start()
+    assert q.awaitTermination(120)
+    assert spark.read.parquet(out).count() > 0
