@@ -396,3 +396,62 @@ def test_morton_code_wide_bits_and_guard(spark):
         assert got[(x, y)] == morton_code_py(x, y, 20), (x, y)
     with pytest.raises(ValueError, match=r"\[1, 31\]"):
         morton_code(F.col("x"), F.col("y"), 32)
+
+
+def test_connected_components_star_on_high_degree_hub(spark):
+    """Pathological high-degree star — the exact shape large-star exists
+    for: one hub adjacent to 400 leaves (plus a chain stitched through the
+    leaves so the component isn't radius-1 trivial). Large-star moves every
+    leaf to the component minimum in one hop regardless of degree, so the
+    alternation converges in a handful of rounds; the hub's neighborhood is
+    the worst case for per-node fan-out. Also checks the hub NOT being the
+    minimum id (leaves must not root at the hub)."""
+    from real_time_rides_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    hub = 500  # deliberately NOT the min id
+    leaves = list(range(400))
+    vertices = spark.createDataFrame(
+        [(hub,)] + [(i,) for i in leaves], "id long"
+    )
+    star_edges = [(hub, i) for i in leaves]
+    chain_edges = [(i, i + 1) for i in range(0, 399, 7)]
+    edf = spark.createDataFrame(star_edges + chain_edges, "src long, dst long")
+    got = {
+        r.id: r.component
+        for r in connected_components(vertices, edf, max_iter=10).collect()
+    }
+    assert got == {hub: 0, **{i: 0 for i in leaves}}
+
+
+def test_connected_components_star_on_two_hub_barbell(spark):
+    """Two high-degree stars bridged by one edge (barbell) — stresses the
+    merge of two locally-converged min-rooted stars through a single
+    cross-edge; distinct components must NOT merge without the bridge."""
+    from real_time_rides_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    a_hub, b_hub = 100, 300
+    a_leaves = list(range(101, 200))
+    b_leaves = list(range(301, 400))
+    vertices = spark.createDataFrame(
+        [(v,) for v in [a_hub, b_hub] + a_leaves + b_leaves], "id long"
+    )
+    edges = [(a_hub, i) for i in a_leaves] + [(b_hub, i) for i in b_leaves]
+    no_bridge = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.id: r.component
+        for r in connected_components(vertices, no_bridge, max_iter=10).collect()
+    }
+    assert all(got[i] == a_hub for i in [a_hub] + a_leaves)
+    assert all(got[i] == b_hub for i in [b_hub] + b_leaves)
+    bridged = spark.createDataFrame(
+        edges + [(a_leaves[-1], b_leaves[0])], "src long, dst long"
+    )
+    got2 = {
+        r.id: r.component
+        for r in connected_components(vertices, bridged, max_iter=10).collect()
+    }
+    assert set(got2.values()) == {a_hub}
