@@ -1,0 +1,524 @@
+"""Round-6 scale/curation operators.
+
+Same registry contract as queries.py / queries_ext.py / queries_curate.py
+(SURVEY.md §2.9 scope). Determinism rules (SURVEY §7.4) throughout: exact
+integer cents / counts, floor-truncated ratios (``floor`` is portable on
+identical doubles, ``round`` is not — functions/precision.py), every tie
+broken by a total order.
+
+Scale notes (100 TB):
+- Bloom decontamination broadcasts a COMPACT filter (MBs for millions of
+  eval grams) instead of shuffling the corpus gram table against the eval
+  set — the corpus-side join input shrinks to pre-filtered survivors.
+- CDC apply, funnel, and sharding are single-key shuffles (user_id / shard)
+  with window or re-aggregation on the same key.
+- Quantization / regex pre-tokenization are narrow JVM maps over the scan.
+- PMI is wordcount-shaped: two hash shuffles (bigram, unigram) and a join
+  keyed on the unigram — the vocabulary side shuffles, never broadcast
+  (vocab at 100 TB exceeds broadcast budget).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from real_time_rides_data_pipeline_spark.functions import text as X
+from real_time_rides_data_pipeline_spark.functions.precision import cents
+from real_time_rides_data_pipeline_spark.operators.clean import KNUTH_MULT
+from real_time_rides_data_pipeline_spark.registry import _t, register
+
+# =========================================================================
+# Bloom-prefiltered decontamination
+# =========================================================================
+
+
+@register(
+    "q_bloom_decontaminate",
+    """WITH train AS (
+         SELECT doc_id,
+                list_distinct(
+                    [concat_ws(' ', w[i+1], w[i+2], w[i+3],
+                               w[i+4], w[i+5], w[i+6])
+                     for i in range(greatest(len(w) - 5, 1))]) AS sh
+         FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\\s+') AS w
+               FROM documents)
+       ), eval_grams AS (
+         SELECT DISTINCT
+                unnest([concat_ws(' ', v[i+1], v[i+2], v[i+3],
+                                  v[i+4], v[i+5], v[i+6])
+                        for i in range(greatest(len(v) - 5, 1))]) AS g
+         FROM (SELECT w[2:] AS v
+               FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+                     FROM documents WHERE doc_id % 89 = 1))
+       )
+       SELECT t.doc_id, count(*) AS n_hits
+       FROM (SELECT doc_id, unnest(sh) AS g FROM train) t
+       JOIN eval_grams USING (g)
+       GROUP BY t.doc_id""",
+    "Bloom-PREFILTERED decontamination — q_decontaminate's scale upgrade: "
+    "the eval benchmark's distinct 6-gram shingles are folded into a Bloom "
+    "bitmap built DISTRIBUTED (seeded-xxhash64 bit positions, bit_or into "
+    "64-bit words — operators/bloom.py; Spark's BloomFilterAggregate is "
+    "optimizer-internal, so the same structure is built from public "
+    "primitives), collected as a constant-size word array (64 KiB) and "
+    "folded into the plan as ONE literal. might_contain() prunes the "
+    "corpus gram stream map-side in whole-stage codegen; only the tiny "
+    "surviving candidate set reaches the exact semi-join that removes "
+    "bloom false positives — so the output is EXACTLY the n-gram-overlap "
+    "hit count per contaminated doc (deterministic despite the "
+    "probabilistic filter: no false negatives by bloom construction, no "
+    "false positives after the verify join — property-tested in "
+    "tests/test_properties.py). At 100 TB the corpus side never shuffles "
+    "its full gram table: the bloom rejects ~all of it at the scan. Eval "
+    "set = every 89th doc minus its first token (a benchmark quoting a "
+    "span of a crawled page).",
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators import bloom as B
+
+    d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    eval_text = d.filter(F.col("doc_id") % 89 == 1).select(
+        F.concat_ws(
+            " ",
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)).cast("int")),
+        ).alias("text")
+    )
+    eval_grams = eval_text.select(
+        F.explode(X.word_shingles(F.col("text"), 6)).alias("g")
+    ).distinct()
+    words = B.build_bloom_words(eval_grams, "g")
+    train_grams = d.select(
+        "doc_id", F.explode(X.word_shingles(F.col("text"), 6)).alias("g")
+    )
+    candidates = train_grams.filter(B.might_contain(F.col("g"), words))
+    return (
+        candidates.join(F.broadcast(eval_grams), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# =========================================================================
+# CDC changelog apply
+# =========================================================================
+
+
+@register(
+    "q_cdc_apply",
+    """WITH ranked AS (
+         SELECT user_id, event_type, ts, event_id,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn,
+                count(*) OVER (PARTITION BY user_id) AS n_ops
+         FROM events)
+       SELECT user_id, event_type AS last_op, cents AS last_cents,
+              ts AS last_ts, n_ops
+       FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
+    "CDC changelog APPLY: compact an ordered op log into final table state "
+    "— every event upserts its user's row except 'error', which deletes it "
+    "(a user whose LAST op is a delete is absent from the result; a later "
+    "upsert resurrects it — last-writer-wins, the Debezium/Delta-CDF "
+    "compaction rule). One window pass: row_number + count over the same "
+    "(user_id, ts DESC, event_id DESC) partitioning = ONE shuffle; "
+    "(ts, event_id) is the total order that makes last-writer "
+    "deterministic under timestamp ties. At 100 TB this is the "
+    "materialize-step of a streaming MERGE (q_merge_upsert applies the "
+    "same log incrementally via foreachBatch).",
+)
+def q_cdc_apply(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        cents(F.col("value")).alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_ops"),
+    )
+    return ranked.filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.col("cents").alias("last_cents"),
+        F.col("ts").alias("last_ts"),
+        "n_ops",
+    )
+
+
+# =========================================================================
+# Deterministic corpus shuffle + sharding
+# =========================================================================
+
+_SHARD_P = 1000003  # prime modulus for the shard hash
+_SHARD_M = KNUTH_MULT % _SHARD_P
+_N_SHARDS = 8
+
+
+@register(
+    "q_corpus_shard",
+    f"""SELECT doc_id,
+               h % {_N_SHARDS} AS shard,
+               CAST(row_number() OVER (PARTITION BY h % {_N_SHARDS}
+                                       ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM (SELECT doc_id,
+                     ((doc_id % {_SHARD_P}) * {_SHARD_M}) % {_SHARD_P} AS h
+              FROM documents)""",
+    "Deterministic corpus SHUFFLE + SHARDING — the write-side of every "
+    "training-data pipeline: each doc gets a pseudorandom but replayable "
+    "position (shard, pos) from a Knuth-multiplier modular hash of its id "
+    "— no RNG state, so a backfill reproduces byte-identical shards and "
+    "two engines agree exactly (the same hash family as q_hash_sample / "
+    "q_stratified_sample). Shape: one hash shuffle on the shard key, then "
+    "a per-shard sort for the intra-shard order — at 100 TB this is "
+    "repartition(N, shard) + sortWithinPartitions(h, doc_id) feeding the "
+    "sharded writer, each shard an independent sorted run (no global "
+    "sort, no driver).",
+)
+def q_corpus_shard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_SHARD_P)) * F.lit(_SHARD_M),
+        F.lit(_SHARD_P),
+    )
+    shard = F.pmod(F.col("h"), F.lit(_N_SHARDS))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"))
+        .withColumn("shard", shard)
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+# =========================================================================
+# Embedding int8 quantization
+# =========================================================================
+
+
+@register(
+    "q_int8_quantize",
+    """WITH s AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                list_max(list_transform(embedding,
+                                        x -> abs(CAST(x AS DOUBLE)))) AS amax
+         FROM embeddings
+       ), q AS (
+         SELECT vec_id, amax / 127.0 AS scale,
+                list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+                    floor(x / (amax / 127.0) + 0.5))) AS INTEGER)) AS qv
+         FROM s WHERE amax > 0
+       )
+       SELECT vec_id,
+              CAST(floor(scale * 1000000) AS BIGINT) AS scale_ppm,
+              CAST(list_sum(qv) AS BIGINT) AS checksum,
+              CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT)
+                  AS n_sat
+       FROM q""",
+    "Symmetric INT8 embedding quantization — the 4x storage/bandwidth "
+    "compression applied before ANN serving: per-vector scale = max|x|/127, "
+    "q_i = clamp(round_half_up(x_i/scale)) where round_half_up is "
+    "floor(x+0.5) because floor is the cross-engine-portable rounding "
+    "(functions/precision.py: round() on doubles is NOT portable, floor "
+    "is). Reported as exact integers: floored scale-ppm, the int8 "
+    "checksum, and the saturation count (q = ±127 — the clip-rate metric "
+    "that decides whether a corpus needs per-block scales). Pure JVM array "
+    "lambdas over one scan — narrow, no shuffle, no Python.",
+)
+def q_int8_quantize(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings", parallel=True)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    base = emb.select("vec_id", v.alias("v"), amax.alias("amax")).filter(
+        F.col("amax") > 0
+    )
+    scale = F.col("amax") / 127.0
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + 0.5))
+        ).cast("int"),
+    )
+    return base.select(
+        "vec_id",
+        F.floor(scale * 1000000).cast("long").alias("scale_ppm"),
+        F.aggregate(
+            qv, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("checksum"),
+        F.size(F.filter(qv, lambda x: F.abs(x) == 127))
+        .cast("long")
+        .alias("n_sat"),
+    )
+
+
+# =========================================================================
+# Bigram collocations (PMI-ranked)
+# =========================================================================
+
+
+@register(
+    "q_pmi_bigrams",
+    """WITH tok AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         FROM documents
+       ), big AS (
+         SELECT b.w1, b.w2
+         FROM (SELECT unnest([{'w1': w[i+1], 'w2': w[i+2]}
+                              for i in range(greatest(len(w) - 1, 1))]) AS b
+               FROM tok)
+         WHERE b.w2 IS NOT NULL
+       ), xy AS (
+         SELECT w1, w2, count(*) AS n_xy FROM big GROUP BY w1, w2
+       ), xs AS (SELECT w1, count(*) AS n_x FROM big GROUP BY w1),
+          ys AS (SELECT w2, count(*) AS n_y FROM big GROUP BY w2),
+          tot AS (SELECT count(*) AS n FROM big)
+       SELECT xy.w1, xy.w2, xy.n_xy,
+              (xy.n_xy * tot.n * 1000000) // (xs.n_x * ys.n_y)
+                  AS lift_ppm
+       FROM xy JOIN xs USING (w1) JOIN ys USING (w2) CROSS JOIN tot
+       WHERE xy.n_xy >= 5""",
+    "Bigram COLLOCATION mining, PMI-ranked: for every adjacent word pair "
+    "seen >= 5 times, lift = p(xy)/(p(x)p(y)) reported as the exact "
+    "integer n_xy*N*1e6 DIV (n_x*n_y) — monotone in PMI (log is monotone) "
+    "with zero float ops, so the ranking is bit-exact across engines "
+    "(avoids the libm-log last-ulp divergence). The phrase-detection pass "
+    "(word2vec-style) every corpus pipeline runs before tokenizer "
+    "training. Shape: map-side bigram fan-out (transform over the token "
+    "array — no posexplode self-join), then wordcount-shaped shuffles on "
+    "(w1,w2) / w1 / w2; the unigram tables join SHUFFLE-side keyed on the "
+    "word (vocab at 100 TB exceeds broadcast budget), the 1-row total "
+    "broadcasts.",
+)
+def q_pmi_bigrams(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    w = X.tokens(F.col("text"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(0)))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(w, (i + 1).cast("int")).alias("w1"),
+            F.element_at(w, (i + 2).cast("int")).alias("w2"),
+        ),
+    )
+    big = (
+        d.select(F.explode(pairs).alias("b"))
+        .select("b.w1", "b.w2")
+        .filter(F.col("w2").isNotNull())
+    )
+    xy = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    xs = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n_x"))
+    ys = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_y"))
+    tot = big.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        xy.join(xs, "w1")
+        .join(ys, "w2")
+        .join(F.broadcast(tot))
+        .filter(F.col("n_xy") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.expr("n_xy * n * 1000000L div (n_x * n_y)").alias("lift_ppm"),
+        )
+    )
+
+
+# =========================================================================
+# Robust outliers (median absolute deviation)
+# =========================================================================
+
+
+@register(
+    "q_mad_outlier",
+    """WITH e AS (
+         SELECT event_type, event_id,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events
+       ), m AS (
+         SELECT event_type, quantile_cont(cents, 0.5) AS med
+         FROM e GROUP BY event_type
+       ), d AS (
+         SELECT e.event_type, e.event_id, e.cents,
+                abs(2 * e.cents - CAST(2 * m.med AS BIGINT)) AS dev2
+         FROM e JOIN m USING (event_type)
+       ), md AS (
+         SELECT event_type, quantile_cont(dev2, 0.5) AS mad2
+         FROM d GROUP BY event_type
+       )
+       SELECT d.event_type, d.event_id, d.cents, d.dev2
+       FROM d JOIN md USING (event_type)
+       WHERE 2 * d.dev2 > 3 * md.mad2""",
+    "Robust outlier flagging via MEDIAN ABSOLUTE DEVIATION — the "
+    "heavy-tail-safe twin of q_zscore_outlier (mean/stddev break under the "
+    "very outliers they hunt; median/MAD have 50% breakdown point): flag "
+    "events whose |x - median| exceeds 1.5 x MAD per event_type. All "
+    "arithmetic exact: medians of integers at the dyadic 0.5 fraction are "
+    "exact binary doubles (k or k.5 — q_percentile_cont's argument), "
+    "doubled deviations are exact integers, and the 1.5x threshold is "
+    "compared as 2*dev2 > 3*mad2 — integers vs an exact double. Shape: "
+    "two grouped exact-percentile passes (groups = event types, dozens) "
+    "whose tiny stats tables BROADCAST back onto the fact scan — the "
+    "fact table shuffles zero times.",
+)
+def q_mad_outlier(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", cents(F.col("value")).alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.abs(
+            2 * F.col("cents") - (2 * F.col("med")).cast("long")
+        ).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev2, 0.5)").alias("mad2")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(2 * F.col("dev2") > 3 * F.col("mad2"))
+        .select("event_type", "event_id", "cents", "dev2")
+    )
+
+
+# =========================================================================
+# BPE-ish regex pre-tokenization
+# =========================================================================
+
+_PRETOK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "q_regex_pretokenize",
+    f"""SELECT doc_id,
+               CAST(len(p) AS BIGINT) AS n_pieces,
+               CAST(len(list_filter(p,
+                    x -> regexp_matches(x, '^[A-Za-z]'))) AS BIGINT)
+                   AS n_alpha,
+               CAST(len(list_filter(p,
+                    x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) AS n_num,
+               CAST(len(list_filter(p,
+                    x -> NOT regexp_matches(x, '^[A-Za-z0-9]'))) AS BIGINT)
+                   AS n_other
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lang || '-' || doc_id || ': ' || text,
+                                        '{_PRETOK_RE}') AS p
+              FROM documents)""",
+    "BPE-ish REGEX PRE-TOKENIZATION — the GPT-2-style splitter run before "
+    "any merge-table training: letter runs | digit runs | punctuation runs "
+    "(the class boundaries where BPE merges never cross), counted per "
+    "class per document. The input line is prefixed 'lang-doc_id: ' so the "
+    "digit and punctuation classes are exercised on this all-prose "
+    "fixture. The pattern is shared verbatim across engines (pure ASCII "
+    "classes — no Java-vs-RE2 semantic gap). Narrow map over the scan: "
+    "regexp_extract_all + array filters, whole-stage codegen, no shuffle.",
+)
+def q_regex_pretokenize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    line = F.concat_ws(
+        "", F.col("lang"), F.lit("-"), F.col("doc_id"), F.lit(": "), F.col("text")
+    )
+    p = F.regexp_extract_all(line, F.lit(_PRETOK_RE), F.lit(0))
+
+    def n_matching(prefix_re: str) -> F.Column:
+        return F.size(
+            F.filter(p, lambda x: x.rlike(prefix_re))
+        ).cast("long")
+
+    return d.select(
+        "doc_id",
+        F.size(p).cast("long").alias("n_pieces"),
+        n_matching("^[A-Za-z]").alias("n_alpha"),
+        n_matching("^[0-9]").alias("n_num"),
+        F.size(F.filter(p, lambda x: ~x.rlike("^[A-Za-z0-9]")))
+        .cast("long")
+        .alias("n_other"),
+    )
+
+
+# =========================================================================
+# Conversion funnel
+# =========================================================================
+
+
+@register(
+    "q_funnel_steps",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                                      AND e.ts > v.t1
+                  WHERE e.event_type = 'click' GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                                      AND e.ts > c.t2
+                  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+       SELECT u.user_id, v.t1, c.t2, p.t3,
+              CASE WHEN p.t3 IS NOT NULL THEN 3
+                   WHEN c.t2 IS NOT NULL THEN 2
+                   WHEN v.t1 IS NOT NULL THEN 1
+                   ELSE 0 END AS stage
+       FROM (SELECT DISTINCT user_id FROM events) u
+       LEFT JOIN v USING (user_id)
+       LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)""",
+    "Ordered CONVERSION FUNNEL (view -> click -> purchase): per user, the "
+    "first view, the first click STRICTLY AFTER that view, the first "
+    "purchase strictly after that click — the sequence constraint that "
+    "separates funnel analytics from three independent mins (a purchase "
+    "before the first view does not convert). Three grouped mins + three "
+    "joins, ALL keyed on user_id: the shuffle partitioning is computed "
+    "once and reused by every stage (Exchange reuse), and each stage's "
+    "input shrinks monotonically (only stage-k users reach stage k+1). "
+    "Events-side filters (event_type) push to the scan.",
+)
+def q_funnel_steps(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3", stage.cast("int").alias("stage"))
+    )

@@ -41,6 +41,7 @@ def registry() -> dict[str, QuerySpec]:
     import real_time_rides_data_pipeline_spark.queries_curate  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_ext  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_olap  # noqa: F401
+    import real_time_rides_data_pipeline_spark.queries_scale  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_tpch  # noqa: F401
 
     return dict(_REGISTRY)
@@ -70,7 +71,9 @@ def check_priority() -> tuple[str, ...]:
         "q_decimal_money", "q_gapfill_spine", "q_rollup_reagg",
         "q_scd2_history", "q_skew_salted_agg", "q_sql_entry", "q_tpch_q11",
         # (c) new in round 6
-        # (registered this round; appended here as they land)
+        "q_bloom_decontaminate", "q_cdc_apply", "q_corpus_shard",
+        "q_int8_quantize", "q_pmi_bigrams", "q_mad_outlier",
+        "q_regex_pretokenize", "q_funnel_steps",
         # (d) latest driver check = round 2
         "q_doc_fingerprint", "q_lang_id", "q_ngram_jaccard",
         "q_quality_score", "q_token_count",

@@ -455,3 +455,28 @@ def test_connected_components_star_on_two_hub_barbell(spark):
         for r in connected_components(vertices, bridged, max_iter=10).collect()
     }
     assert set(got2.values()) == {a_hub}
+
+
+@settings(**SETTINGS)
+@given(
+    keys=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=40),
+    probes=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=40),
+)
+def test_bloom_never_false_negative(spark, keys, probes):
+    """Classic Bloom guarantee, on the bit_or-aggregated implementation:
+    every inserted key must probe TRUE; non-members may false-positive
+    (removed by the caller's exact verify join) but members never miss."""
+    from real_time_rides_data_pipeline_spark.operators import bloom as B
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], "g string")
+    words = B.build_bloom_words(df, "g", m_bits=1 << 12, k=4)
+    univ = sorted(set(keys) | set(probes))
+    pdf = spark.createDataFrame([(p,) for p in univ], "g string")
+    got = {
+        r["g"]: r["hit"]
+        for r in pdf.select(
+            "g", B.might_contain(F.col("g"), words, m_bits=1 << 12, k=4).alias("hit")
+        ).collect()
+    }
+    for k in set(keys):
+        assert got[k] is True, f"false negative on inserted key {k!r}"
