@@ -62,7 +62,7 @@ from real_time_rides_data_pipeline_spark.registry import _t, register
     "bitmap built DISTRIBUTED (seeded-xxhash64 bit positions, bit_or into "
     "64-bit words — operators/bloom.py; Spark's BloomFilterAggregate is "
     "optimizer-internal, so the same structure is built from public "
-    "primitives), collected as a constant-size word array (64 KiB) and "
+    "primitives), collected as a constant-size word array (KiBs) and "
     "folded into the plan as ONE literal. might_contain() prunes the "
     "corpus gram stream map-side in whole-stage codegen; only the tiny "
     "surviving candidate set reaches the exact semi-join that removes "
@@ -86,14 +86,27 @@ def q_bloom_decontaminate(spark, sf_dir):
             F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)).cast("int")),
         ).alias("text")
     )
-    eval_grams = eval_text.select(
-        F.explode(X.word_shingles(F.col("text"), 6)).alias("g")
-    ).distinct()
-    words = B.build_bloom_words(eval_grams, "g")
+    # Materialize the eval gram set ONCE: it feeds both the bloom build and
+    # the exact verify join (without this the eval docs scan + shingle
+    # twice). Bounded by the benchmark size — benchmarks are small by the
+    # same assumption that lets the verify side broadcast.
+    eval_grams = (
+        eval_text.select(
+            F.explode(X.word_shingles(F.col("text"), 6)).alias("g")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # 2^16 bits (1024 words, 8 KiB): sized for the benchmark-scale gram
+    # count; a higher FPR only costs verify-join input, never output
+    # correctness — and the smaller plan literal keeps codegen tight.
+    words = B.build_bloom_words(eval_grams, "g", m_bits=1 << 16)
     train_grams = d.select(
         "doc_id", F.explode(X.word_shingles(F.col("text"), 6)).alias("g")
     )
-    candidates = train_grams.filter(B.might_contain(F.col("g"), words))
+    candidates = train_grams.filter(
+        B.might_contain(F.col("g"), words, m_bits=1 << 16)
+    )
     return (
         candidates.join(F.broadcast(eval_grams), "g", "left_semi")
         .groupBy("doc_id")
