@@ -13,9 +13,11 @@ Scale notes (100 TB):
 - CDC apply, funnel, and sharding are single-key shuffles (user_id / shard)
   with window or re-aggregation on the same key.
 - Quantization / regex pre-tokenization are narrow JVM maps over the scan.
-- PMI is wordcount-shaped: two hash shuffles (bigram, unigram) and a join
-  keyed on the unigram — the vocabulary side shuffles, never broadcast
-  (vocab at 100 TB exceeds broadcast budget).
+- PMI is wordcount-shaped: ONE pass over the exploded bigram stream into
+  (w1,w2) counts; unigram/total counts re-aggregate from the (far smaller)
+  bigram-count table, which is locally checkpointed for its three
+  consumers — the corpus is tokenized once, and the unigram join stays
+  shuffle-side (vocab at 100 TB exceeds broadcast budget).
 """
 
 from __future__ import annotations
@@ -309,10 +311,13 @@ def q_int8_quantize(spark, sf_dir):
     "(avoids the libm-log last-ulp divergence). The phrase-detection pass "
     "(word2vec-style) every corpus pipeline runs before tokenizer "
     "training. Shape: map-side bigram fan-out (transform over the token "
-    "array — no posexplode self-join), then wordcount-shaped shuffles on "
-    "(w1,w2) / w1 / w2; the unigram tables join SHUFFLE-side keyed on the "
-    "word (vocab at 100 TB exceeds broadcast budget), the 1-row total "
-    "broadcasts.",
+    "array — no posexplode self-join) into ONE (w1,w2) count aggregation; "
+    "unigram and total counts RE-AGGREGATE from the checkpointed bigram-"
+    "count table (sum(n_xy) by w1 == count(w1) — mergeability, the "
+    "q_rollup_reagg contract), so the corpus is tokenized exactly once "
+    "and later shuffles move count rows, not tokens. The unigram tables "
+    "join SHUFFLE-side keyed on the word (vocab at 100 TB exceeds "
+    "broadcast budget), the 1-row total broadcasts.",
 )
 def q_pmi_bigrams(spark, sf_dir):
     d = _t(spark, sf_dir, "documents", parallel=True)
@@ -330,10 +335,19 @@ def q_pmi_bigrams(spark, sf_dir):
         .select("b.w1", "b.w2")
         .filter(F.col("w2").isNotNull())
     )
-    xy = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
-    xs = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n_x"))
-    ys = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_y"))
-    tot = big.agg(F.count(F.lit(1)).alias("n"))
+    # ONE pass over the exploded bigram stream; unigram and total counts
+    # RE-AGGREGATE from the (vocab²-bounded) bigram counts — sum(n_xy) by
+    # w1 ≡ count(w1) over big — so the corpus is scanned/tokenized once
+    # and every later shuffle moves count rows, not tokens (pinned in
+    # tests/test_plans.py::test_pmi_single_corpus_pass).
+    xy = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .localCheckpoint(eager=False)
+    )
+    xs = xy.groupBy("w1").agg(F.sum("n_xy").alias("n_x"))
+    ys = xy.groupBy("w2").agg(F.sum("n_xy").alias("n_y"))
+    tot = xy.agg(F.sum("n_xy").alias("n"))
     return (
         xy.join(xs, "w1")
         .join(ys, "w2")
@@ -389,19 +403,25 @@ def q_mad_outlier(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_type", "event_id", cents(F.col("value")).alias("cents")
     )
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(cents, 0.5)").alias("med")
+    # Both stats tables are |event_type| rows — materialize them so the
+    # dev subtree isn't recomputed per consumer (without the checkpoints
+    # Catalyst duplicates the med agg and the fact scans 4x; with them the
+    # final plan is ONE fact scan + two broadcast joins — pinned in
+    # tests/test_plans.py). Bounded driver actions, like the IVF centroid
+    # fetch (operators/similarity.py).
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(cents, 0.5)").alias("med"))
+        .localCheckpoint(eager=True)
     )
+    dev2 = F.abs(2 * F.col("cents") - (2 * F.col("med")).cast("long"))
     dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "event_id",
-        "cents",
-        F.abs(
-            2 * F.col("cents") - (2 * F.col("med")).cast("long")
-        ).alias("dev2"),
+        "event_type", "event_id", "cents", dev2.alias("dev2")
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(dev2, 0.5)").alias("mad2")
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.expr("percentile(dev2, 0.5)").alias("mad2"))
+        .localCheckpoint(eager=True)
     )
     return (
         dev.join(F.broadcast(mad), "event_type")

@@ -471,3 +471,76 @@ def test_expectations_single_pass(spark):
     scans = _re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_bloom_decontaminate_prefilter_before_join(spark):
+    """The bloom probe must run as a scan-side Filter (getbit over the
+    literal word array) BEFORE the exact verify semi-join, and the verify
+    join must broadcast the eval-gram side — the corpus gram stream never
+    shuffles."""
+    plan = _plan(spark, "q_bloom_decontaminate")
+    assert "getbit" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the only hash exchange is the final per-doc count aggregation
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+    assert plan.count("hashpartitioning(g") == 0, plan
+
+
+def test_cdc_apply_single_shuffle(spark):
+    """row_number and the per-key count share one (user_id) window
+    partitioning: exactly one hash exchange end-to-end."""
+    plan = _plan(spark, "q_cdc_apply")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_corpus_shard_single_shuffle(spark):
+    """One hash exchange on the shard key feeding the per-shard sort —
+    no global sort, no range exchange."""
+    plan = _plan(spark, "q_corpus_shard")
+    assert plan.count("hashpartitioning(shard") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_int8_quantize_is_narrow_map(spark):
+    """Pure JVM array lambdas over one scan: no exchange, no Python."""
+    plan = _plan(spark, "q_int8_quantize")
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_mad_outlier_fact_never_shuffles(spark):
+    """Both (checkpointed, |event_type|-row) percentile stats tables
+    broadcast back onto ONE fact scan — the events table is scanned once
+    in the final plan and never hash-exchanged on a data key."""
+    import re as _re
+
+    plan = _plan(spark, "q_mad_outlier")
+    joins = _re.findall(r"\(\d+\) BroadcastHashJoin", plan)
+    assert len(joins) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    scans = _re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """Every stage keys on user_id; no cartesian, no broadcast-nested-loop
+    (the strictly-after condition must ride the equi-join, not become a
+    range-only join)."""
+    plan = _plan(spark, "q_funnel_steps")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pmi_single_corpus_pass(spark):
+    """The exploded bigram stream is aggregated once on (w1,w2) into a
+    checkpointed count table; unigram and total counts re-aggregate FROM
+    it — the final plan reads the checkpoint RDD, never the corpus (zero
+    parquet scans downstream of the single tokenization pass)."""
+    import re as _re
+
+    plan = _plan(spark, "q_pmi_bigrams")
+    scans = _re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 0, plan
+    assert "ExistingRDD" in plan, plan
