@@ -555,3 +555,196 @@ def q_funnel_steps(spark, sf_dir):
         .join(p, "user_id", "left")
         .select("user_id", "t1", "t2", "t3", stage.cast("int").alias("stage"))
     )
+
+
+# =========================================================================
+# Declarative SQL UDFs (CREATE FUNCTION ... RETURN expr)
+# =========================================================================
+
+
+@register(
+    "q_sql_udf",
+    """CREATE OR REPLACE MACRO sg_cents_of(x) AS
+           CAST(round(x * 100) AS BIGINT);
+       CREATE OR REPLACE MACRO sg_band_of(n) AS
+           CASE WHEN n < 120 THEN 'short'
+                WHEN n < 180 THEN 'mid' ELSE 'long' END;
+       SELECT sg_band_of(n_chars) AS band,
+              count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY sg_band_of(n_chars)""",
+    "Declarative SQL UDFs (Spark 4 CREATE FUNCTION ... RETURNS ... RETURN "
+    "expr — the catalog-registered, pure-SQL scalar function; DuckDB's "
+    "twin is CREATE MACRO): a banding function defined ONCE and used in "
+    "both the projection and the GROUP BY. Unlike Python UDFs these "
+    "inline at analysis time — the optimized plan is identical to writing "
+    "the CASE expression by hand (whole-stage codegen, predicate "
+    "pushdown through the function body), so the abstraction costs "
+    "nothing at 100 TB: the engine never calls out of the JVM. "
+    "Session-scoped TEMPORARY function with OR REPLACE so reruns and "
+    "concurrent benches never collide.",
+)
+def q_sql_udf(spark, sf_dir):
+    import uuid
+
+    fn = f"sg_band_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION {fn}(n BIGINT)
+            RETURNS STRING
+            RETURN CASE WHEN n < 120 THEN 'short'
+                        WHEN n < 180 THEN 'mid' ELSE 'long' END"""
+    )
+    view = f"documents_sqludf_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""SELECT {fn}(n_chars) AS band,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM {view} GROUP BY {fn}(n_chars)"""
+    )
+
+
+# =========================================================================
+# Column profiling (ANALYZE-style statistics)
+# =========================================================================
+
+
+@register(
+    "q_profile_stats",
+    """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+              count(*) - count(event_id) AS n_nulls,
+              count(DISTINCT event_id) AS n_distinct FROM events
+       UNION ALL
+       SELECT 'ts', count(*), count(*) - count(ts),
+              count(DISTINCT ts) FROM events
+       UNION ALL
+       SELECT 'user_id', count(*), count(*) - count(user_id),
+              count(DISTINCT user_id) FROM events
+       UNION ALL
+       SELECT 'event_type', count(*), count(*) - count(event_type),
+              count(DISTINCT event_type) FROM events
+       UNION ALL
+       SELECT 'value', count(*), count(*) - count(value),
+              count(DISTINCT value) FROM events
+       UNION ALL
+       SELECT 'props', count(*), count(*) - count(props),
+              count(DISTINCT props) FROM events""",
+    "Column PROFILING — the ANALYZE TABLE ... COMPUTE STATISTICS surface "
+    "(row count, null count, exact NDV per column) that feeds CBO join "
+    "reordering and data-quality dashboards. The Spark plan computes ALL "
+    "six columns' metrics in a single expand+aggregate pass over one scan "
+    "(count(DISTINCT a), count(DISTINCT b), ... share one Expand — "
+    "Catalyst's multi-distinct rewrite), then stack()-unpivots the 1-row "
+    "result; the oracle's UNION-ALL-per-column shape is the semantic spec "
+    "only. Exact NDV here because the oracle needs determinism; the "
+    "100 TB default is approx_count_distinct's mergeable HLL "
+    "(q_approx_distinct / q_hll_shard_merge), one pass, no expand "
+    "blow-up.",
+)
+def q_profile_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    wide = ev.agg(*aggs)
+    pairs = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {pairs}) AS (col_name, n_nulls, n_distinct)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+# =========================================================================
+# Streaming CDC apply (incremental twin of q_cdc_apply)
+# =========================================================================
+
+
+@register(
+    "q_cdc_stream",
+    """WITH ranked AS (
+         SELECT user_id, event_type, ts, event_id,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn,
+                count(*) OVER (PARTITION BY user_id) AS n_ops
+         FROM events)
+       SELECT user_id, event_type AS last_op, cents AS last_cents,
+              ts AS last_ts, n_ops
+       FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
+    "STREAMING CDC apply — the incremental twin of q_cdc_apply, checked "
+    "against the SAME batch oracle (the stream≡batch criterion, SURVEY "
+    "§5.2.2): the op log replays as 2 real micro-batches split round-robin "
+    "(so a user's ops cross batches OUT of order — deliberately), each "
+    "batch compacts to per-user last-op + op-count inside foreachBatch, "
+    "and merge_cdc_parquet folds it into the state table with a "
+    "(ts, event_id) version guard (late batches can't regress state), an "
+    "ADDITIVE n_ops accumulator, and tombstone retention (a deleted key "
+    "stays as a marker so an older late upsert can't resurrect it). "
+    "Readers filter tombstones. Convergence to the batch answer under "
+    "arbitrary batch order is exactly what the version-guarded merge "
+    "buys; the hash check proves it.",
+)
+def q_cdc_stream(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
+    from real_time_rides_data_pipeline_spark.sinks import merge_cdc_parquet
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", cents(F.col("value")).alias("cents")
+    )
+    inp = _replay_input(ev, "cdcstream", sf_dir)  # 2 files -> 2 micro-batches
+    run_dir = tempfile.mkdtemp(prefix="cdc_stream_")
+    target, ckpt = f"{run_dir}/state", f"{run_dir}/ckpt"
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        compact = (
+            bdf.select(
+                "user_id",
+                F.col("event_type").alias("last_op"),
+                F.col("cents").alias("last_cents"),
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                F.row_number().over(w).alias("__rn"),
+                F.count(F.lit(1))
+                .over(Window.partitionBy("user_id"))
+                .alias("n_ops"),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        merge_cdc_parquet(
+            bdf.sparkSession,
+            compact,
+            target,
+            keys=("user_id",),
+            order_cols=("last_ts", "last_event_id"),
+            add_cols=("n_ops",),
+        )
+
+    stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(target)
+        .filter(F.col("last_op") != "error")
+        .select("user_id", "last_op", "last_cents", "last_ts", "n_ops")
+    )

@@ -137,6 +137,62 @@ def merge_upsert_delta(
     )
 
 
+def merge_cdc_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    keys: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    add_cols: tuple[str, ...] = (),
+) -> None:
+    """Ordered (version-guarded) CDC MERGE on plain parquet.
+
+    The upsert rule every CDC sink needs under OUT-OF-ORDER delivery:
+    an update wins only if its ``order_cols`` tuple (e.g. (ts, event_id))
+    is >= the target row's — so batches may arrive in any order and the
+    table still converges to the latest-writer state (Delta's
+    ``whenMatchedUpdate(condition=...)``; Debezium's LSN guard).
+    ``add_cols`` are ADDITIVE accumulators (e.g. op counts) merged by
+    summation instead of replacement — the (latest-state, running-count)
+    combo a materialized CDC view maintains. Tombstones (delete markers)
+    are RETAINED in the table: filtering them at merge time would let an
+    older late-arriving upsert resurrect a deleted key; readers filter.
+
+    Full-outer join on the key, one shuffle, atomic tmp+rename rewrite —
+    same scale caveat as ``merge_upsert_parquet`` (Delta MERGE rewrites
+    only touched files; this rewrites the table)."""
+    non_keys = [c for c in updates.columns if c not in keys]
+    if not os.path.exists(target_path):
+        tmp0 = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+        updates.write.mode("overwrite").parquet(tmp0)
+        os.rename(tmp0, target_path)
+        return
+    target = spark.read.parquet(target_path)
+    u = updates.select(
+        *keys, *[F.col(c).alias(f"__u_{c}") for c in non_keys]
+    )
+    j = target.join(u, list(keys), "full_outer")
+    u_ord = F.struct(*[F.col(f"__u_{c}") for c in order_cols])
+    t_ord = F.struct(*[F.col(c) for c in order_cols])
+    newer = F.col(f"__u_{order_cols[0]}").isNotNull() & (
+        F.col(order_cols[0]).isNull() | (u_ord >= t_ord)
+    )
+    out_cols = [F.col(k) for k in keys]
+    for c in non_keys:
+        if c in add_cols:
+            merged = F.coalesce(F.col(c), F.lit(0)) + F.coalesce(
+                F.col(f"__u_{c}"), F.lit(0)
+            )
+        else:
+            merged = F.when(newer, F.col(f"__u_{c}")).otherwise(F.col(c))
+        out_cols.append(merged.alias(c))
+    result = j.select(*out_cols)
+    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    result.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(target_path)
+    os.rename(tmp, target_path)
+
+
 def foreach_batch_merge(
     df: DataFrame,
     target_path: str,

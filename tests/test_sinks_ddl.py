@@ -235,3 +235,37 @@ def test_kafka_stream_raises_clear_error_without_jar(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_stream(spark, bootstrap_servers="b:9092")
+
+
+def test_merge_cdc_parquet_version_guard_and_tombstones(spark, tmp_path):
+    """Out-of-order CDC batches must converge: an OLDER late-arriving
+    upsert can neither regress a newer row's state nor resurrect a
+    tombstoned key, while the additive accumulator keeps counting."""
+    from real_time_rides_data_pipeline_spark.sinks import merge_cdc_parquet
+
+    target = str(tmp_path / "state")
+    cols = "user_id long, last_op string, last_ts long, n_ops long"
+    # batch 1 (arrives FIRST but holds the NEWEST ops): u1 upsert@t=10,
+    # u2 tombstone@t=20
+    b1 = spark.createDataFrame(
+        [(1, "upsert", 10, 3), (2, "error", 20, 2)], cols
+    )
+    merge_cdc_parquet(
+        spark, b1, target, keys=("user_id",),
+        order_cols=("last_ts",), add_cols=("n_ops",),
+    )
+    # batch 2 (late, OLDER ops): u1 upsert@t=5 (must lose), u2 upsert@t=15
+    # (must NOT resurrect the t=20 tombstone), u3 brand new
+    b2 = spark.createDataFrame(
+        [(1, "stale", 5, 1), (2, "upsert", 15, 4), (3, "upsert", 7, 1)], cols
+    )
+    merge_cdc_parquet(
+        spark, b2, target, keys=("user_id",),
+        order_cols=("last_ts",), add_cols=("n_ops",),
+    )
+    rows = {r["user_id"]: r for r in spark.read.parquet(target).collect()}
+    assert rows[1]["last_op"] == "upsert" and rows[1]["last_ts"] == 10
+    assert rows[1]["n_ops"] == 4  # 3 + 1 — additive across both batches
+    assert rows[2]["last_op"] == "error" and rows[2]["last_ts"] == 20
+    assert rows[2]["n_ops"] == 6
+    assert rows[3]["last_op"] == "upsert" and rows[3]["n_ops"] == 1
