@@ -46,6 +46,16 @@ def main() -> None:
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
+        # Unpersist localCheckpoint RDDs the query pinned (embed_neardup,
+        # mad_outlier, pmi_bigrams, bloom_decontaminate, ...): without this
+        # every invocation leaks pinned blocks and two full passes
+        # accumulate dozens — measured 2026-08-14: q_struct_star 1.20s in
+        # a leaking 158-key suite vs 0.38s with per-key cleanup.
+        jm = spark.sparkContext._jsc.getPersistentRDDs()
+        if jm.size():
+            it = jm.entrySet().iterator()
+            while it.hasNext():
+                it.next().getValue().unpersist(False)
 
     # Warmup: JVM JIT + codegen + parquet footer caches.
     run(specs["q_window_hourly_agg"].fn(spark, SF_DIR))

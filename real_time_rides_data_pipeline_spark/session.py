@@ -91,6 +91,13 @@ def get_spark(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+        # Whole-stage-codegen compile cache: the 100-entry default thrashes
+        # once a workload has more than ~100 distinct codegen stages (this
+        # engine's suite has 150+ queries x multiple stages), forcing a
+        # Janino recompile (~50-200 ms) per evicted stage per run. A cache
+        # entry is a compiled class (small); 5000 entries is a few hundred
+        # MB ceiling that a 128 GiB driver never notices.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
