@@ -748,3 +748,101 @@ def q_cdc_stream(spark, sf_dir):
         .filter(F.col("last_op") != "error")
         .select("user_id", "last_op", "last_cents", "last_ts", "n_ops")
     )
+
+
+# =========================================================================
+# Cohort retention
+# =========================================================================
+
+
+@register(
+    "q_cohort_retention",
+    """WITH f AS (SELECT user_id,
+                         CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                             AS cohort_week
+                  FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('week', ts) AS TIMESTAMP)
+                             AS activity_week
+                  FROM events),
+            sz AS (SELECT cohort_week, count(*) AS cohort_size
+                   FROM f GROUP BY cohort_week)
+       SELECT f.cohort_week, a.activity_week,
+              count(*) AS n_active,
+              sz.cohort_size,
+              CAST(floor(count(*) * 1000000.0 / sz.cohort_size) AS BIGINT)
+                  AS retention_ppm
+       FROM a JOIN f USING (user_id)
+       JOIN sz ON sz.cohort_week = f.cohort_week
+       GROUP BY f.cohort_week, a.activity_week, sz.cohort_size""",
+    "COHORT RETENTION matrix — the product-analytics staple: users grouped "
+    "by first-seen week (cohort), counted distinct-active per subsequent "
+    "week, reported with a floored parts-per-million retention rate "
+    "against the cohort size. Shape: the first-seen agg and the distinct "
+    "(user, week) activity set both key on user_id (one partitioning, "
+    "Exchange reuse), their join stays on that key, and the final "
+    "(cohort, week) roll-up plus the tiny cohort-size broadcast move only "
+    "count rows. Weeks truncate Monday-start in both engines.",
+)
+def q_cohort_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    sz = f.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        a.join(f, "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sz), "cohort_week")
+        .select(
+            "cohort_week",
+            "activity_week",
+            "n_active",
+            "cohort_size",
+            F.floor(F.col("n_active") * 1000000.0 / F.col("cohort_size"))
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+    )
+
+
+# =========================================================================
+# Importance (weighted) sampling with Horvitz-Thompson weights
+# =========================================================================
+
+
+@register(
+    "q_importance_sample",
+    f"""SELECT doc_id, lang, n_chars,
+               1000000000 // least(999, n_chars * 4) AS ht_weight_ppm
+        FROM documents
+        WHERE ((doc_id % 1000) * {KNUTH_MULT % 1000}) % 1000
+              < least(999, n_chars * 4)""",
+    "IMPORTANCE SAMPLING with Horvitz-Thompson reweighting — the curation "
+    "pass that keeps documents with probability proportional to a quality "
+    "proxy (here length, capped at 99.9%) while keeping downstream "
+    "statistics unbiased: every kept row carries weight 1/p as an exact "
+    "integer ppm. Membership is the Knuth-multiplier modular hash of "
+    "doc_id against a per-row integer threshold — no RNG state, "
+    "replayable, cross-engine exact (the per-ROW continuous-probability "
+    "complement of q_stratified_sample's per-stratum fixed rates). Narrow "
+    "map-side filter: the hash, threshold, and weight are all scan-side "
+    "expressions; nothing shuffles at any scale.",
+)
+def q_importance_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1000)) * F.lit(KNUTH_MULT % 1000),
+        F.lit(1000),
+    )
+    p = F.least(F.lit(999), F.col("n_chars") * 4)
+    return d.filter(h < p).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr("1000000000 div least(999, n_chars * 4)").alias("ht_weight_ppm"),
+    )
