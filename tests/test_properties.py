@@ -480,3 +480,64 @@ def test_bloom_never_false_negative(spark, keys, probes):
     }
     for k in set(keys):
         assert got[k] is True, f"false negative on inserted key {k!r}"
+
+
+@settings(**SETTINGS)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # user
+            st.integers(0, 50),         # version (ts stand-in)
+            st.sampled_from(["upsert", "error"]),
+        ),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    split=st.lists(st.integers(0, 2), min_size=24, max_size=24),
+    order=st.permutations([0, 1, 2]),
+)
+def test_merge_cdc_converges_under_any_batching(spark, tmp_path_factory, ops, split, order):
+    """Partition a CDC op log into up to 3 batches ARBITRARILY (hypothesis
+    picks the assignment AND the application order); the version-guarded
+    merge must converge to the same final state as a single batch pass —
+    the exactly-the-batch-answer contract q_cdc_stream pins at 2 batches,
+    generalized."""
+    from real_time_rides_data_pipeline_spark.sinks import merge_cdc_parquet
+
+    cols = "user_id long, last_op string, last_ts long, n_ops long"
+    batches = {0: [], 1: [], 2: []}
+    for i, op in enumerate(ops):
+        batches[split[i % len(split)]].append(op)
+
+    target = str(tmp_path_factory.mktemp("cdc")) + "/state"
+    for b in order:
+        rows = batches[b]
+        if not rows:
+            continue
+        # within-batch compaction: keep max-version op per user + count
+        best, cnt = {}, {}
+        for u, v, op in rows:
+            cnt[u] = cnt.get(u, 0) + 1
+            if u not in best or v > best[u][1]:
+                best[u] = (u, v, op)
+        compact = spark.createDataFrame(
+            [(u, op, v, cnt[u]) for (u, v, op) in best.values()], cols
+        )
+        merge_cdc_parquet(
+            spark, compact, target, keys=("user_id",),
+            order_cols=("last_ts",), add_cols=("n_ops",),
+        )
+    got = {
+        r["user_id"]: (r["last_op"], r["last_ts"], r["n_ops"])
+        for r in spark.read.parquet(target).collect()
+    }
+    # reference: single-pass batch answer
+    want = {}
+    counts = {}
+    for u, v, op in ops:
+        counts[u] = counts.get(u, 0) + 1
+        if u not in want or v > want[u][1]:
+            want[u] = (op, v)
+    expected = {u: (op, v, counts[u]) for u, (op, v) in want.items()}
+    assert got == expected
