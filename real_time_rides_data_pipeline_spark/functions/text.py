@@ -44,14 +44,22 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles → array<string> (the MinHash/Jaccard unit).
-    Built with transform over index sequence — no explode, no shuffle."""
+    Built with transform over index sequence — no explode, no shuffle.
+
+    ``try_element_at``, not ``element_at``: for a doc with fewer than n
+    tokens the guard index [0] still probes positions past the array end,
+    and under ANSI mode (the deployed default) ``element_at`` THROWS on
+    out-of-bounds instead of yielding NULL — a crash on any short document.
+    try_element_at yields NULL and concat_ws skips it, producing the same
+    short gram as the DuckDB oracles' NULL-skipping list comprehension."""
     w = tokens(text)
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
+                " ",
+                *[F.try_element_at(w, (i + k + 1).cast("int")) for k in range(n)],
             ),
         )
     )

@@ -300,8 +300,8 @@ def q_int8_quantize(spark, sf_dir):
           ys AS (SELECT w2, count(*) AS n_y FROM big GROUP BY w2),
           tot AS (SELECT count(*) AS n FROM big)
        SELECT xy.w1, xy.w2, xy.n_xy,
-              (xy.n_xy * tot.n * 1000000) // (xs.n_x * ys.n_y)
-                  AS lift_ppm
+              CAST(floor((xy.n_xy * 1000000.0) * tot.n
+                         / (xs.n_x * 1.0 * ys.n_y)) AS BIGINT) AS lift_ppm
        FROM xy JOIN xs USING (w1) JOIN ys USING (w2) CROSS JOIN tot
        WHERE xy.n_xy >= 5""",
     "Bigram COLLOCATION mining, PMI-ranked: for every adjacent word pair "
@@ -323,11 +323,15 @@ def q_pmi_bigrams(spark, sf_dir):
     d = _t(spark, sf_dir, "documents", parallel=True)
     w = X.tokens(F.col("text"))
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(0)))
+    # try_element_at: a 1-token doc still probes position 2 through the
+    # guard index [0]; ANSI element_at would THROW there, try_element_at
+    # yields NULL and the w2-NOT-NULL filter drops it (= the oracle's
+    # out-of-bounds-NULL list indexing).
     pairs = F.transform(
         idx,
         lambda i: F.struct(
-            F.element_at(w, (i + 1).cast("int")).alias("w1"),
-            F.element_at(w, (i + 2).cast("int")).alias("w2"),
+            F.try_element_at(w, (i + 1).cast("int")).alias("w1"),
+            F.try_element_at(w, (i + 2).cast("int")).alias("w2"),
         ),
     )
     big = (
@@ -357,7 +361,15 @@ def q_pmi_bigrams(spark, sf_dir):
             "w1",
             "w2",
             "n_xy",
-            F.expr("n_xy * n * 1000000L div (n_x * n_y)").alias("lift_ppm"),
+            # Fixed-order DOUBLE arithmetic, not int64: n_xy*n*1e6 and
+            # n_x*n_y both overflow BIGINT at the 100 TB corpus sizes this
+            # module targets (n ~ 2e13). Doubles are exact below 2^53
+            # (every fixture SF) and deterministic-identical across
+            # engines above it (same IEEE op order); floor is portable.
+            F.expr(
+                "CAST(floor((n_xy * 1000000.0) * n / (n_x * 1.0 * n_y))"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
 
@@ -464,8 +476,11 @@ _PRETOK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 )
 def q_regex_pretokenize(spark, sf_dir):
     d = _t(spark, sf_dir, "documents", parallel=True)
-    line = F.concat_ws(
-        "", F.col("lang"), F.lit("-"), F.col("doc_id"), F.lit(": "), F.col("text")
+    # F.concat (NULL-propagating), NOT concat_ws (NULL-skipping): the
+    # oracle's || operator nulls the whole line when any part is NULL, and
+    # the engines must agree on that row.
+    line = F.concat(
+        F.col("lang"), F.lit("-"), F.col("doc_id"), F.lit(": "), F.col("text")
     )
     p = F.regexp_extract_all(line, F.lit(_PRETOK_RE), F.lit(0))
 
@@ -585,22 +600,21 @@ def q_funnel_steps(spark, sf_dir):
     "concurrent benches never collide.",
 )
 def q_sql_udf(spark, sf_dir):
-    import uuid
-
-    fn = f"sg_band_{uuid.uuid4().hex[:8]}"
+    # FIXED names + OR REPLACE: temp functions/views are session-scoped so
+    # concurrent sessions cannot collide, and OR REPLACE makes reruns
+    # idempotent — uuid-suffixed names would leak a catalog entry per call.
     spark.sql(
-        f"""CREATE OR REPLACE TEMPORARY FUNCTION {fn}(n BIGINT)
-            RETURNS STRING
-            RETURN CASE WHEN n < 120 THEN 'short'
-                        WHEN n < 180 THEN 'mid' ELSE 'long' END"""
+        """CREATE OR REPLACE TEMPORARY FUNCTION sg_band_of(n BIGINT)
+           RETURNS STRING
+           RETURN CASE WHEN n < 120 THEN 'short'
+                       WHEN n < 180 THEN 'mid' ELSE 'long' END"""
     )
-    view = f"documents_sqludf_{uuid.uuid4().hex[:8]}"
-    _t(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_sqludf")
     return spark.sql(
-        f"""SELECT {fn}(n_chars) AS band,
-                   count(*) AS n_docs,
-                   sum(n_chars) AS total_chars
-            FROM {view} GROUP BY {fn}(n_chars)"""
+        """SELECT sg_band_of(n_chars) AS band,
+                  count(*) AS n_docs,
+                  sum(n_chars) AS total_chars
+           FROM documents_sqludf GROUP BY sg_band_of(n_chars)"""
     )
 
 
@@ -723,6 +737,9 @@ def q_cdc_stream(spark, sf_dir):
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        # batch_id makes the additive n_ops accumulator idempotent under
+        # foreachBatch's at-least-once redelivery (the version guard alone
+        # only protects latest-state) — see merge_cdc_parquet.
         merge_cdc_parquet(
             bdf.sparkSession,
             compact,
@@ -730,6 +747,7 @@ def q_cdc_stream(spark, sf_dir):
             keys=("user_id",),
             order_cols=("last_ts", "last_event_id"),
             add_cols=("n_ops",),
+            batch_id=batch_id,
         )
 
     stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)

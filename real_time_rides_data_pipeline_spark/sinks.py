@@ -108,9 +108,26 @@ def merge_upsert_parquet(
         merged = updates
     tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
-    os.rename(tmp, target_path)
+    _swap_dir(tmp, target_path)
+
+
+def _swap_dir(tmp: str, target_path: str) -> None:
+    """Crash-ordered directory swap: rename the live target ASIDE, rename
+    tmp in, delete the old copy — never rmtree-then-rename, which loses the
+    whole table if the process dies between the two calls (the next writer
+    would silently bootstrap from scratch). On rename failure the old dir
+    is restored, so ``target_path`` always exists with a complete copy."""
+    if not os.path.exists(target_path):
+        os.rename(tmp, target_path)
+        return
+    old = f"{target_path}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, old)
+    try:
+        os.rename(tmp, target_path)
+    except BaseException:
+        os.rename(old, target_path)
+        raise
+    shutil.rmtree(old)
 
 
 def merge_upsert_delta(
@@ -137,6 +154,21 @@ def merge_upsert_delta(
     )
 
 
+#: Marker file recording the last applied batch id INSIDE the state dir —
+#: underscore-prefixed so Spark's parquet reader ignores it. Living inside
+#: the swapped directory makes (data + marker) one atomic commit: a replay
+#: after any crash either sees both or neither.
+_CDC_BATCH_MARKER = "_applied_batch_id"
+
+
+def _read_batch_marker(target_path: str) -> int | None:
+    p = os.path.join(target_path, _CDC_BATCH_MARKER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
 def merge_cdc_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -144,6 +176,7 @@ def merge_cdc_parquet(
     keys: tuple[str, ...],
     order_cols: tuple[str, ...],
     add_cols: tuple[str, ...] = (),
+    batch_id: int | None = None,
 ) -> None:
     """Ordered (version-guarded) CDC MERGE on plain parquet.
 
@@ -158,15 +191,35 @@ def merge_cdc_parquet(
     are RETAINED in the table: filtering them at merge time would let an
     older late-arriving upsert resurrect a deleted key; readers filter.
 
-    Full-outer join on the key, one shuffle, atomic tmp+rename rewrite —
-    same scale caveat as ``merge_upsert_parquet`` (Delta MERGE rewrites
-    only touched files; this rewrites the table)."""
+    ``batch_id`` (pass foreachBatch's id) makes the merge IDEMPOTENT under
+    at-least-once redelivery: the version guard alone makes latest-state
+    replay-safe, but the additive accumulator is NOT — a replayed batch
+    would silently double-count. The last applied id is committed inside
+    the swapped directory (one atomic unit with the data), and a batch
+    with id <= the recorded one is a no-op. Monotonic batch ids are the
+    Structured Streaming foreachBatch contract.
+
+    Full-outer join on the key, one shuffle, crash-ordered rename-aside
+    swap (``_swap_dir`` — the table is never missing mid-rewrite) — same
+    scale caveat as ``merge_upsert_parquet`` (Delta MERGE rewrites only
+    touched files; this rewrites the table)."""
     non_keys = [c for c in updates.columns if c not in keys]
+
+    def _commit(df: DataFrame) -> None:
+        tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        if batch_id is not None:
+            with open(os.path.join(tmp, _CDC_BATCH_MARKER), "w") as f:
+                f.write(str(batch_id))
+        _swap_dir(tmp, target_path)
+
     if not os.path.exists(target_path):
-        tmp0 = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
-        updates.write.mode("overwrite").parquet(tmp0)
-        os.rename(tmp0, target_path)
+        _commit(updates)
         return
+    if batch_id is not None:
+        applied = _read_batch_marker(target_path)
+        if applied is not None and batch_id <= applied:
+            return  # at-least-once replay of an already-committed batch
     target = spark.read.parquet(target_path)
     u = updates.select(
         *keys, *[F.col(c).alias(f"__u_{c}") for c in non_keys]
@@ -186,11 +239,7 @@ def merge_cdc_parquet(
         else:
             merged = F.when(newer, F.col(f"__u_{c}")).otherwise(F.col(c))
         out_cols.append(merged.alias(c))
-    result = j.select(*out_cols)
-    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
-    result.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(target_path)
-    os.rename(tmp, target_path)
+    _commit(j.select(*out_cols))
 
 
 def foreach_batch_merge(

@@ -459,3 +459,29 @@ def test_expectation_stats_rejects_empty_dict(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         Q.expectation_stats(spark.range(3), {})
+
+
+def test_short_doc_shingles_and_bigrams_survive_ansi(spark):
+    """Regression (round-6 self-review): under ANSI mode (the deployed
+    default) element_at on an out-of-bounds index THROWS, so any document
+    with fewer tokens than the shingle/bigram width crashed the whole job.
+    try_element_at yields NULL instead — matching the DuckDB oracles'
+    NULL-skipping list indexing."""
+    from pyspark.sql import functions as F
+
+    from real_time_rides_data_pipeline_spark.functions import text as X
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", X.word_shingles(F.col("text"), 6).alias("sh")
+        ).collect()
+    }
+    assert sh[1] == ["solo"]          # short gram via NULL-skip, no crash
+    assert sh[2] == ["two words"]
+    assert sh[3] == ["a b c d e f", "b c d e f g"]

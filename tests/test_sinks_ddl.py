@@ -269,3 +269,23 @@ def test_merge_cdc_parquet_version_guard_and_tombstones(spark, tmp_path):
     assert rows[2]["last_op"] == "error" and rows[2]["last_ts"] == 20
     assert rows[2]["n_ops"] == 6
     assert rows[3]["last_op"] == "upsert" and rows[3]["n_ops"] == 1
+
+
+def test_merge_cdc_parquet_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch with the same
+    batch_id must be a no-op — without the marker the version guard keeps
+    state correct but the additive n_ops would silently double-count."""
+    from real_time_rides_data_pipeline_spark.sinks import merge_cdc_parquet
+
+    target = str(tmp_path / "state")
+    cols = "user_id long, last_op string, last_ts long, n_ops long"
+    b0 = spark.createDataFrame([(1, "upsert", 10, 3)], cols)
+    b1 = spark.createDataFrame([(1, "upsert", 20, 2)], cols)
+    kw = dict(keys=("user_id",), order_cols=("last_ts",), add_cols=("n_ops",))
+    merge_cdc_parquet(spark, b0, target, batch_id=0, **kw)
+    merge_cdc_parquet(spark, b1, target, batch_id=1, **kw)
+    merge_cdc_parquet(spark, b1, target, batch_id=1, **kw)  # replay
+    merge_cdc_parquet(spark, b0, target, batch_id=0, **kw)  # stale replay
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1
+    assert rows[0]["last_ts"] == 20 and rows[0]["n_ops"] == 5  # 3+2, not 3+2+2+3
