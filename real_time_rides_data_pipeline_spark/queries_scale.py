@@ -864,3 +864,145 @@ def q_importance_sample(spark, sf_dir):
         "n_chars",
         F.expr("1000000000 div least(999, n_chars * 4)").alias("ht_weight_ppm"),
     )
+
+
+# =========================================================================
+# Ordered string aggregation (LISTAGG), bitmap-exact NDV, top-k sketch,
+# exact-sums correlation
+# =========================================================================
+
+
+@register(
+    "q_listagg",
+    """SELECT user_id,
+              string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                  AS types_csv
+       FROM events GROUP BY user_id""",
+    "Ordered string aggregation — SQL:2023 LISTAGG ... WITHIN GROUP "
+    "(ORDER BY ...), new in Spark 4: the distinct event types a user "
+    "produced, comma-joined in lexicographic order. The WITHIN GROUP "
+    "order (plus DISTINCT) is what makes the concatenation deterministic "
+    "across engines and shuffle orders — an unordered listagg is "
+    "nondeterministic by construction and could never hash-match. One "
+    "hash aggregate; per-group sort of a bounded (5-element) set.",
+)
+def q_listagg(spark, sf_dir):
+    import uuid
+
+    view = f"events_listagg_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "events").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""SELECT user_id,
+                   listagg(DISTINCT event_type, ',')
+                       WITHIN GROUP (ORDER BY event_type) AS types_csv
+            FROM {view} GROUP BY user_id"""
+    )
+
+
+@register(
+    "q_bitmap_distinct",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type""",
+    "EXACT distinct counting via bitmap aggregation (bitmap_bit_position "
+    "→ bitmap_construct_agg → bitmap_count, Spark 3.5+) — the Iceberg/"
+    "ClickHouse bitmap-index pattern: per-partition bitmaps OR-merge "
+    "losslessly, so exact NDV re-aggregates like a sum (the exact "
+    "complement of HLL's approximate mergeability, q_hll_shard_merge). "
+    "The oracle is plain count(DISTINCT): the bitmap is engine-internal "
+    "representation, not semantics. One hash aggregate, no expand — "
+    "unlike count(DISTINCT) which shuffles raw (type, user) pairs, the "
+    "bitmap shuffles fixed-size buckets at any row count.",
+)
+def q_bitmap_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # bitmap_bit_position is (x-1) % 32768 — designed for 1-BASED ids; a
+    # 0-valued id would alias, so shift the 0-based fixture ids up by one.
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg("
+            "bitmap_bit_position(user_id + 1)))"
+        ).cast("long").alias("n_users")
+    )
+
+
+@register(
+    "q_approx_topk",
+    """SELECT event_type, count(*) AS cnt
+       FROM events GROUP BY event_type
+       ORDER BY cnt DESC, event_type""",
+    "Frequent-items sketch (approx_top_k, Spark 4) — the heavy-hitters "
+    "pass over a token/URL/user stream: a bounded-memory sketch tracking "
+    "the k most frequent items with counts. Deterministically checkable "
+    "here because the sketch is EXACT whenever the true distinct count "
+    "fits its tracking budget (5 event types << maxItemsTracked) — the "
+    "result is exploded to (item, count) rows and re-sorted by (count "
+    "DESC, item) so the output order never depends on sketch internals. "
+    "At 100 TB the sketch is the point: mergeable fixed-size state per "
+    "partition where an exact GROUP BY would shuffle the full key set.",
+)
+def q_approx_topk(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), "event_type")
+    )
+
+
+@register(
+    "q_corr_exact",
+    """WITH s AS (
+         SELECT lang,
+                count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sx,
+                CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                     AS BIGINT) AS sy,
+                CAST(sum(n_chars * len(string_split_regex(trim(text),
+                                                          '\\s+')))
+                     AS BIGINT) AS sxy,
+                CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+                CAST(sum(len(string_split_regex(trim(text), '\\s+'))
+                         * len(string_split_regex(trim(text), '\\s+')))
+                     AS BIGINT) AS syy
+         FROM documents GROUP BY lang)
+       SELECT lang, n,
+              CAST(floor((n * 1.0 * sxy - sx * 1.0 * sy) * 1000000
+                         / sqrt((n * 1.0 * sxx - sx * 1.0 * sx)
+                                * (n * 1.0 * syy - sy * 1.0 * sy)))
+                   AS BIGINT) AS corr_ppm
+       FROM s""",
+    "EXACT-SUMS Pearson correlation (chars vs tokens per language) — the "
+    "portable way to do floating statistics across engines: the five "
+    "moment sums are exact integers (summation-order independent, unlike "
+    "a naive corr() over doubles which varies with shuffle order), and "
+    "only the FINAL formula runs in doubles, in one fixed operation "
+    "order, so both engines compute bit-identical results; floored to "
+    "ppm. The sums are one partial+final hash aggregate — the mergeable-"
+    "moments pattern (count/sum/sum-of-squares) that underlies every "
+    "distributed variance/correlation at any scale.",
+)
+def q_corr_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    x = F.col("n_chars")
+    y = F.size(X.tokens(F.col("text"))).cast("long")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    corr = (
+        (F.col("n") * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy"))
+        * 1000000
+        / F.sqrt(
+            (F.col("n") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
+            * (F.col("n") * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
+        )
+    )
+    return s.select("lang", "n", F.floor(corr).cast("long").alias("corr_ppm"))

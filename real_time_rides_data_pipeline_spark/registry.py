@@ -76,6 +76,7 @@ def check_priority() -> tuple[str, ...]:
         "q_regex_pretokenize", "q_funnel_steps",
         "q_sql_udf", "q_profile_stats", "q_cdc_stream",
         "q_cohort_retention", "q_importance_sample",
+        "q_listagg", "q_bitmap_distinct", "q_approx_topk", "q_corr_exact",
         # (d) latest driver check = round 2
         "q_doc_fingerprint", "q_lang_id", "q_ngram_jaccard",
         "q_quality_score", "q_token_count",
