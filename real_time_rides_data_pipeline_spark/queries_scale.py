@@ -577,6 +577,19 @@ def q_funnel_steps(spark, sf_dir):
 # =========================================================================
 
 
+def _sf_view(spark, sf_dir: str, table: str, tag: str) -> str:
+    """Register a fixture as a temp view under a DETERMINISTIC per-sf_dir
+    name and return it. Deterministic (not uuid) so repeat invocations
+    replace rather than leak a catalog entry per call; per-sf_dir so two
+    callers on different scale factors in one session can never race each
+    other onto the wrong data (the fixed-single-name hazard)."""
+    import re
+
+    name = f"{table}_{tag}_{re.sub(r'[^A-Za-z0-9]', '_', sf_dir).strip('_')}"
+    _t(spark, sf_dir, table).createOrReplaceTempView(name)
+    return name
+
+
 @register(
     "q_sql_udf",
     """CREATE OR REPLACE MACRO sg_cents_of(x) AS
@@ -600,21 +613,22 @@ def q_funnel_steps(spark, sf_dir):
     "concurrent benches never collide.",
 )
 def q_sql_udf(spark, sf_dir):
-    # FIXED names + OR REPLACE: temp functions/views are session-scoped so
-    # concurrent sessions cannot collide, and OR REPLACE makes reruns
+    # FIXED function name + OR REPLACE: temp functions are session-scoped
+    # so concurrent sessions cannot collide, and OR REPLACE makes reruns
     # idempotent — uuid-suffixed names would leak a catalog entry per call.
+    # The view name is deterministic PER sf_dir (see _sf_view).
     spark.sql(
         """CREATE OR REPLACE TEMPORARY FUNCTION sg_band_of(n BIGINT)
            RETURNS STRING
            RETURN CASE WHEN n < 120 THEN 'short'
                        WHEN n < 180 THEN 'mid' ELSE 'long' END"""
     )
-    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_sqludf")
+    view = _sf_view(spark, sf_dir, "documents", "sqludf")
     return spark.sql(
-        """SELECT sg_band_of(n_chars) AS band,
-                  count(*) AS n_docs,
-                  sum(n_chars) AS total_chars
-           FROM documents_sqludf GROUP BY sg_band_of(n_chars)"""
+        f"""SELECT sg_band_of(n_chars) AS band,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM {view} GROUP BY sg_band_of(n_chars)"""
     )
 
 
@@ -887,10 +901,7 @@ def q_importance_sample(spark, sf_dir):
     "hash aggregate; per-group sort of a bounded (5-element) set.",
 )
 def q_listagg(spark, sf_dir):
-    import uuid
-
-    view = f"events_listagg_{uuid.uuid4().hex[:8]}"
-    _t(spark, sf_dir, "events").createOrReplaceTempView(view)
+    view = _sf_view(spark, sf_dir, "events", "listagg")
     return spark.sql(
         f"""SELECT user_id,
                    listagg(DISTINCT event_type, ',')
@@ -903,25 +914,35 @@ def q_listagg(spark, sf_dir):
     "q_bitmap_distinct",
     """SELECT event_type, count(DISTINCT user_id) AS n_users
        FROM events GROUP BY event_type""",
-    "EXACT distinct counting via bitmap aggregation (bitmap_bit_position "
-    "→ bitmap_construct_agg → bitmap_count, Spark 3.5+) — the Iceberg/"
-    "ClickHouse bitmap-index pattern: per-partition bitmaps OR-merge "
-    "losslessly, so exact NDV re-aggregates like a sum (the exact "
-    "complement of HLL's approximate mergeability, q_hll_shard_merge). "
+    "EXACT distinct counting via bitmap aggregation (bitmap_bucket_number "
+    "+ bitmap_bit_position → bitmap_construct_agg → bitmap_count, Spark "
+    "3.5+) — the Iceberg/ClickHouse bitmap-index pattern: per-partition "
+    "bitmaps OR-merge losslessly, so exact NDV re-aggregates like a sum "
+    "(the exact complement of HLL's approximate mergeability, "
+    "q_hll_shard_merge). Each bitmap covers a 32768-id BUCKET, so the "
+    "grouping must include bitmap_bucket_number and the per-bucket counts "
+    "sum at the end — aggregating positions alone silently caps NDV at "
+    "32768 (verified: 40k ids alias to 32768 without the bucket key). "
     "The oracle is plain count(DISTINCT): the bitmap is engine-internal "
-    "representation, not semantics. One hash aggregate, no expand — "
-    "unlike count(DISTINCT) which shuffles raw (type, user) pairs, the "
-    "bitmap shuffles fixed-size buckets at any row count.",
+    "representation, not semantics. Two cheap aggregates over fixed-size "
+    "buckets — unlike count(DISTINCT), raw (type, user) pairs never "
+    "shuffle at any row count.",
 )
 def q_bitmap_distinct(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     # bitmap_bit_position is (x-1) % 32768 — designed for 1-BASED ids; a
     # 0-valued id would alias, so shift the 0-based fixture ids up by one.
-    return ev.groupBy("event_type").agg(
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id + 1)").alias("__bucket"),
+    ).agg(
         F.expr(
             "bitmap_count(bitmap_construct_agg("
             "bitmap_bit_position(user_id + 1)))"
-        ).cast("long").alias("n_users")
+        ).cast("long").alias("__n")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("__n").alias("n_users")
     )
 
 
@@ -971,8 +992,9 @@ def q_approx_topk(spark, sf_dir):
          FROM documents GROUP BY lang)
        SELECT lang, n,
               CAST(floor((n * 1.0 * sxy - sx * 1.0 * sy) * 1000000
-                         / sqrt((n * 1.0 * sxx - sx * 1.0 * sx)
-                                * (n * 1.0 * syy - sy * 1.0 * sy)))
+                         / nullif(sqrt((n * 1.0 * sxx - sx * 1.0 * sx)
+                                       * (n * 1.0 * syy - sy * 1.0 * sy)),
+                                  0.0))
                    AS BIGINT) AS corr_ppm
        FROM s""",
     "EXACT-SUMS Pearson correlation (chars vs tokens per language) — the "
@@ -997,12 +1019,16 @@ def q_corr_exact(spark, sf_dir):
         F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
     )
+    # nullif(denominator, 0): a zero-variance group (single doc, or all
+    # docs identical) has no defined correlation — NULL on both engines;
+    # without the guard Spark ANSI throws DIVIDE_BY_ZERO and kills the job.
+    den = F.sqrt(
+        (F.col("n") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
+        * (F.col("n") * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
+    )
     corr = (
         (F.col("n") * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy"))
         * 1000000
-        / F.sqrt(
-            (F.col("n") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
-            * (F.col("n") * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
-        )
+        / F.nullif(den, F.lit(0.0))
     )
     return s.select("lang", "n", F.floor(corr).cast("long").alias("corr_ppm"))

@@ -100,6 +100,7 @@ def merge_upsert_parquet(
     swap. At 100 TB this full-table rewrite is why Delta exists (MERGE
     rewrites only touched files); semantics here are identical.
     """
+    _recover_dir(target_path)
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path)
         keep = target.join(updates.select(*keys).distinct(), list(keys), "left_anti")
@@ -113,10 +114,16 @@ def merge_upsert_parquet(
 
 def _swap_dir(tmp: str, target_path: str) -> None:
     """Crash-ordered directory swap: rename the live target ASIDE, rename
-    tmp in, delete the old copy — never rmtree-then-rename, which loses the
-    whole table if the process dies between the two calls (the next writer
-    would silently bootstrap from scratch). On rename failure the old dir
-    is restored, so ``target_path`` always exists with a complete copy."""
+    tmp in, delete the old copy — never rmtree-then-rename, which loses
+    the whole table if the process dies between the two calls. The window
+    where ``target_path`` is missing is narrowed to a single rename pair
+    (not zero — POSIX rename can't swap two directories atomically), and
+    it is RECOVERABLE: the aside copy survives a crash, and
+    ``_recover_dir`` (called by every reader/merger entry) renames the
+    newest ``.__old_*`` back before concluding the table never existed.
+    On rename failure the old dir is restored in-process; after a
+    successful swap all stale ``.__old_*``/``.__tmp_*`` siblings from
+    earlier crashed swaps are swept best-effort."""
     if not os.path.exists(target_path):
         os.rename(tmp, target_path)
         return
@@ -128,6 +135,41 @@ def _swap_dir(tmp: str, target_path: str) -> None:
         os.rename(old, target_path)
         raise
     shutil.rmtree(old)
+    _sweep_stale_siblings(target_path)
+
+
+def _stale_siblings(target_path: str) -> list[str]:
+    parent = os.path.dirname(target_path) or "."
+    base = os.path.basename(target_path)
+    if not os.path.isdir(parent):
+        return []
+    return [
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(f"{base}.__old_") or d.startswith(f"{base}.__tmp_")
+    ]
+
+
+def _sweep_stale_siblings(target_path: str) -> None:
+    """Delete leftover aside/tmp dirs from PREVIOUS crashed swaps — only
+    safe to call while the live target exists (single-writer contract)."""
+    for d in _stale_siblings(target_path):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _recover_dir(target_path: str) -> None:
+    """If a crash hit the one-rename window (target missing, aside copy
+    present), restore the newest aside copy; tmp dirs are incomplete
+    writes and are discarded. No-op when the target exists."""
+    if os.path.exists(target_path):
+        return
+    olds = sorted(
+        d for d in _stale_siblings(target_path)
+        if ".__old_" in os.path.basename(d)
+    )
+    if olds:
+        os.rename(olds[-1], target_path)
+        _sweep_stale_siblings(target_path)
 
 
 def merge_upsert_delta(
@@ -196,29 +238,39 @@ def merge_cdc_parquet(
     replay-safe, but the additive accumulator is NOT — a replayed batch
     would silently double-count. The last applied id is committed inside
     the swapped directory (one atomic unit with the data), and a batch
-    with id <= the recorded one is a no-op. Monotonic batch ids are the
-    Structured Streaming foreachBatch contract.
+    with id <= the recorded one is a no-op. NOTE the two guards protect
+    different axes: order_cols covers out-of-order DATA within/across
+    applied batches, while the batch_id protocol assumes batch ids are
+    applied in monotonic order — exactly Structured Streaming's
+    foreachBatch contract (replays re-deliver the same id, never skip
+    ahead). Calls without batch_id (ad-hoc backfills) carry the existing
+    marker forward unchanged.
 
     Full-outer join on the key, one shuffle, crash-ordered rename-aside
     swap (``_swap_dir`` — the table is never missing mid-rewrite) — same
     scale caveat as ``merge_upsert_parquet`` (Delta MERGE rewrites only
     touched files; this rewrites the table)."""
     non_keys = [c for c in updates.columns if c not in keys]
+    _recover_dir(target_path)
+    prior_marker = _read_batch_marker(target_path)
 
     def _commit(df: DataFrame) -> None:
         tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
-        if batch_id is not None:
+        # A batch_id-less call (ad-hoc backfill) must CARRY the existing
+        # marker forward — dropping it would silently re-arm replay
+        # double-counting for the stream that owns this table.
+        marker = batch_id if batch_id is not None else prior_marker
+        if marker is not None:
             with open(os.path.join(tmp, _CDC_BATCH_MARKER), "w") as f:
-                f.write(str(batch_id))
+                f.write(str(marker))
         _swap_dir(tmp, target_path)
 
     if not os.path.exists(target_path):
         _commit(updates)
         return
     if batch_id is not None:
-        applied = _read_batch_marker(target_path)
-        if applied is not None and batch_id <= applied:
+        if prior_marker is not None and batch_id <= prior_marker:
             return  # at-least-once replay of an already-committed batch
     target = spark.read.parquet(target_path)
     u = updates.select(
@@ -318,16 +370,9 @@ def compact_parquet_dir(
         if f.endswith(".parquet")
     )
     n_files = max(1, -(-total_bytes // target_file_bytes))
-    tmp = f"{path}__compact_{uuid.uuid4().hex}"
+    tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
     df.coalesce(n_files).write.parquet(tmp)
-    old = f"{path}__old_{uuid.uuid4().hex}"
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except BaseException:
-        os.rename(old, path)  # roll back — never leave `path` missing
-        raise
-    shutil.rmtree(old)
+    _swap_dir(tmp, path)
     return sum(
         1
         for _, _, files in os.walk(path)

@@ -485,3 +485,41 @@ def test_short_doc_shingles_and_bigrams_survive_ansi(spark):
     assert sh[1] == ["solo"]          # short gram via NULL-skip, no crash
     assert sh[2] == ["two words"]
     assert sh[3] == ["a b c d e f", "b c d e f g"]
+
+
+def test_bitmap_ndv_spans_buckets(spark):
+    """Round-6 follow-up review: bitmap NDV must group by
+    bitmap_bucket_number — without it, ids 32768 apart alias to the same
+    bit and NDV silently caps at 32768."""
+    from pyspark.sql import functions as F
+
+    n = 40000
+    df = spark.range(n).select(
+        F.lit("t").alias("event_type"), F.col("id").alias("user_id")
+    )
+    per_bucket = df.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id + 1)").alias("b")
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg("
+            "bitmap_bit_position(user_id + 1)))"
+        ).cast("long").alias("c")
+    )
+    got = per_bucket.groupBy("event_type").agg(F.sum("c").alias("n")).collect()
+    assert got[0]["n"] == n
+
+
+def test_corr_exact_zero_variance_is_null(spark):
+    """A zero-variance group (single doc / constant lengths) must yield
+    NULL corr_ppm, not an ANSI DIVIDE_BY_ZERO crash."""
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.queries_scale import q_corr_exact
+
+    d = tempfile.mkdtemp(prefix="corr0_")
+    spark.createDataFrame(
+        [(1, "one two three", "xx", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    rows = q_corr_exact(spark, d).collect()
+    assert len(rows) == 1 and rows[0]["corr_ppm"] is None

@@ -289,3 +289,46 @@ def test_merge_cdc_parquet_batch_replay_is_idempotent(spark, tmp_path):
     rows = spark.read.parquet(target).collect()
     assert len(rows) == 1
     assert rows[0]["last_ts"] == 20 and rows[0]["n_ops"] == 5  # 3+2, not 3+2+2+3
+
+
+def test_swap_dir_recovery_and_marker_preservation(spark, tmp_path):
+    """Round-6 follow-up review: (a) a crash in _swap_dir's one-rename
+    window leaves an .__old_ aside copy that the next merge must restore,
+    not silently bootstrap over; (b) a batch_id-less backfill merge must
+    CARRY the replay marker forward, not erase it."""
+    import os
+
+    from real_time_rides_data_pipeline_spark.sinks import (
+        _read_batch_marker,
+        merge_cdc_parquet,
+    )
+
+    target = str(tmp_path / "state")
+    cols = "user_id long, last_op string, last_ts long, n_ops long"
+    kw = dict(keys=("user_id",), order_cols=("last_ts",), add_cols=("n_ops",))
+    merge_cdc_parquet(
+        spark, spark.createDataFrame([(1, "upsert", 10, 3)], cols),
+        target, batch_id=0, **kw,
+    )
+    # simulate the crash window: target renamed aside, nothing renamed in
+    os.rename(target, f"{target}.__old_deadbeef")
+    merge_cdc_parquet(
+        spark, spark.createDataFrame([(2, "upsert", 5, 1)], cols),
+        target, batch_id=1, **kw,
+    )
+    rows = {r["user_id"]: r for r in spark.read.parquet(target).collect()}
+    assert set(rows) == {1, 2}, "aside copy was not recovered before merge"
+    assert rows[1]["n_ops"] == 3
+    # (b) backfill without batch_id must keep marker=1
+    merge_cdc_parquet(
+        spark, spark.createDataFrame([(3, "upsert", 7, 1)], cols),
+        target, **kw,
+    )
+    assert _read_batch_marker(target) == 1
+    # replay of batch 1 after the backfill is still a no-op
+    merge_cdc_parquet(
+        spark, spark.createDataFrame([(2, "upsert", 5, 1)], cols),
+        target, batch_id=1, **kw,
+    )
+    rows = {r["user_id"]: r for r in spark.read.parquet(target).collect()}
+    assert rows[2]["n_ops"] == 1 and set(rows) == {1, 2, 3}
