@@ -611,3 +611,99 @@ def test_available_now_with_default_trigger(spark, workdir, bronze_input):
     ).start()
     assert q.awaitTermination(120)
     assert spark.read.parquet(out).count() > 0
+
+
+def test_cdc_stream_checkpoint_restart_converges(spark, workdir):
+    """Stop the CDC-apply stream mid-log and restart from its checkpoint:
+    the version-guarded merge + the in-table batch marker must make the
+    restart invisible — final state equals the single-pass batch answer
+    (last non-delete op per user, additive op counts, no double-count of
+    the batch that straddles the stop)."""
+    from pyspark.sql import Window
+
+    from real_time_rides_data_pipeline_spark.sinks import merge_cdc_parquet
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    inp = f"{workdir}/cdcr_in"
+    target = f"{workdir}/cdcr_state"
+    ckpt = f"{workdir}/cdcr_ckpt"
+    os.makedirs(inp)
+    cols = "user_id long, event_type string, ts long, event_id long, cents long"
+    ops = [
+        (u, t, ts, eid, c)
+        for eid, (u, t, ts, c) in enumerate(
+            [
+                (1, "upsert", 10, 100), (2, "upsert", 11, 200),
+                (1, "error", 20, 0),    (3, "upsert", 12, 300),
+                (2, "upsert", 25, 250), (1, "upsert", 30, 150),
+                (3, "error", 40, 0),    (2, "error", 5, 0),  # stale delete
+            ]
+        )
+    ]
+    schema = spark.createDataFrame(ops, cols).schema
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{workdir}/cdcr_stage_{name}")
+        import glob as _g
+
+        src = _g.glob(f"{workdir}/cdcr_stage_{name}/*.parquet")[0]
+        shutil.copy(src, f"{inp}/{name}.parquet")
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        compact = (
+            bdf.select(
+                "user_id",
+                F.col("event_type").alias("last_op"),
+                F.col("cents").alias("last_cents"),
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                F.row_number().over(w).alias("__rn"),
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("user_id")
+                ).alias("n_ops"),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        merge_cdc_parquet(
+            bdf.sparkSession, compact, target,
+            keys=("user_id",),
+            order_cols=("last_ts", "last_event_id"),
+            add_cols=("n_ops",),
+            batch_id=batch_id,
+        )
+
+    def run_once():
+        q = (
+            parquet_stream(spark, inp, schema, max_files_per_trigger=1)
+            .writeStream.foreachBatch(apply_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write_file(ops[:4], "a")
+    run_once()  # phase 1: first half, then STOP (checkpoint persists)
+    write_file(ops[4:], "b")
+    run_once()  # phase 2: restart from checkpoint, drain the rest
+
+    rows = {
+        r["user_id"]: r
+        for r in spark.read.parquet(target)
+        .filter(F.col("last_op") != "error")
+        .collect()
+    }
+    # batch answer: u1 last=upsert@30 (3 ops), u2 last=upsert@25 (3 ops,
+    # the ts=5 delete is stale), u3 last=error@40 (tombstoned, absent)
+    assert set(rows) == {1, 2}
+    assert rows[1]["last_cents"] == 150 and rows[1]["n_ops"] == 3
+    assert rows[2]["last_cents"] == 250 and rows[2]["n_ops"] == 3
