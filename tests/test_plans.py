@@ -544,3 +544,46 @@ def test_pmi_single_corpus_pass(spark):
     scans = _re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 0, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_profile_stats_single_scan_multi_distinct(spark):
+    """All six columns' null/NDV metrics fold into ONE scan via Catalyst's
+    multi-distinct Expand rewrite — no per-column re-scan (the oracle's
+    UNION-ALL shape is the semantic spec only), no join."""
+    import re as _re
+
+    plan = _plan(spark, "q_profile_stats")
+    scans = _re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_importance_sample_is_scanside_filter(spark):
+    """Hash, threshold, and HT weight are all scan-side expressions —
+    no shuffle, no join, at any scale."""
+    plan = _plan(spark, "q_importance_sample")
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_bitmap_distinct_no_raw_pair_shuffle(spark):
+    """The bitmap NDV shuffles fixed-size (type, bucket) bitmaps, never
+    raw (type, user) pairs: no Expand (count-distinct's rewrite), only
+    hash aggregates over the bucketed grouping."""
+    plan = _plan(spark, "q_bitmap_distinct")
+    assert "Expand" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(event_type") >= 1, plan
+
+
+def test_corr_exact_single_aggregate_pass(spark):
+    """Five moment sums + count in one partial+final hash aggregate over
+    one scan; the double-precision formula is a post-agg projection."""
+    import re as _re
+
+    plan = _plan(spark, "q_corr_exact")
+    scans = _re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(lang") == 1, plan
