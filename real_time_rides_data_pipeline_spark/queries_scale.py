@@ -818,12 +818,23 @@ def q_cdc_stream(spark, sf_dir):
 )
 def q_cohort_retention(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    f = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    a = (
+        ev.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+        )
+        .distinct()
+        # |users| x |weeks| rows — orders of magnitude under the event
+        # count; checkpointed because THREE consumers reuse it and
+        # Catalyst duplicates unshared subtrees (same pattern as the PMI
+        # bigram-count table).
+        .localCheckpoint(eager=False)
     )
-    a = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
-    ).distinct()
+    # cohort_week = week of first event = min over the distinct activity
+    # weeks (date_trunc is monotone), so the first-seen table DERIVES from
+    # `a` — ONE scan of the fact table feeds the whole matrix, and the
+    # groupBy reuses a's (user_id, week) shuffle instead of re-reading
+    # events (the oracle's two-scan CTE shape is the semantic spec only).
+    f = a.groupBy("user_id").agg(F.min("activity_week").alias("cohort_week"))
     sz = f.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
     return (
         a.join(f, "user_id")

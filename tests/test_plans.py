@@ -587,3 +587,15 @@ def test_corr_exact_single_aggregate_pass(spark):
     assert len(scans) == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("hashpartitioning(lang") == 1, plan
+
+
+def test_cohort_retention_single_fact_pass(spark):
+    """First-seen cohorts derive from the checkpointed distinct
+    (user, week) set — one tokenized pass over events, zero parquet
+    re-scans in the final plan."""
+    import re as _re
+
+    plan = _plan(spark, "q_cohort_retention")
+    scans = _re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 0, plan
+    assert "ExistingRDD" in plan, plan
