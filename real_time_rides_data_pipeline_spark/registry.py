@@ -57,13 +57,13 @@ def check_priority() -> tuple[str, ...]:
     CAST(... AS BIGINT); q_decimal_money aligned to DECIMAL(28,2));
     5 keys last checked r2, 43 last checked r3. Round 6 priority =
     (a) the two never-checked keys, (b) the seven re-fixed oracles —
-    these MUST re-check green this round, (c) keys newly registered in
-    round 6, (d) the r2-stale cohort, (e) the r3-stale cohort in
-    registration order (2+7+|c|+5 head slots leave ~50-14-|c| of the 43
-    for this window; the tail rolls to round 7 — new keys outrank the
-    stale rotation because a never-checked key has no driver row at all,
-    while r3-stale keys hold green ones). Keys not listed keep
-    registration order afterwards."""
+    these MUST re-check green this round, (c) the 17 keys newly
+    registered in round 6, (d) the r2-stale cohort, (e) the r3-stale
+    cohort in registration order (2+7+17+5 = 31 head slots leave 19 of
+    the 43 for this window; the other 24 roll to round 7 — new keys
+    outrank the stale rotation because a never-checked key has no driver
+    row at all, while r3-stale keys hold green ones). Keys not listed
+    keep registration order afterwards."""
     return (
         # (a) never driver-checked (registered after the r5 window filled)
         "q_vocab_coverage", "q_quality_topfrac",
