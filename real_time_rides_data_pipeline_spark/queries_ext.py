@@ -1269,16 +1269,38 @@ def q_stream_stream_join_outer(spark, sf_dir):
     views_b = ev.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts"
     )
-    # One driver scalar (max event time) to place the sentinels — iteration
-    # control, not data movement. Collected as EPOCH MICROS, never as a
-    # Python datetime (see the sentinel-write comment below).
-    max_us = ev.agg(
-        F.unix_micros(F.max("ts").cast("timestamp")).alias("us")
-    ).first()[0]
+    # Input prep is a pure function of sf_dir — STAGE it once per process
+    # (_REPLAY_INPUTS policy). Unlike the memoized inner-join inputs this
+    # key MUTATES its monitored dirs (sentinel appends), so each
+    # invocation streams from FRESH dirs populated by file-copy from the
+    # stage (~ms) instead of two Spark writes + a max() job (~1-2 s).
+    stage = _REPLAY_INPUTS.get(("ssjout_stage", sf_dir, 0))
+    if stage is None:
+        work0 = tempfile.mkdtemp(prefix="ssjout_stage_")
+        clicks_b.coalesce(1).write.parquet(f"{work0}/clicks")
+        views_b.coalesce(1).write.parquet(f"{work0}/views")
+        # One driver scalar (max event time) to place the sentinels —
+        # iteration control, not data movement. Collected as EPOCH
+        # MICROS, never as a Python datetime (see the sentinel-write
+        # comment below).
+        us = ev.agg(
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("us")
+        ).first()[0]
+        with open(f"{work0}/max_us", "w") as f:
+            f.write(str(us))
+        stage = work0
+        _REPLAY_INPUTS[("ssjout_stage", sf_dir, 0)] = stage
+    with open(f"{stage}/max_us") as f:
+        max_us = int(f.read())
+    import shutil as _shutil
+
     work = tempfile.mkdtemp(prefix="ssjout_")
     cdir, vdir = f"{work}/clicks", f"{work}/views"
-    clicks_b.coalesce(1).write.parquet(cdir)
-    views_b.coalesce(1).write.parquet(vdir)
+    for sub in ("clicks", "views"):
+        os.makedirs(f"{work}/{sub}")
+        for fname in os.listdir(f"{stage}/{sub}"):
+            if fname.endswith(".parquet"):
+                _shutil.copy(f"{stage}/{sub}/{fname}", f"{work}/{sub}/{fname}")
     schema = clicks_b.schema
 
     def side(tag: str, path: str):
