@@ -51,6 +51,13 @@ def main() -> None:
         # every invocation leaks pinned blocks and two full passes
         # accumulate dozens — measured 2026-08-14: q_struct_star 1.20s in
         # a leaking 158-key suite vs 0.38s with per-key cleanup.
+        # CONSTRAINT: this drops EVERY persistent RDD in the process, so no
+        # cross-invocation cache may ever memoize a localCheckpoint'd /
+        # persisted DataFrame (truncated lineage + evicted blocks =
+        # unrecoverable on reuse). Today's caches (_REPLAY_INPUTS,
+        # _CENTROID_CACHE, the ssjout staging) hold only paths / plain
+        # Python values — keep it that way, or snapshot RDD ids before the
+        # run and unpersist only the new ones.
         jm = spark.sparkContext._jsc.getPersistentRDDs()
         if jm.size():
             it = jm.entrySet().iterator()

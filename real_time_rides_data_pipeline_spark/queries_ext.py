@@ -650,13 +650,28 @@ def q_audio_meta(spark, sf_dir):
 
 @register(
     "q_frame_sample",
-    None,  # 1→N fan-out shape; binary frame bytes are engine-internal
+    """SELECT doc_id,
+              CAST(k AS INTEGER) AS frame_idx,
+              CAST(least(step, greatest(byte_len - k * step, 0)) AS INTEGER)
+                  AS frame_len
+       FROM (SELECT doc_id,
+                    octet_length(encode(text)) AS byte_len,
+                    greatest(octet_length(encode(text)) // 3, 1) AS step
+             FROM documents)
+       CROSS JOIN range(3) t(k)""",
     "Frame-sampling fan-out via mapInPandas: each payload yields 3 chunk "
-    "rows (stand-in for video frame extraction) — 1→N without explode.",
+    "rows (stand-in for video frame extraction) — 1→N without explode. "
+    "The chunking arithmetic (step = max(len//3, 1); frame i = bytes "
+    "[i*step, i*step+step)) is deterministic byte math on the UTF-8 "
+    "payload, so the oracle reproduces every (doc_id, frame_idx, "
+    "frame_len) row exactly — a FULL value check of the 1→N Arrow batch "
+    "path, upgraded from the old rows-only check.",
 )
 def q_frame_sample(spark, sf_dir):
     d = MM.with_binary_payload(_t(spark, sf_dir, "documents", parallel=True))
-    return MM.sample_frames(d).select("doc_id", "frame_idx", F.length("frame_bytes").alias("frame_len"))
+    return MM.sample_frames(d).select(
+        "doc_id", "frame_idx", F.length("frame_bytes").alias("frame_len")
+    )
 
 
 # =========================================================================

@@ -759,22 +759,50 @@ def q_bucketed_join(spark, sf_dir):
 
 @register(
     "q_approx_quantile",
-    None,  # t-digest/GK sketch values are engine-specific → rows-only
+    """SELECT event_type,
+              CAST(floor(quantile_disc(value, 0.5) * 100) AS BIGINT)
+                  AS exact_p50_cents,
+              TRUE AS sketch_in_band
+       FROM events GROUP BY event_type""",
     "percentile_approx(value, [.5,.95,.99]) per event_type — the sketch "
     "that replaces exact percentiles at 100 TB (mergeable, single pass, "
-    "bounded memory). Returned as scalar p50/p95/p99 columns (not one "
-    "array) so the harness rows-only canonicalizer can sort the frame.",
+    "bounded memory). GK-sketch outputs are engine-specific, so the "
+    "COMPARED columns are the exact discrete median in floor cents "
+    "(cross-checked against DuckDB's quantile_disc — both engines pick "
+    "the smallest data value with cume_dist >= q, the same total order) "
+    "and a Spark-side attestation that all three sketch quantiles landed "
+    "inside the [q-0.005, q+0.005] exact-quantile band — far looser than "
+    "the rank-error guarantee at accuracy 10000 (eps = 1e-4), so the "
+    "boolean is deterministic. Upgrades the old rows-only check to a "
+    "value check that pins the sketch's error bound.",
 )
 def q_approx_quantile(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+
+    def disc(q):
+        return F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)")
+
     agged = ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts"),
+        *[
+            disc(q).alias(f"{tag}_{name}")
+            for name, mid in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+            for tag, q in (("lo", mid - 0.005), ("hi", min(mid + 0.005, 1.0)))
+        ],
+        disc(0.5).alias("exact_p50"),
     )
+    in_band = F.lit(True)
+    for i, name in enumerate(("p50", "p95", "p99")):
+        a = F.col("approx_pcts")[i]
+        in_band = (
+            in_band
+            & (a >= F.col(f"lo_{name}"))
+            & (a <= F.col(f"hi_{name}"))
+        )
     return agged.select(
         "event_type",
-        F.col("approx_pcts")[0].alias("p50"),
-        F.col("approx_pcts")[1].alias("p95"),
-        F.col("approx_pcts")[2].alias("p99"),
+        F.floor(F.col("exact_p50") * 100).cast("long").alias("exact_p50_cents"),
+        in_band.alias("sketch_in_band"),
     )
 
 

@@ -50,48 +50,41 @@ def registry() -> dict[str, QuerySpec]:
 def check_priority() -> tuple[str, ...]:
     """Driver-verification priority: the round driver oracle-checks only the
     FIRST 50 keys of ``__spark_entry__.queries()``. Board state entering
-    round 6 (CORRECTNESS_r01-r05 union): 145/147 keys checked at least
-    once; q_vocab_coverage / q_quality_topfrac registered after the r5
-    window filled (never checked); 7 r5-checked keys FAILED hash with the
-    DuckDB HUGEINT-widening oracle bug, fixed this round (outer sums now
-    CAST(... AS BIGINT); q_decimal_money aligned to DECIMAL(28,2));
-    5 keys last checked r2, 43 last checked r3. Round 6 priority =
-    (a) the two never-checked keys, (b) the seven re-fixed oracles —
-    these MUST re-check green this round, (c) the 17 keys newly
-    registered in round 6, (d) the r2-stale cohort, (e) the r3-stale
-    cohort in registration order (2+7+17+5 = 31 head slots leave 19 of
-    the 43 for this window; the other 24 roll to round 7 — new keys
-    outrank the stale rotation because a never-checked key has no driver
-    row at all, while r3-stale keys hold green ones). Keys not listed
-    keep registration order afterwards."""
+    round 7 (CORRECTNESS_r01-r06 union): all 164 keys checked at least
+    once; staleness 50@r6 / 43@r5 / 47@r4 / 24@r3; one hash-fail
+    (q_decimal_money — Arrow decimal-precision representation, re-fixed
+    this round to compare exact integer cents) and one key whose operator
+    had a latent bug (q_bloom_decontaminate — might_contain's int32
+    array-literal inference, fixed). Round 7 priority = (a) the two
+    re-fixed keys — these MUST re-check green, (b) four keys upgraded
+    this round from rows-only to value-checked oracles (sketch keys now
+    emit the exact answer cross-checked against DuckDB plus a Spark-side
+    error-bound attestation; q_frame_sample gained a full byte-math
+    oracle), (c) the 24 r3-stale keys — after this window no key's latest
+    check is older than r4, (d) the r4-stale cohort in registration order
+    (2+4+24 = 30 head slots leave 20 of the 45 remaining; the other 25
+    roll to round 8). Keys not listed keep registration order
+    afterwards."""
     return (
-        # (a) never driver-checked (registered after the r5 window filled)
-        "q_vocab_coverage", "q_quality_topfrac",
-        # (b) the seven r5 hash-fails, oracles re-fixed this round
-        "q_decimal_money", "q_gapfill_spine", "q_rollup_reagg",
-        "q_scd2_history", "q_skew_salted_agg", "q_sql_entry", "q_tpch_q11",
-        # (c) new in round 6
-        "q_bloom_decontaminate", "q_cdc_apply", "q_corpus_shard",
-        "q_int8_quantize", "q_pmi_bigrams", "q_mad_outlier",
-        "q_regex_pretokenize", "q_funnel_steps",
-        "q_sql_udf", "q_profile_stats", "q_cdc_stream",
-        "q_cohort_retention", "q_importance_sample",
-        "q_listagg", "q_bitmap_distinct", "q_approx_topk", "q_corr_exact",
-        # (d) latest driver check = round 2
-        "q_doc_fingerprint", "q_lang_id", "q_ngram_jaccard",
-        "q_quality_score", "q_token_count",
-        # (e) latest driver check = round 3, registration order
-        "q_cast_project", "q_json_parse", "q_stream_dedup", "q_watermark",
-        "q_output_complete", "q_rank", "q_lag_lead", "q_running_sum",
-        "q_agg_rollup", "q_grouping_sets", "q_tpch_q3", "q_tpch_q6",
-        "q_string_funcs", "q_date_funcs", "q_explode_tokens",
-        "q_scalar_subquery", "q_histogram", "q_max_by", "q_sessionize",
+        # (a) re-fixed this round, must re-check green
+        "q_decimal_money", "q_bloom_decontaminate",
+        # (b) rows-only → value-checked oracle upgrades (round 7)
+        "q_approx_distinct", "q_approx_quantile", "q_hll_shard_merge",
+        "q_frame_sample",
+        # (c) latest driver check = round 3, registration order
         "q_percentile_disc", "q_window_range_frame", "q_ntile_first_last",
         "q_conditional_funcs", "q_bucketed_join", "q_tpch_q4", "q_tpch_q14",
         "q_unpivot", "q_asof_join", "q_range_join", "q_tpch_q5",
         "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13",
         "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
         "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+        # (d) latest driver check = round 4, registration order (first 20)
+        "q_malformed_filter", "q_struct_star", "q_derived_duration",
+        "q_rand_column", "q_validity_filter", "q_bool_enrich",
+        "q_point_lookup", "q_window_hourly_agg", "q_agg_count",
+        "q_agg_avg_round", "q_agg_cond_sum", "q_reagg_distinct",
+        "q_count_all", "q_gold_point_lookup", "q_topn", "q_row_number",
+        "q_join_inner", "q_join_left", "q_join_semi", "q_join_anti",
     )
 
 

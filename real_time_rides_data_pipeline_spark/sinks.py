@@ -134,7 +134,10 @@ def _swap_dir(tmp: str, target_path: str) -> None:
     except BaseException:
         os.rename(old, target_path)
         raise
-    shutil.rmtree(old)
+    # The swap is already committed — a cleanup failure must not make the
+    # merge look failed (and a surviving aside dir is handled by the
+    # best-effort sweep, never restored while the target exists).
+    shutil.rmtree(old, ignore_errors=True)
     _sweep_stale_siblings(target_path)
 
 
@@ -163,12 +166,15 @@ def _recover_dir(target_path: str) -> None:
     writes and are discarded. No-op when the target exists."""
     if os.path.exists(target_path):
         return
-    olds = sorted(
+    olds = [
         d for d in _stale_siblings(target_path)
         if ".__old_" in os.path.basename(d)
-    )
+    ]
     if olds:
-        os.rename(olds[-1], target_path)
+        # Suffixes are random uuid hex — lexical order is arbitrary. Pick
+        # the newest snapshot by mtime so repeated crashes can't restore a
+        # stale copy over newer data (and re-arm CDC replay double-counts).
+        os.rename(max(olds, key=os.path.getmtime), target_path)
         _sweep_stale_siblings(target_path)
 
 

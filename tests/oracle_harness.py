@@ -61,13 +61,18 @@ def spark_rows(df: DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, sorted(rows, key=lambda t: tuple(repr(x) for x in t))
 
 
-def duck_rows(con, sql: str) -> tuple[list[str], list[tuple], list[str]]:
+def duck_rows(
+    con, sql: str
+) -> tuple[list[str], list[tuple], list[str], list[str]]:
     """Fetch oracle rows via Arrow (driver parity).
 
-    Returns (sorted column names, canonicalized sorted rows, tz_cols) where
-    ``tz_cols`` lists columns whose Arrow type is timestamp-with-timezone —
-    the driver's schema compare runs on the Arrow schema, so any such column
-    is an automatic ``schema_match: false`` and must fail locally too.
+    Returns (sorted column names, canonicalized sorted rows, tz_cols,
+    dec_cols).  ``tz_cols`` lists columns whose Arrow type is
+    timestamp-with-timezone — the driver's schema compare runs on the Arrow
+    schema, so any such column is an automatic ``schema_match: false`` and
+    must fail locally too.  ``dec_cols`` lists columns whose Arrow type is
+    decimal128 (e.g. DuckDB sum(BIGINT) widening to HUGEINT, or an explicit
+    DECIMAL cast) — a driver hash hazard, see ``compare``.
     """
     import pyarrow as pa
 
@@ -108,19 +113,30 @@ def compare(df: DataFrame, con, sql: str, key: str = "?") -> list[str]:
             f"would fail): {tz_cols} — CAST to plain TIMESTAMP in the SQL"
         )
         return problems
-    # Integer-widening guard (the r5 failure mode): an oracle column whose
-    # Arrow type is decimal128 — typically DuckDB sum(BIGINT)→HUGEINT —
-    # while the Spark twin emits a non-decimal type fails the driver's
-    # type-sensitive value hash.  Fail it here, with the fix named.
+    # Decimal guard (the r5 AND r6 failure modes): any compared decimal128
+    # column is a driver hash hazard.  r5: DuckDB sum(BIGINT)→HUGEINT vs
+    # Spark int64.  r6: BOTH sides decimal with identical values, but
+    # Spark's Arrow export carries value-inferred precision
+    # (decimal128(11,2)) where DuckDB carries the declared one
+    # (decimal128(28,2)) — still a driver hash-fail.  So no compared
+    # column may be decimal on EITHER side: keep decimal arithmetic
+    # internal and emit exact integer cents (CAST(x*100 AS BIGINT)).
     spark_types = {f.name: f.dataType for f in df.schema.fields}
     for c in dec_cols:
         st = spark_types.get(c)
-        if not isinstance(st, T.DecimalType):
+        problems.append(
+            f"[{key}] oracle column {c!r} is Arrow decimal128 (Spark side: "
+            f"{st.simpleString() if st is not None else '<missing>'}) — a "
+            f"driver hash hazard even when both sides are decimal (Arrow "
+            f"precision is value-inferred on Spark, declared on DuckDB); "
+            f"compare exact integer cents: CAST(... * 100 AS BIGINT)"
+        )
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.DecimalType) and f.name not in dec_cols:
             problems.append(
-                f"[{key}] oracle column {c!r} is Arrow decimal128 (DuckDB "
-                f"sum(BIGINT) widens to HUGEINT) but Spark emits "
-                f"{st.simpleString() if st is not None else '<missing>'} — "
-                f"wrap the oracle aggregate in CAST(... AS BIGINT)"
+                f"[{key}] Spark column {f.name!r} is DecimalType but the "
+                f"oracle side is not decimal — driver hash hazard; emit "
+                f"exact integer cents on both sides"
             )
     if problems:
         return problems

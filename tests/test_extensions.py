@@ -401,14 +401,26 @@ def test_hll_shard_merge_equals_single_pass_and_bounds_error(spark):
 
     from tests.conftest import ORACLE_SF
 
-    sharded = _reg()["q_hll_shard_merge"].fn(spark, ORACLE_SF).first()[0]
     ev = load_fixture(spark, "events", ORACLE_SF)
+    sharded = (
+        ev.groupBy(F.pmod(F.xxhash64("user_id"), F.lit(8)).alias("shard"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).cast(
+                "long"
+            )
+        )
+        .first()[0]
+    )
     single = ev.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).cast("long")
     ).first()[0]
     assert sharded == single
     true = ev.select("user_id").distinct().count()
     assert abs(sharded - true) / true < 0.05, (sharded, true)
+    # and the registered key attests exactly that bound + the exact count
+    row = _reg()["q_hll_shard_merge"].fn(spark, ORACLE_SF).first()
+    assert row["exact_distinct"] == true and row["merged_within_5pct"] is True
 
 
 def test_ivf_recall_floor_and_full_probe_exactness(spark):
@@ -523,3 +535,30 @@ def test_corr_exact_zero_variance_is_null(spark):
     ).write.parquet(f"{d}/documents.parquet")
     rows = q_corr_exact(spark, d).collect()
     assert len(rows) == 1 and rows[0]["corr_ppm"] is None
+
+
+def test_bloom_saturation_warns_but_stays_correct(spark):
+    """An undersized filter (k*n >> m_bits) must warn about saturation —
+    it silently degrades toward all-positives otherwise — while keeping
+    the no-false-negative guarantee; a well-sized filter must NOT warn."""
+    import warnings
+
+    from real_time_rides_data_pipeline_spark.operators import bloom as B
+
+    big = spark.range(2000).select(F.concat(F.lit("k"), "id").alias("g"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        words = B.build_bloom_words(big, "g", m_bits=256, k=4)
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "saturated" in str(w.message)
+        for w in caught
+    ), "oversaturated filter must emit a RuntimeWarning"
+    hits = big.select(
+        B.might_contain(F.col("g"), words, m_bits=256, k=4).alias("hit")
+    ).collect()
+    assert all(r["hit"] for r in hits)  # still no false negatives
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        B.build_bloom_words(big, "g", m_bits=1 << 17, k=4)
+    assert not any("saturated" in str(w.message) for w in caught)
