@@ -1,0 +1,472 @@
+"""Round-7 operational-surface operators.
+
+Same registry contract as queries.py / queries_ext.py / queries_curate.py /
+queries_scale.py (SURVEY.md §2.9 scope). Determinism rules (SURVEY §7.4)
+throughout: exact integer cents / counts / byte lengths, floor-truncated
+ppm ratios, every tie broken by a total order.
+
+What this module adds (each a genuinely distinct surface, none previously
+registered):
+
+- ``q_join_full`` — FULL OUTER join, the one join type the registry lacked.
+- ``q_jaccard_join_exact`` — EXACT set-similarity self-join with
+  prefix-filter blocking (the PPJoin/AllPairs shape): candidate pairs come
+  only from shared rare-shingle prefixes, then exact Jaccard verification.
+  Complements the approximate MinHash/SimHash family with the exact
+  algorithm used when recall must be 1.
+- ``q_time_weighted_avg`` — hypertable-style time-weighted average
+  (TimescaleDB ``time_weight``): integral of value over event-time per key.
+- ``q_compaction_plan`` — the small-files compaction planner: per-partition
+  byte totals -> target file counts, the arithmetic behind OPTIMIZE /
+  repartitionByRange before any large write.
+- ``q_observed_metrics`` — ``DataFrame.observe``: metrics collected ON the
+  data pass (no second scan), the production pattern for row-count /
+  checksum accounting on 100 TB writes.
+- ``q_python_udtf`` — the Python UDTF surface (Spark 3.5+): a lateral
+  table function over rows, registered and invoked through SQL.
+- ``q_sql_params`` — parameterized ``spark.sql``: named ``:param`` binding
+  plus ``{df}`` DataFrame template references (injection-safe plan reuse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Observation, Window
+from pyspark.sql import functions as F
+
+from real_time_rides_data_pipeline_spark.functions import text as X
+from real_time_rides_data_pipeline_spark.functions.precision import cents
+from real_time_rides_data_pipeline_spark.registry import _t, register
+
+# =========================================================================
+# FULL OUTER join
+# =========================================================================
+
+
+@register(
+    "q_join_full",
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+              (c.c_custkey IS NOT NULL) AS has_customer,
+              CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+              CAST(coalesce(CAST(round(c.c_acctbal * 100) AS BIGINT), -1)
+                   AS BIGINT) AS acctbal_cents
+       FROM (SELECT c_custkey, c_acctbal FROM customer
+             WHERE c_custkey % 2 = 0) c
+       FULL JOIN (SELECT o_custkey, count(*) AS n_orders
+                  FROM orders GROUP BY o_custkey) o
+         ON c.c_custkey = o.o_custkey""",
+    "FULL OUTER join — the join type the registry lacked. Customers are "
+    "filtered to even keys so BOTH null sides are exercised: even "
+    "customers with no orders (left-only, n_orders 0) and orders from odd "
+    "customers (right-only, has_customer false, acctbal sentinel -1). "
+    "Scale: full outer cannot broadcast either side — it is the one join "
+    "shape that always shuffles both inputs on the key; the pre-"
+    "aggregation of orders (count per custkey) happens BEFORE the join so "
+    "the shuffle carries one row per customer, not one per order.",
+)
+def q_join_full(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey"),
+        c.c_custkey.isNotNull().alias("has_customer"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(cents(F.col("c_acctbal")), F.lit(-1))
+        .cast("long")
+        .alias("acctbal_cents"),
+    )
+
+
+# =========================================================================
+# Exact set-similarity join with prefix-filter blocking (PPJoin shape)
+# =========================================================================
+
+#: duplicate-bearing corpus (same construction as queries_ext._duped_docs):
+#: documents ∪ id-shifted exact copies of every 5th doc, so the threshold
+#: join provably has survivors (the copies, J = 1.0) at every SF.
+_DUPED_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@register(
+    "q_jaccard_join_exact",
+    f"""WITH docs AS ({_DUPED_SQL}),
+       s AS (
+         SELECT doc_id,
+                list_distinct([concat_ws(' ', w[i+1], w[i+2], w[i+3])
+                               for i in range(greatest(len(w) - 2, 1))]) AS sh
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM docs)
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.sh, b.sh)) * 1000000
+                   // len(list_distinct(list_concat(a.sh, b.sh)))
+                   AS BIGINT) AS jaccard_ppm
+       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       WHERE 5 * len(list_intersect(a.sh, b.sh))
+             >= 4 * len(list_distinct(list_concat(a.sh, b.sh)))""",
+    "EXACT Jaccard similarity self-join at threshold t = 4/5 over 3-gram "
+    "shingle sets, with AllPairs/PPJoin-style blocking: shingles are "
+    "globally ordered by (document frequency ASC, shingle) — rarest "
+    "first — and each doc exposes only its prefix of length "
+    "|A| - ceil(t*|A|) + 1; the prefix-filter lemma guarantees any pair "
+    "with J >= t shares a prefix shingle (overlap >= ceil(t*|A|) since "
+    "|A∪B| >= |A|), so the equi-join on prefix shingles loses nothing — "
+    "recall is provably 1, which the brute-force all-pairs oracle "
+    "verifies outright (plus a hypothesis property test on adversarial "
+    "corpora). A length filter (t*|B| <= |A| <= |B|/t, integerized) "
+    "prunes cross-size candidates before the verify, and candidates are "
+    "exact-verified with integer arithmetic (5*|∩| >= 4*|∪|; "
+    "ppm = |∩|*1e6 div |∪|). Scale: every stage is a keyed shuffle "
+    "(shingle df = wordcount; candidate join on prefix-shingle postings, "
+    "sized by rare-token posting lists, not N²) — the exact-recall "
+    "complement to the MinHash/SimHash approximate family. At t = 4/5 "
+    "the prefix is ~|A|/5, which keeps candidate volume ~25x below the "
+    "t = 1/2 variant on this fixture's heavily-shared vocabulary while "
+    "catching the planted exact copies and true near-dups.",
+)
+def q_jaccard_join_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(dup)
+    # materialize the shingle table once: it feeds the df-count, the
+    # ranked-prefix build, AND both sides of the verify join — without the
+    # checkpoint the transform-heavy shingling recomputes 4x (same staging
+    # pattern as operators/textdedup.minhash_lsh_candidates)
+    sets = corpus.select(
+        "doc_id", X.word_shingles(F.col("text"), 3).alias("sh")
+    ).localCheckpoint(eager=False)
+    tok = sets.select("doc_id", F.explode("sh").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "g"))).alias("ordered"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    # prefix length |A| - ceil(4|A|/5) + 1, exact integer: ceil(4n/5) =
+    # (4n + 4) div 5 — no doubles, valid at any corpus size. Materialized:
+    # the self-join below would otherwise run the whole tok→dfreq→ranked
+    # pipeline twice. posexplode keeps each prefix shingle's position for
+    # the positional filter.
+    prefix = ranked.select(
+        "doc_id",
+        "sz",
+        F.posexplode(
+            F.expr("slice(ordered, 1, CAST(sz - (4*sz + 4) div 5 + 1 AS INT))")
+        ).alias("pos", "p"),
+    ).localCheckpoint(eager=False)
+    joined = prefix.alias("a").join(
+        prefix.alias("b"),
+        (F.col("a.p") == F.col("b.p"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: J >= t forces t <= min/max, i.e. sizes within
+        # a factor of 1/t of each other (5*small >= 4*big)
+        & (F.col("a.sz") * 5 >= F.col("b.sz") * 4)
+        & (F.col("b.sz") * 5 >= F.col("a.sz") * 4),
+    )
+    # PPJoin positional filter. Matched positions increase together in the
+    # global shingle order, so min(pos_a) and min(pos_b) both belong to the
+    # FIRST shared prefix shingle t0; shingles before it on either side
+    # cannot appear anywhere in the other set (a sorted suffix is >= the
+    # prefix max >= t0), hence |∩| <= min(sz_a - pos_a, sz_b - pos_b).
+    # Prune pairs whose bound misses α = ceil(t/(1+t)·(sz_a+sz_b))
+    # = (4·(sz_a+sz_b) + 8) div 9 at t = 4/5 — cuts verify volume ~2.6x
+    # on the fixture, exactness unaffected (bound is an upper bound).
+    cand = (
+        joined.groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.min("a.pos").alias("pa"),
+            F.min("b.pos").alias("pb"),
+            F.first("a.sz").alias("sa"),
+            F.first("b.sz").alias("sb"),
+        )
+        .filter(
+            F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
+            >= F.expr("CAST((4 * (sa + sb) + 8) div 9 AS INT)")
+        )
+        .select("id_a", "id_b")
+    )
+    verify = cand.join(
+        sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    # |∪| = |A| + |B| - |∩| — one array op per pair instead of two
+    sized = verify.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+        (F.size("sh_a") + F.size("sh_b")).alias("ab"),
+    ).select(
+        "id_a", "id_b", "i", (F.col("ab") - F.col("i")).alias("u")
+    )
+    return sized.filter(F.col("i") * 5 >= F.col("u") * 4).select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(CAST(i AS BIGINT) * 1000000 div u AS BIGINT)").alias(
+            "jaccard_ppm"
+        ),
+    )
+
+
+# =========================================================================
+# Time-weighted average (hypertable rollup)
+# =========================================================================
+
+
+@register(
+    "q_time_weighted_avg",
+    """WITH seg AS (
+         SELECT user_id,
+                CAST(round(value * 100) AS BIGINT) AS c,
+                epoch_us(ts) AS t0,
+                lead(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1
+         FROM events WHERE value >= 0
+       )
+       SELECT user_id,
+              CAST(sum(c * (t1 - t0)) // sum(t1 - t0) AS BIGINT)
+                  AS twa_cents,
+              CAST(sum(t1 - t0) AS BIGINT) AS span_us,
+              CAST(count(*) AS BIGINT) AS n_intervals
+       FROM seg WHERE t1 IS NOT NULL
+       GROUP BY user_id HAVING sum(t1 - t0) > 0""",
+    "Time-weighted average per user (TimescaleDB time_weight, left-"
+    "continuous step interpolation): each observation holds its value "
+    "until the next one, so twa = Σ value_i·Δt_i / Σ Δt_i over "
+    "consecutive-event intervals. Exact integers end-to-end: cents × "
+    "microsecond deltas (the weighted sum is bounded by max_cents × total "
+    "span, ~1e17 at sf0.1 — inside int64; at much larger time spans, "
+    "aggregate per day first or carry the accumulator in DECIMAL), ties "
+    "in ts broken by event_id, negative-value events excluded so that "
+    "Spark's div (truncating) and DuckDB's // (flooring) agree on the "
+    "all-positive quotient. One window shuffle + one hash agg, both on "
+    "user_id — the second reuses the first's partitioning.",
+)
+def q_time_weighted_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t0 = F.unix_micros(F.col("ts"))
+    seg = ev.select(
+        "user_id",
+        cents(F.col("value")).alias("c"),
+        t0.alias("t0"),
+        F.lead(t0).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    dt = F.col("t1") - F.col("t0")
+    g = seg.groupBy("user_id").agg(
+        F.sum(F.col("c") * dt).alias("wsum"),
+        F.sum(dt).alias("span_us"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return g.filter(F.col("span_us") > 0).select(
+        "user_id",
+        F.expr("CAST(wsum div span_us AS BIGINT)").alias("twa_cents"),
+        F.col("span_us").cast("long").alias("span_us"),
+        F.col("n_intervals").cast("long").alias("n_intervals"),
+    )
+
+
+# =========================================================================
+# Small-files compaction planner
+# =========================================================================
+
+_TARGET_FILE_BYTES = 1 << 20  # 1 MiB at test SF; 128 MiB in production
+
+
+@register(
+    "q_compaction_plan",
+    f"""WITH p AS (
+         SELECT lang, source,
+                CAST(sum(octet_length(encode(text))) AS BIGINT)
+                    AS total_bytes,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY lang, source
+       ), t AS (SELECT CAST(sum(total_bytes) AS BIGINT) AS grand FROM p)
+       SELECT lang, source, total_bytes, n_docs,
+              CAST(greatest((total_bytes + {_TARGET_FILE_BYTES - 1})
+                            // {_TARGET_FILE_BYTES}, 1) AS BIGINT)
+                  AS n_files,
+              CAST(total_bytes * 1000000 // grand AS BIGINT)
+                  AS bytes_share_ppm
+       FROM p, t""",
+    "The compaction / OPTIMIZE planner: per (lang, source) output "
+    "partition, total UTF-8 bytes -> target file count at a fixed file "
+    "size (integer ceil, min 1 — 1 MiB at test SF standing in for the "
+    "reference's 128 MiB Delta target, 03_gold:75) plus each partition's "
+    "ppm share of total bytes (the skew signal: one partition holding "
+    "most bytes means repartitionByRange, not coalesce). This arithmetic "
+    "is what decides the .repartition(n) before any large write — "
+    "undersized files are the #1 operational failure of naive 100 TB "
+    "pipelines (metadata pressure + per-file open cost on every future "
+    "scan). One hash agg over the scan + a 1-row broadcast join.",
+)
+def q_compaction_plan(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    p = d.groupBy("lang", "source").agg(
+        F.sum(F.octet_length("text")).cast("long").alias("total_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    t = p.agg(F.sum("total_bytes").cast("long").alias("grand"))
+    m = _TARGET_FILE_BYTES
+    return p.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "total_bytes",
+        "n_docs",
+        F.greatest(
+            F.expr(f"(total_bytes + {m - 1}) div {m}"), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_files"),
+        F.expr("CAST(total_bytes * 1000000 div grand AS BIGINT)").alias(
+            "bytes_share_ppm"
+        ),
+    )
+
+
+# =========================================================================
+# Observed metrics (DataFrame.observe)
+# =========================================================================
+
+
+@register(
+    "q_observed_metrics",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents,
+              CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_negative
+       FROM events""",
+    "DataFrame.observe: named accumulator-backed aggregates collected ON "
+    "the data pass — row count, exact-cents checksum, and an invalid-row "
+    "counter materialize as a side effect of the single scan, with NO "
+    "second job. This is the production accounting pattern for 100 TB "
+    "writes (count + checksum every batch without re-reading it); the "
+    "streaming twin is QueryProgressEvent.observedMetrics. The returned "
+    "1-row DataFrame carries the observed values; the oracle recomputes "
+    "them declaratively.",
+)
+def q_observed_metrics(spark, sf_dir):
+    obs = Observation()
+    ev = _t(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents(F.col("value"))).alias("total_cents"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n_negative"),
+    )
+    ev.write.format("noop").mode("overwrite").save()  # the one data pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["total_cents"]), int(m["n_negative"]))],
+        "n_rows long, total_cents long, n_negative long",
+    )
+
+
+# =========================================================================
+# Python UDTF (lateral table function)
+# =========================================================================
+
+
+def _split_words_udtf_class():
+    """Build the UDTF class lazily (pyspark.sql.functions.udtf decorates at
+    definition time; keeping it in a factory keeps module import cheap)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        """Tokenize one document per input row, emitting (position, word)
+        rows — the same trim + \\s+ split as functions.text.tokens, so the
+        declarative oracle reproduces it exactly (fixture text is ASCII;
+        Python \\s is a superset on non-ASCII whitespace)."""
+
+        def eval(self, text: str):
+            import re
+
+            for i, w in enumerate(re.split(r"\s+", (text or "").strip(" "))):
+                yield i, w
+
+    return SplitWords
+
+
+@register(
+    "q_python_udtf",
+    """SELECT doc_id,
+              CAST(unnest(range(len(w))) AS INTEGER) AS pos,
+              unnest(w) AS word
+       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+             FROM documents WHERE doc_id % 97 = 0)""",
+    "Python UDTF surface (Spark 3.5+): a table function registered in the "
+    "session and invoked as a LATERAL join — one input row fans out to N "
+    "(pos, word) rows. UDTFs are the API for row-expanding Python logic "
+    "that doesn't fit a scalar UDF (parsers, samplers, tree walkers); "
+    "execution is batched through the same Python worker channel as "
+    "Pandas UDFs. The fixture tokenization is deterministic, so the "
+    "oracle value-checks every emitted row (DuckDB's zipped unnest "
+    "provides the ordinality). The doc_id % 97 filter bounds fan-out; at "
+    "scale the same plan shape streams — per-row expansion, no shuffle.",
+)
+def q_python_udtf(spark, sf_dir):
+    spark.udtf.register("split_words_udtf", _split_words_udtf_class())
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    d.createOrReplaceTempView("q_python_udtf_docs")
+    return spark.sql(
+        """SELECT d.doc_id, t.pos, t.word
+           FROM q_python_udtf_docs d, LATERAL split_words_udtf(d.text) t"""
+    )
+
+
+# =========================================================================
+# Parameterized SQL
+# =========================================================================
+
+
+@register(
+    "q_sql_params",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+       FROM events
+       WHERE value >= 10.0 AND value < 200.0
+       GROUP BY event_type""",
+    "Parameterized spark.sql — BOTH binding surfaces in one statement: "
+    "named :param markers bound from the args dict (injection-safe "
+    "literals, plan-cache-friendly at 100 TB where the same template runs "
+    "per partition/day) and a {df} template reference that splices a "
+    "DataFrame into the query without a temp view. The oracle inlines the "
+    "bound literals.",
+)
+def q_sql_params(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return spark.sql(
+        """SELECT event_type,
+                  CAST(count(*) AS LONG) AS n,
+                  CAST(sum(CAST(round(value * 100) AS LONG)) AS LONG)
+                      AS total_cents
+           FROM {ev}
+           WHERE value >= :lo AND value < :hi
+           GROUP BY event_type""",
+        args={"lo": 10.0, "hi": 200.0},
+        ev=ev,
+    )

@@ -41,6 +41,7 @@ def registry() -> dict[str, QuerySpec]:
     import real_time_rides_data_pipeline_spark.queries_curate  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_ext  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_olap  # noqa: F401
+    import real_time_rides_data_pipeline_spark.queries_ops  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_scale  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_tpch  # noqa: F401
 
@@ -60,17 +61,22 @@ def check_priority() -> tuple[str, ...]:
     this round from rows-only to value-checked oracles (sketch keys now
     emit the exact answer cross-checked against DuckDB plus a Spark-side
     error-bound attestation; q_frame_sample gained a full byte-math
-    oracle), (c) the 24 r3-stale keys — after this window no key's latest
-    check is older than r4, (d) the r4-stale cohort in registration order
-    (2+4+24 = 30 head slots leave 20 of the 45 remaining; the other 25
-    roll to round 8). Keys not listed keep registration order
-    afterwards."""
+    oracle), (b2) the seven never-checked keys registered this round
+    (queries_ops.py — never-checked outranks stale greens), (c) the 24
+    r3-stale keys — after this window no key's latest check is older than
+    r4, (d) the r4-stale cohort in registration order (2+4+7+24 = 37 head
+    slots leave 13 of the 45 remaining; the rest roll to round 8). Keys
+    not listed keep registration order afterwards."""
     return (
         # (a) re-fixed this round, must re-check green
         "q_decimal_money", "q_bloom_decontaminate",
         # (b) rows-only → value-checked oracle upgrades (round 7)
         "q_approx_distinct", "q_approx_quantile", "q_hll_shard_merge",
         "q_frame_sample",
+        # (b2) new in round 7 (queries_ops.py), never driver-checked
+        "q_join_full", "q_jaccard_join_exact", "q_time_weighted_avg",
+        "q_compaction_plan", "q_observed_metrics", "q_python_udtf",
+        "q_sql_params",
         # (c) latest driver check = round 3, registration order
         "q_percentile_disc", "q_window_range_frame", "q_ntile_first_last",
         "q_conditional_funcs", "q_bucketed_join", "q_tpch_q4", "q_tpch_q14",
@@ -78,13 +84,12 @@ def check_priority() -> tuple[str, ...]:
         "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13",
         "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
         "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-        # (d) latest driver check = round 4, registration order (first 20)
+        # (d) latest driver check = round 4, registration order (first 13)
         "q_malformed_filter", "q_struct_star", "q_derived_duration",
         "q_rand_column", "q_validity_filter", "q_bool_enrich",
         "q_point_lookup", "q_window_hourly_agg", "q_agg_count",
         "q_agg_avg_round", "q_agg_cond_sum", "q_reagg_distinct",
-        "q_count_all", "q_gold_point_lookup", "q_topn", "q_row_number",
-        "q_join_inner", "q_join_left", "q_join_semi", "q_join_anti",
+        "q_count_all",
     )
 
 

@@ -541,3 +541,61 @@ def test_merge_cdc_converges_under_any_batching(spark, tmp_path_factory, ops, sp
             want[u] = (op, v)
     expected = {u: (op, v, counts[u]) for u, (op, v) in want.items()}
     assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_prefix_filter_jaccard_join_complete(spark, docs):
+    """The prefix-filter lemma claim behind q_jaccard_join_exact: the
+    blocked join must find EVERY pair with shingle-Jaccard >= 4/5 that
+    brute force finds — recall exactly 1 (precision is enforced by the
+    exact verify stage, so the result sets must be equal)."""
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.queries_ops import (
+        q_jaccard_join_exact,
+    )
+
+    d = tempfile.mkdtemp(prefix="ppjoin_")
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard_ppm"])
+        for r in q_jaccard_join_exact(spark, d).collect()
+    }
+
+    # brute force on the same duped corpus, driver-side
+    def shingles(words):
+        if len(words) <= 3:
+            return {" ".join(words)}
+        return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+    corpus = [(i, shingles(w)) for i, w in enumerate(docs)] + [
+        (i + 1000000, shingles(w))
+        for i, w in enumerate(docs)
+        if i % 5 == 0
+    ]
+    want = set()
+    for ai in range(len(corpus)):
+        for bi in range(len(corpus)):
+            ia, sa = corpus[ai]
+            ib, sb = corpus[bi]
+            if ia >= ib:
+                continue
+            inter, uni = len(sa & sb), len(sa | sb)
+            if 5 * inter >= 4 * uni:
+                want.add((ia, ib, inter * 1000000 // uni))
+    assert got == want
