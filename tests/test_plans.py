@@ -599,3 +599,35 @@ def test_cohort_retention_single_fact_pass(spark):
     scans = _re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 0, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_join_full_preaggregates_orders_below_join(spark):
+    """q_join_full must shuffle one pre-aggregated row per customer into
+    the full-outer join, never the raw orders table; and an equi full
+    outer must be a real join, not a nested-loop."""
+    plan = _plan(spark, "q_join_full")
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the count-per-custkey aggregate feeds the join (HashAggregate is a
+    # child of the join in the tree) and map-side combines (partial_count)
+    tree = plan.split("(1) Scan")[0].splitlines()
+    join_line = min(i for i, ln in enumerate(tree) if "FullOuter" in ln)
+    agg_line = min(i for i, ln in enumerate(tree) if "HashAggregate" in ln)
+    assert join_line < agg_line, plan  # tree prints root-first
+    assert "partial_count" in plan, plan
+
+
+def test_jaccard_join_no_cartesian(spark):
+    """The prefix-filtered similarity join must never degrade to an
+    all-pairs physical plan."""
+    plan = _plan(spark, "q_jaccard_join_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compaction_plan_broadcasts_grand_total(spark):
+    """The 1-row grand-total side must broadcast, not shuffle."""
+    plan = _plan(spark, "q_compaction_plan")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
