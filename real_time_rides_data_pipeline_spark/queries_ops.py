@@ -26,6 +26,10 @@ registered):
   table function over rows, registered and invoked through SQL.
 - ``q_sql_params`` — parameterized ``spark.sql``: named ``:param`` binding
   plus ``{df}`` DataFrame template references (injection-safe plan reuse).
+- ``q_triangle_count`` — degree-ordered triangle counting over the supplier
+  co-occurrence graph with deterministic DOULION edge sampling.
+- ``q_winsorized_mean`` — robust clamp-to-[p05,p95] mean per group, the
+  outlier-proof aggregate for curation scoring.
 """
 
 from __future__ import annotations
@@ -469,4 +473,172 @@ def q_sql_params(spark, sf_dir):
            GROUP BY event_type""",
         args={"lo": 10.0, "hi": 200.0},
         ev=ev,
+    )
+
+
+# =========================================================================
+# Triangle counting (degree-ordered orientation + DOULION edge sampling)
+# =========================================================================
+
+
+@register(
+    "q_triangle_count",
+    """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       se AS (
+         SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+         FROM os a JOIN os b
+           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+         WHERE (a.l_suppkey * 31 + b.l_suppkey) % 20 = 0
+       )
+       SELECT CAST((SELECT count(*) FROM se) AS BIGINT) AS n_edges,
+              CAST((SELECT count(*)
+                    FROM se e1
+                    JOIN se e2 ON e1.v = e2.u
+                    JOIN se e3 ON e3.u = e1.u AND e3.v = e2.v)
+                   AS BIGINT) AS n_triangles,
+              CAST((SELECT count(*)
+                    FROM se e1
+                    JOIN se e2 ON e1.v = e2.u
+                    JOIN se e3 ON e3.u = e1.u AND e3.v = e2.v) * 8000
+                   AS BIGINT) AS est_triangles""",
+    "Triangle counting on the supplier co-occurrence graph (suppliers "
+    "sharing an order), the canonical distributed graph kernel, with two "
+    "scale techniques composed: (1) DOULION edge sampling — a "
+    "deterministic 1-in-20 hash of the edge keeps the graph sparse and "
+    "the exact count on the sampled graph unbiased-scales by 1/p³ = 8000 "
+    "(Tsourakakis et al., KDD'09); the filter commutes with DISTINCT so "
+    "it is pushed BELOW the dedup, shrinking the first shuffle 20x. "
+    "(2) Degree-ordered orientation — each undirected edge points from "
+    "the (degree, node)-smaller endpoint, so every triangle is counted "
+    "exactly once from its unique two-out-edge apex and the wedge join "
+    "fans out by OUT-degree, bounded by O(m^1.5) total wedges instead of "
+    "sum-of-squared-degrees (the hub explosion that kills naive triangle "
+    "joins on skewed graphs). The oracle counts the same sampled graph "
+    "with a plain 3-way join (a < b < c ordering), proving the oriented "
+    "algorithm exact. All joins are keyed shuffles; no node ever "
+    "enumerates a hub's full neighborhood square.",
+)
+def q_triangle_count(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        # deterministic DOULION sample, pushed below the distinct
+        .filter(
+            (F.col("a.l_suppkey") * 31 + F.col("b.l_suppkey")) % 20 == 0
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds degrees + both wedge sides
+    )
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # orient from (deg, node)-smaller to larger; carry the dst's rank key
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                F.struct("du", "u") < F.struct("dv", "v"), F.col("u")
+            )
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(
+                F.struct("du", "u") < F.struct("dv", "v"), F.col("v")
+            )
+            .otherwise(F.col("u"))
+            .alias("dst"),
+            F.when(
+                F.struct("du", "u") < F.struct("dv", "v"),
+                F.struct(F.col("dv").alias("d"), F.col("v").alias("n")),
+            )
+            .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
+            .alias("dkey"),
+        )
+        .localCheckpoint(eager=False)  # wedge self-join + closing-edge probe
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (F.col("w1.dkey") < F.col("w2.dkey")),
+    ).select(
+        F.col("w1.dst").alias("x"), F.col("w2.dst").alias("y")
+    )
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return ne.crossJoin(tri).select(
+        "n_edges",
+        "n_triangles",
+        (F.col("n_triangles") * 8000).cast("long").alias("est_triangles"),
+    )
+
+
+# =========================================================================
+# Winsorized mean (robust aggregation for curation scoring)
+# =========================================================================
+
+
+@register(
+    "q_winsorized_mean",
+    """WITH b AS (
+         SELECT event_type,
+                quantile_disc(value, 0.05) AS lo,
+                quantile_disc(value, 0.95) AS hi
+         FROM events GROUP BY event_type
+       )
+       SELECT e.event_type,
+              CAST(floor(sum(CAST(round(
+                       least(greatest(e.value, b.lo), b.hi) * 100)
+                   AS BIGINT)) / count(*)) AS BIGINT) AS wmean_cents,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events e JOIN b USING (event_type)
+       GROUP BY e.event_type""",
+    "Winsorized mean per event_type — the robust aggregate curation "
+    "pipelines use where plain means are wrecked by outliers (clamp to "
+    "the [p05, p95] discrete quantiles, then average): two passes, both "
+    "keyed on event_type — a quantile agg producing one bounds row per "
+    "group (broadcast back, 5 rows) and a clamp+mean over the scan. "
+    "percentile_disc picks actual data values (engine-portable total "
+    "order, same as the green q_percentile_disc), clamped values are "
+    "therefore 2-dp data values with exact cents, and the mean is "
+    "floor(sum_cents / n) — float division of exact integers < 2^53, "
+    "identical doubles in both engines, floor-truncated per SURVEY §7.4.",
+)
+def q_winsorized_mean(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def disc(q):
+        return F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)")
+
+    bounds = ev.groupBy("event_type").agg(
+        disc(0.05).alias("lo"), disc(0.95).alias("hi")
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        cents(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")))
+        .alias("c"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.floor(F.sum("c") / F.count(F.lit(1))).cast("long").alias(
+            "wmean_cents"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n"),
     )

@@ -599,3 +599,61 @@ def test_prefix_filter_jaccard_join_complete(spark, docs):
             if 5 * inter >= 4 * uni:
                 want.add((ia, ib, inter * 1000000 // uni))
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_degree_ordered_triangle_count_exact(spark, edges):
+    """The degree-ordered orientation in q_triangle_count must count every
+    triangle exactly once on arbitrary graphs (self-loops dropped, edges
+    deduped) — compared against a driver-side brute force."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    nodes = sorted({n for e in und for n in e})
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    if not und:
+        return
+    e = spark.createDataFrame(sorted(und), "u long, v long")
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lower = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(
+                lower, F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+            )
+            .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
+            .alias("dkey"),
+        )
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (F.col("w1.dkey") < F.col("w2.dkey")),
+    ).select(F.col("w1.dst").alias("x"), F.col("w2.dst").alias("y"))
+    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    got = wedges.join(closing, ["x", "y"]).count()
+    assert got == want, (sorted(und), got, want)
