@@ -30,6 +30,10 @@ registered):
   co-occurrence graph with deterministic DOULION edge sampling.
 - ``q_winsorized_mean`` — robust clamp-to-[p05,p95] mean per group, the
   outlier-proof aggregate for curation scoring.
+- ``q_recursive_cte`` — WITH RECURSIVE (Spark 4.x): BOM-style subtree
+  rollup, one distributed join per recursion level.
+- ``q_pipe_sql`` — SQL pipe syntax (|>, Spark 4.x): the linear
+  scan→filter→derive→aggregate form, same Catalyst plan as classic SQL.
 """
 
 from __future__ import annotations
@@ -641,4 +645,90 @@ def q_winsorized_mean(spark, sf_dir):
             "wmean_cents"
         ),
         F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+# =========================================================================
+# Recursive CTE (Spark 4.x) — hierarchical subtree rollup
+# =========================================================================
+
+
+@register(
+    "q_recursive_cte",
+    """WITH RECURSIVE sub(root, pk, price) AS (
+         SELECT p_partkey, p_partkey, p_retailprice
+         FROM part WHERE p_partkey < 10
+         UNION ALL
+         SELECT s.root, p.p_partkey, p.p_retailprice
+         FROM sub s JOIN part p ON s.pk = p.p_partkey // 10
+         WHERE p.p_partkey > 9
+       )
+       SELECT root,
+              CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+                  AS subtree_retail_cents
+       FROM sub GROUP BY root""",
+    "Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4.x): a "
+    "BOM-style subtree rollup over a synthetic 10-ary part hierarchy "
+    "(child partkey div 10 = parent partkey) — each root under 10 "
+    "accumulates the node count and exact-cents retail price of its whole "
+    "subtree. The recursive step joins the frontier to the part table on "
+    "the EQUI key ``parent = child div 10`` (a BETWEEN-range formulation "
+    "measured 10x slower — each level degraded to a nested-loop join), "
+    "so each of the O(depth = log10(maxkey)) levels is one distributed "
+    "hash join regardless of data size — the declarative twin of the "
+    "operators/graph.py iterative pattern, with the fixpoint managed by "
+    "the engine instead of a driver loop. DuckDB runs the identical "
+    "statement.",
+)
+def q_recursive_cte(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("q_recursive_cte_part")
+    return spark.sql(
+        """WITH RECURSIVE sub(root, pk, price) AS (
+             SELECT p_partkey, p_partkey, p_retailprice
+             FROM q_recursive_cte_part WHERE p_partkey < 10
+             UNION ALL
+             SELECT s.root, p.p_partkey, p.p_retailprice
+             FROM sub s JOIN q_recursive_cte_part p
+               ON s.pk = p.p_partkey div 10
+             WHERE p.p_partkey > 9
+           )
+           SELECT root,
+                  CAST(count(*) AS LONG) AS n_nodes,
+                  CAST(sum(CAST(round(price * 100) AS LONG)) AS LONG)
+                      AS subtree_retail_cents
+           FROM sub GROUP BY root"""
+    )
+
+
+# =========================================================================
+# SQL pipe syntax (Spark 4.x)
+# =========================================================================
+
+
+@register(
+    "q_pipe_sql",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+       FROM events WHERE value >= 0 GROUP BY event_type""",
+    "SQL pipe syntax (|>, new surface in Spark 4.x): the same scan → "
+    "filter → derive → aggregate chain a DataFrame expresses, written as "
+    "a linear SQL pipeline (FROM |> WHERE |> EXTEND |> AGGREGATE ... "
+    "GROUP BY). Compiles to the identical logical plan as the classic "
+    "form — the oracle is that classic form — so Catalyst optimizations "
+    "(pushdown, pruning, partial agg) apply unchanged.",
+)
+def q_pipe_sql(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("q_pipe_sql_events")
+    return spark.sql(
+        """FROM q_pipe_sql_events
+           |> WHERE value >= 0
+           |> EXTEND CAST(round(value * 100) AS LONG) AS cents
+           |> AGGREGATE CAST(count(*) AS LONG) AS n,
+                        CAST(sum(cents) AS LONG) AS total_cents
+              GROUP BY event_type"""
     )
