@@ -707,3 +707,47 @@ def test_cdc_stream_checkpoint_restart_converges(spark, workdir):
     assert set(rows) == {1, 2}
     assert rows[1]["last_cents"] == 150 and rows[1]["n_ops"] == 3
     assert rows[2]["last_cents"] == 250 and rows[2]["n_ops"] == 3
+
+
+def test_statestore_reader_exposes_dedup_state(spark, workdir):
+    """Spark 4's state-store reader (spark.read.format('statestore')) — the
+    operational surface for debugging stateful streams: after a keyed
+    dropDuplicates stream commits, the checkpoint's state rows must be
+    readable as a DataFrame and contain exactly the deduped keys. This is
+    how a 100 TB pipeline inspects (and, with the companion state-metadata
+    source, right-sizes) streaming state without replaying the stream."""
+    from real_time_rides_data_pipeline_spark.operators import stream_dedup
+
+    input_path = f"{workdir}/ssr_input"
+    ckpt = f"{workdir}/ssr_ckpt"
+    out = f"{workdir}/ssr_out"
+    rows = [
+        ("R1", "2024-01-01 10:00:00"),
+        ("R1", "2024-01-01 10:00:00"),  # exact dup
+        ("R2", "2024-01-01 10:05:00"),
+        ("R3", "2024-01-01 10:06:00"),
+    ]
+    spark.createDataFrame(rows, "ride_id string, ts string").withColumn(
+        "event_timestamp", F.col("ts").cast("timestamp")
+    ).drop("ts").coalesce(1).write.mode("overwrite").parquet(input_path)
+    schema = spark.read.parquet(input_path).schema
+
+    stream = parquet_stream(spark, input_path, schema)
+    sq = (
+        stream_dedup(stream, keys=("ride_id",))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    sq.processAllAvailable()
+    sq.stop()
+
+    state = spark.read.format("statestore").load(ckpt)
+    keys = sorted(r["key"]["ride_id"] for r in state.collect())
+    assert keys == ["R1", "R2", "R3"], keys
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    ops = {r["operatorName"] for r in meta.collect()}
+    assert "dedupe" in ops or len(ops) == 1, ops
