@@ -34,6 +34,8 @@ registered):
   rollup, one distributed join per recursion level.
 - ``q_pipe_sql`` — SQL pipe syntax (|>, Spark 4.x): the linear
   scan→filter→derive→aggregate form, same Catalyst plan as classic SQL.
+- ``q_xml_parse`` — from_xml (Spark 4.x): typed XML envelope parsing,
+  value-checked as a round-trip identity.
 """
 
 from __future__ import annotations
@@ -731,4 +733,49 @@ def q_pipe_sql(spark, sf_dir):
            |> AGGREGATE CAST(count(*) AS LONG) AS n,
                         CAST(sum(cents) AS LONG) AS total_cents
               GROUP BY event_type"""
+    )
+
+
+# =========================================================================
+# XML parsing (from_xml, Spark 4.x)
+# =========================================================================
+
+
+@register(
+    "q_xml_parse",
+    """SELECT doc_id,
+              CAST(doc_id AS BIGINT) AS parsed_id,
+              lang AS parsed_lang,
+              CAST(octet_length(encode(text)) AS BIGINT) AS parsed_len
+       FROM documents""",
+    "XML ingestion surface (from_xml, native in Spark 4.x — previously "
+    "the spark-xml package): each document row is serialized to an XML "
+    "envelope (id attribute + lang/len elements — attribute-and-scalar "
+    "content only, so no entity-escaping ambiguity) and parsed back with "
+    "a typed schema ('_id LONG, lang STRING, len LONG'; attributes map "
+    "to underscore-prefixed fields). The oracle is the round-trip "
+    "identity: parsed values must equal the source columns exactly, "
+    "which value-checks the parse of every row. Narrow per-row map, no "
+    "shuffle — same scan-side placement as q_json_parse.",
+)
+def q_xml_parse(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    xml = F.concat(
+        F.lit('<doc id="'),
+        F.col("doc_id"),
+        F.lit('"><lang>'),
+        F.col("lang"),
+        F.lit("</lang><len>"),
+        F.octet_length("text"),
+        F.lit("</len></doc>"),
+    )
+    parsed = d.select(
+        "doc_id",
+        F.from_xml(xml, "_id LONG, lang STRING, len LONG").alias("p"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p._id").alias("parsed_id"),
+        F.col("p.lang").alias("parsed_lang"),
+        F.col("p.len").alias("parsed_len"),
     )
