@@ -36,6 +36,8 @@ registered):
   scan→filter→derive→aggregate form, same Catalyst plan as classic SQL.
 - ``q_xml_parse`` — from_xml (Spark 4.x): typed XML envelope parsing,
   value-checked as a round-trip identity.
+- ``q_curation_e2e`` — the curation pipeline composed end-to-end (exact
+  dedup → quality cut → deterministic sharding → training manifest).
 """
 
 from __future__ import annotations
@@ -778,4 +780,110 @@ def q_xml_parse(spark, sf_dir):
         F.col("p._id").alias("parsed_id"),
         F.col("p.lang").alias("parsed_lang"),
         F.col("p.len").alias("parsed_len"),
+    )
+
+
+# =========================================================================
+# End-to-end curation pipeline (dedup → quality filter → shard manifest)
+# =========================================================================
+
+#: DuckDB twin of functions.text.quality_score over an arbitrary doc CTE
+#: (same floored arithmetic as the green q_quality_score oracle).
+_QUALITY_CTE = """
+  t AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(text), '\\s+') AS toks,
+           length(text) AS n_chars
+    FROM dedup
+  ), f AS (
+    SELECT doc_id, n_chars, len(toks) AS n_tokens,
+           len(list_filter(list_transform(toks, t -> lower(t)),
+               t -> list_contains(['the','a','of','and','to','is','in',
+                                   'that','it','for'], t))) AS n_stopwords,
+           n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+               AS n_nonalnum,
+           floor((n_chars - len(toks) + 1) * 10000.0 / len(toks)) / 10000.0
+               AS mean_word_len
+    FROM t
+  ), scored AS (
+    SELECT doc_id, n_tokens,
+           floor(greatest(least(
+               0.5 + least(floor(n_stopwords * 10000.0 / n_tokens)
+                           / 10000.0 * 2, 0.3)
+                   - least(floor(n_nonalnum * 10000.0 / n_chars)
+                           / 10000.0 * 2, 0.4)
+                   - CASE WHEN mean_word_len < 3 OR mean_word_len > 12
+                          THEN 0.2 ELSE 0.0 END,
+               1.0), 0.0) * 10000) / 10000.0 AS quality
+    FROM f
+  )
+"""
+
+
+@register(
+    "q_curation_e2e",
+    f"""WITH docs AS ({_DUPED_SQL}),
+       dedup AS (
+         SELECT doc_id, text FROM (
+           SELECT doc_id, text,
+                  row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+           FROM docs) WHERE rn = 1
+       ),{_QUALITY_CTE},
+       keep AS (SELECT doc_id, n_tokens FROM scored WHERE quality >= 0.6)
+       SELECT ((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003 % 8
+                  AS shard,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       FROM keep GROUP BY shard""",
+    "The curation pipeline composed END-TO-END as one plan — the flagship "
+    "of the LLM-data family: (1) exact dedup keep-first by md5 text "
+    "fingerprint over the duplicate-bearing corpus (one hash shuffle); "
+    "(2) Gopher/C4-style quality scoring and a >= 0.6 cut (narrow map, "
+    "drops ~half the fixture); (3) deterministic Knuth-modular-hash "
+    "sharding; (4) the per-shard training manifest (doc count + total "
+    "token budget) every run is provisioned from. Each stage is the "
+    "already-verified single-key operator (q_exact_dedup / "
+    "q_quality_score / q_corpus_shard), composed here to prove the "
+    "stages fuse into one 3-shuffle plan — dedup window, final manifest "
+    "agg, nothing else — with no materialization barriers between "
+    "stages. Replayable at any scale: no RNG, no driver state.",
+)
+def q_curation_e2e(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.queries_scale import (
+        _N_SHARDS,
+        _SHARD_M,
+        _SHARD_P,
+    )
+
+    docs = _t(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
+    dup = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(dup)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept = dedup.filter(X.quality_score(F.col("text")) >= 0.6).select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    shard = F.pmod(
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(_SHARD_P)) * F.lit(_SHARD_M),
+            F.lit(_SHARD_P),
+        ),
+        F.lit(_N_SHARDS),
+    )
+    return (
+        kept.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
     )
