@@ -845,9 +845,12 @@ _QUALITY_CTE = """
     "token budget) every run is provisioned from. Each stage is the "
     "already-verified single-key operator (q_exact_dedup / "
     "q_quality_score / q_corpus_shard), composed here to prove the "
-    "stages fuse into one 3-shuffle plan — dedup window, final manifest "
-    "agg, nothing else — with no materialization barriers between "
-    "stages. Replayable at any scale: no RNG, no driver state.",
+    "stages fuse into one TWO-shuffle plan — the dedup window (which "
+    "Spark further optimizes to a partial/final WindowGroupLimit, i.e. a "
+    "per-partition top-1 instead of a full sort) and the final manifest "
+    "agg; quality scoring and sharding ride along as narrow maps with no "
+    "materialization barriers. Replayable at any scale: no RNG, no "
+    "driver state.",
 )
 def q_curation_e2e(spark, sf_dir):
     from real_time_rides_data_pipeline_spark.queries_scale import (

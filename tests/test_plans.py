@@ -631,3 +631,23 @@ def test_compaction_plan_broadcasts_grand_total(spark):
     plan = _plan(spark, "q_compaction_plan")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_time_weighted_avg_single_shuffle(spark):
+    """The window and the aggregate both key on user_id — the agg must
+    reuse the window's partitioning: exactly ONE hash exchange, no
+    round-robin (the key skips the parallelism guard)."""
+    plan = _plan(spark, "q_time_weighted_avg")
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "RoundRobinPartitioning" not in plan, plan
+
+
+def test_curation_e2e_two_data_shuffles_and_group_limit(spark):
+    """The composed pipeline must fuse to two DATA shuffles (dedup window
+    on the fingerprint + manifest agg on the shard; the RoundRobin
+    repartitions are the tiny-fixture parallelism guard, a no-op at
+    scale), and the keep-first dedup must compile to the partial/final
+    WindowGroupLimit (per-partition top-1), never a full sort."""
+    plan = _plan(spark, "q_curation_e2e")
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
+    assert "WindowGroupLimit" in plan, plan
