@@ -751,3 +751,94 @@ def test_statestore_reader_exposes_dedup_state(spark, workdir):
     meta = spark.read.format("state-metadata").load(ckpt)
     ops = {r["operatorName"] for r in meta.collect()}
     assert "dedupe" in ops or len(ops) == 1, ops
+
+
+def test_socket_source_streams_live_lines(spark, workdir):
+    """A LIVE network streaming source end-to-end — the closest available
+    analog to the reference's Kafka read (sources/kafka.py is
+    environment-blocked: no spark-sql-kafka jar in the container): a local
+    TCP server feeds the built-in socket source, the stream parses the
+    reference's CSV-ish line shape and a memory sink receives the rows.
+    Proves the readStream -> parse -> sink chain works against a real
+    network source, not only file replay."""
+    import socket
+    import threading
+    import time
+
+    lines = ["R1,12.5", "R2,7.25", "R3,99.0"]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(3)  # keep the pipe open past the first micro-batch
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    parsed = stream.select(
+        F.split("value", ",")[0].alias("ride_id"),
+        F.split("value", ",")[1].cast("double").alias("fare"),
+    )
+    sq = (
+        parsed.writeStream.format("memory")
+        .queryName("socket_rides")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM socket_rides").count() >= len(lines):
+                break
+            time.sleep(0.25)
+        got = sorted(
+            (r.ride_id, r.fare)
+            for r in spark.sql("SELECT * FROM socket_rides").collect()
+        )
+    finally:
+        sq.stop()
+        srv.close()
+    assert got == [("R1", 12.5), ("R2", 7.25), ("R3", 99.0)], got
+
+
+def test_rate_source_produces_monotonic_rows(spark):
+    """The built-in rate source (the load-generator twin of the seeded
+    Kafka producer): rows must arrive with monotonically increasing
+    values and the (timestamp, value) schema the generator contract
+    expects to feed downstream."""
+    import time
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+    )
+    sq = (
+        stream.writeStream.format("memory")
+        .queryName("rate_rows")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM rate_rows").count() >= 20:
+                break
+            time.sleep(0.25)
+        vals = sorted(r.value for r in spark.sql("SELECT value FROM rate_rows").collect())
+    finally:
+        sq.stop()
+    assert len(vals) >= 20
+    assert vals == list(range(vals[0], vals[0] + len(vals))), vals[:5]
