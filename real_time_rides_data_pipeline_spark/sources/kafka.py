@@ -5,7 +5,11 @@ Mirrors the reference's Kafka ingestion contract
 ``rides_stream``, earliest offsets, SASL auth pulled from the environment.
 This container has no Kafka broker or kafka-sql jars — the builder is config
 only and is exercised in production; tests use the file/rate source twins
-(``files.py``) which produce identical downstream DataFrames.
+(``files.py``) which produce identical downstream DataFrames, and the
+readStream → parse → sink chain is additionally proven against a LIVE
+network source (the built-in socket source fed by a local TCP server,
+tests/test_streaming.py::test_socket_source_streams_live_lines) — the
+closest in-container analog to a broker read.
 """
 
 from __future__ import annotations
