@@ -139,9 +139,13 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload: str,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: attach to every left row the latest ``payload`` from
     ``right`` with ``right_ts <= left_ts`` for the same key (NULL if none).
+    With ``tolerance_seconds``, a quote older than the tolerance yields
+    NULL instead (pandas ``merge_asof(tolerance=...)`` semantics — stale
+    quotes must not silently apply in financial/telemetry joins).
 
     Spark has no ASOF JOIN operator; a theta join (``r.ts <= l.ts`` + argmax)
     explodes quadratically per key. The scalable formulation is union-window:
@@ -160,17 +164,20 @@ def asof_join(
     ASOF JOIN semantics exactly.
     """
     left_types = dict(left.dtypes)
+    right_types = dict(right.dtypes)
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("__t"),
-        F.struct(F.col(payload).alias("v")).alias("__p"),
+        F.struct(
+            F.col(right_ts).alias("t"), F.col(payload).alias("v")
+        ).alias("__p"),
         F.lit(0).alias("__side"),
     )
     for c in left.columns:
         if c != key:
             r = r.withColumn(c, F.lit(None).cast(left_types[c]))
     null_payload = F.lit(None).cast(
-        f"struct<v:{dict(right.dtypes)[payload]}>"
+        f"struct<t:{right_types[right_ts]},v:{right_types[payload]}>"
     )
     l = (
         left.withColumn("__t", F.col(left_ts))
@@ -183,8 +190,17 @@ def asof_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = F.last("__p", ignorenulls=True).over(w)
+    value = carried["v"]
+    if tolerance_seconds is not None:
+        # carried quote applies only within the tolerance window; the
+        # struct carries the quote's OWN timestamp so staleness is exact
+        fresh = F.unix_micros(F.col("__t")) - F.unix_micros(carried["t"]) <= (
+            int(tolerance_seconds) * 1_000_000
+        )
+        value = F.when(fresh, value)
     return (
-        u.withColumn(payload, F.last("__p", ignorenulls=True).over(w)["v"])
+        u.withColumn(payload, value)
         .filter(F.col("__side") == 1)
         .drop("__t", "__p", "__side")
     )

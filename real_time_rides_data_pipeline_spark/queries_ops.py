@@ -38,6 +38,8 @@ registered):
   value-checked as a round-trip identity.
 - ``q_curation_e2e`` — the curation pipeline composed end-to-end (exact
   dedup → quality cut → deterministic sharding → training manifest).
+- ``q_asof_tolerance`` — as-of join with a staleness tolerance (pandas
+  merge_asof(tolerance) semantics), same single-shuffle union-window plan.
 """
 
 from __future__ import annotations
@@ -890,3 +892,57 @@ def q_curation_e2e(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+# =========================================================================
+# As-of join with tolerance (stale-quote cutoff)
+# =========================================================================
+
+
+@register(
+    "q_asof_tolerance",
+    """WITH rates AS (
+         SELECT user_id, ts, value AS rate FROM (
+           SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_id % 20 = 0
+         ) WHERE rn = 1
+       )
+       SELECT e.event_id, e.user_id, e.ts,
+              CASE WHEN e.ts - r.ts <= INTERVAL 30 MINUTE
+                   THEN r.rate END AS rate
+       FROM events e ASOF LEFT JOIN rates r
+         ON e.user_id = r.user_id AND e.ts >= r.ts""",
+    "As-of join with a 30-minute tolerance — pandas merge_asof(tolerance) "
+    "semantics: the latest at-or-before quote applies ONLY while fresh; a "
+    "staler quote yields NULL instead of silently pricing with old data "
+    "(the financial/telemetry correctness rule plain as-of misses). Same "
+    "union-window single-shuffle plan as q_asof_join — the carried struct "
+    "additionally holds the quote's own timestamp, so staleness is an "
+    "exact microsecond comparison, not a second window pass. DuckDB "
+    "oracle: native ASOF LEFT JOIN + interval cutoff.",
+)
+def q_asof_tolerance(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.dedup import (
+        keep_first_per_key,
+    )
+    from real_time_rides_data_pipeline_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    rates = keep_first_per_key(
+        ev.filter(F.col("event_id") % 20 == 0),
+        keys=("user_id", "ts"),
+        order_by=("event_id",),
+        descending=True,
+    ).select("user_id", "ts", F.col("value").alias("rate"))
+    out = asof_join(
+        ev.select("event_id", "ts", "user_id"),
+        rates,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload="rate",
+        tolerance_seconds=1800,
+    )
+    return out.select("event_id", "user_id", "ts", "rate")

@@ -61,11 +61,11 @@ def check_priority() -> tuple[str, ...]:
     this round from rows-only to value-checked oracles (sketch keys now
     emit the exact answer cross-checked against DuckDB plus a Spark-side
     error-bound attestation; q_frame_sample gained a full byte-math
-    oracle), (b2) the thirteen never-checked keys registered this round
+    oracle), (b2) the fourteen never-checked keys registered this round
     (queries_ops.py — never-checked outranks stale greens), (c) the 24
     r3-stale keys — after this window no key's latest check is older than
-    r4, (d) the r4-stale cohort in registration order (2+4+13+24 = 43 head
-    slots leave 7 of the 45 remaining; the rest roll to round 8). Keys
+    r4, (d) the r4-stale cohort in registration order (2+4+14+24 = 44 head
+    slots leave 6 of the 45 remaining; the rest roll to round 8). Keys
     not listed keep registration order afterwards."""
     return (
         # (a) re-fixed this round, must re-check green
@@ -78,6 +78,7 @@ def check_priority() -> tuple[str, ...]:
         "q_compaction_plan", "q_observed_metrics", "q_python_udtf",
         "q_sql_params", "q_triangle_count", "q_winsorized_mean",
         "q_recursive_cte", "q_pipe_sql", "q_xml_parse", "q_curation_e2e",
+        "q_asof_tolerance",
         # (c) latest driver check = round 3, registration order
         "q_percentile_disc", "q_window_range_frame", "q_ntile_first_last",
         "q_conditional_funcs", "q_bucketed_join", "q_tpch_q4", "q_tpch_q14",
@@ -85,10 +86,9 @@ def check_priority() -> tuple[str, ...]:
         "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13",
         "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
         "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-        # (d) latest driver check = round 4, registration order (first 7)
+        # (d) latest driver check = round 4, registration order (first 6)
         "q_malformed_filter", "q_struct_star", "q_derived_duration",
         "q_rand_column", "q_validity_filter", "q_bool_enrich",
-        "q_point_lookup",
     )
 
 
