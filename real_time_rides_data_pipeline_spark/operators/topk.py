@@ -97,6 +97,39 @@ def global_row_number(
     )
 
 
+def pareto_frontier_2d(
+    df: DataFrame, min_col: str, max_col: str
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated on (minimize
+    ``min_col``, maximize ``max_col``) — u dominates t iff u is no worse on
+    both axes and strictly better on one.
+
+    O(N log N) sweep instead of the O(N²) all-pairs dominance test:
+
+    1. one hash aggregate to the per-``min_col`` best ``max_col`` (output is
+       DOMAIN-bounded — e.g. distinct cent prices — not N rows);
+    2. a running max over the ``min_col``-ordered staircase: a group is on
+       the frontier iff its best strictly beats everything cheaper
+       (``prefix max < group max``); the ordered window runs over the
+       domain-bounded aggregate, never the fact table;
+    3. broadcast the surviving (min_col, max) staircase back over the fact
+       scan — rows matching their group's frontier point are the answer
+       (ties on both axes are all non-dominated and all kept).
+
+    Comparisons only — no float arithmetic, so the result is engine-exact.
+    Property-tested against the brute-force dominance definition."""
+    per = df.groupBy(min_col).agg(F.max(max_col).alias("__fb"))
+    w = Window.orderBy(min_col).rowsBetween(Window.unboundedPreceding, -1)
+    stair = per.withColumn("__best", F.max("__fb").over(w)).filter(
+        F.col("__best").isNull() | (F.col("__fb") > F.col("__best"))
+    )
+    frontier = stair.select(F.col(min_col).alias("__fa"), "__fb")
+    return df.join(
+        F.broadcast(frontier),
+        (F.col(min_col) == F.col("__fa")) & (F.col(max_col) == F.col("__fb")),
+    ).drop("__fa", "__fb")
+
+
 def global_ntile(
     df: DataFrame,
     n: int,

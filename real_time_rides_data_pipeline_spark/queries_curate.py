@@ -934,3 +934,333 @@ def q_quality_topfrac(spark, sf_dir):
             .alias("n_kept"),
         )
     )
+
+
+# =========================================================================
+# Gopher-style quality rules + reciprocal-rank fusion (round 7 additions)
+# =========================================================================
+
+
+@register(
+    "q_gopher_rules",
+    """WITH t AS (
+         SELECT doc_id,
+                string_split_regex(trim(text), '\\s+') AS toks,
+                length(text) AS n_chars,
+                length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+                length(text)
+                  - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                    AS n_nonalnum
+         FROM documents
+       ), f AS (
+         SELECT doc_id, n_chars, word_chars, n_nonalnum,
+                len(toks) AS n_tok,
+                len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                    AS n_alpha,
+                len(list_intersect(
+                      list_distinct(list_transform(toks, w -> lower(w))),
+                      ['the','be','to','of','and','that','have','with']))
+                    AS n_stop
+         FROM t
+       )
+       SELECT doc_id,
+              CAST(n_tok AS BIGINT) AS n_tokens,
+              (n_tok BETWEEN 10 AND 100000)         AS rule_word_count,
+              (3 * n_tok <= word_chars
+               AND word_chars <= 10 * n_tok)        AS rule_mean_word_len,
+              (5 * n_alpha >= 4 * n_tok)            AS rule_alpha_words,
+              (n_stop >= 2)                         AS rule_stopwords,
+              (10 * n_nonalnum <= 3 * n_chars)      AS rule_symbol_ratio,
+              ((n_tok BETWEEN 10 AND 100000)
+               AND 3 * n_tok <= word_chars AND word_chars <= 10 * n_tok
+               AND 5 * n_alpha >= 4 * n_tok
+               AND n_stop >= 2
+               AND 10 * n_nonalnum <= 3 * n_chars)  AS pass_gopher
+       FROM f""",
+    "Gopher-style repetition/quality rule battery (Rae et al. 2021 §A1.1, "
+    "the C4/Gopher heuristic-filter stage of every curation pipeline): "
+    "word-count bounds, mean-word-length in [3,10], ≥80% alphabetic words, "
+    "≥2 distinct required stopwords, symbol ratio ≤0.3 — every rule "
+    "evaluated as an exact INTEGER cross-multiplication (3*n_tok <= "
+    "word_chars, 5*n_alpha >= 4*n_tok, ...) so there is no float division "
+    "to drift between engines; per-doc booleans + the conjunction. "
+    "Line-based Gopher rules (bullet/ellipsis fractions) are omitted: the "
+    "documents fixture is single-line (verified). Scale: a narrow "
+    "regex/array map over the scan, zero shuffles.",
+)
+def q_gopher_rules(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    toks = X.tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    word_chars = F.length(F.regexp_replace("text", r"\s", "")).cast("long")
+    n_nonalnum = (
+        n_chars - F.length(F.regexp_replace("text", r"[^A-Za-z0-9 ]", ""))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    stop = F.array(
+        *[F.lit(s) for s in
+          ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(F.transform(toks, F.lower)), stop)
+    ).cast("long")
+    r_wc = (n_tok >= 10) & (n_tok <= 100000)
+    r_mwl = (3 * n_tok <= word_chars) & (word_chars <= 10 * n_tok)
+    r_alpha = 5 * n_alpha >= 4 * n_tok
+    r_stop = n_stop >= 2
+    r_sym = 10 * n_nonalnum <= 3 * n_chars
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        r_sym.alias("rule_symbol_ratio"),
+        (r_wc & r_mwl & r_alpha & r_stop & r_sym).alias("pass_gopher"),
+    )
+
+
+@register(
+    "q_rrf_fusion",
+    f"""WITH s AS ({_QUALITY_SCORES_SQL}),
+        r AS (
+          SELECT s.doc_id,
+                 row_number() OVER (ORDER BY s.q DESC, s.doc_id) AS r_quality,
+                 row_number() OVER (ORDER BY d.n_chars DESC, s.doc_id)
+                     AS r_length
+          FROM s JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, r_quality, r_length,
+               1.0 / (60 + r_quality) + 1.0 / (60 + r_length) AS rrf
+        FROM r ORDER BY rrf DESC, doc_id LIMIT 50""",
+    "Reciprocal-rank fusion (Cormack et al. 2009) of two document rankings "
+    "— the standard way to merge lexical and semantic retrieval lists in "
+    "a RAG/training-data pipeline: rank docs by quality score and by "
+    "length (both ties broken by doc_id for a total order), fuse with "
+    "RRF(k=60) = sum 1/(k+rank), take the top 50. The score is two "
+    "correctly-rounded IEEE divisions plus one add — bit-identical in any "
+    "engine (no libm transcendentals), so the float column hash-checks. "
+    "Scale: BOTH global rankings run through operators.topk."
+    "global_row_number — the TeraSort-style range-partitioned sort + "
+    "broadcast partition offsets — never the single-partition sort that "
+    "an empty-partitionBy window plans; the final top-50 is "
+    "TakeOrderedAndProject (plan-pinned).",
+)
+def q_rrf_fusion(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.text import quality_score
+    from real_time_rides_data_pipeline_spark.operators.topk import (
+        global_row_number,
+    )
+
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    s = d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        # rank DESC through an ascending ranker: negate the sort keys
+        (-F.col("n_chars")).alias("__len_neg"),
+    ).withColumn("__q_neg", -F.col("q"))
+    r = global_row_number(s, ["__q_neg", "doc_id"], out_col="r_quality")
+    r = global_row_number(r, ["__len_neg", "doc_id"], out_col="r_length")
+    return (
+        r.select(
+            "doc_id",
+            F.col("r_quality").cast("long").alias("r_quality"),
+            F.col("r_length").cast("long").alias("r_length"),
+            (
+                F.lit(1.0) / (F.lit(60) + F.col("r_quality"))
+                + F.lit(1.0) / (F.lit(60) + F.col("r_length"))
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+# =========================================================================
+# Span-level exact dedup + corpus-fit char-bigram coverage (round 7)
+# =========================================================================
+
+
+@register(
+    "q_dup_spans",
+    """WITH t AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         FROM documents
+       ), s AS (
+         SELECT doc_id,
+                [concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4],
+                                w[i+5], w[i+6], w[i+7], w[i+8])
+                 for i in range(len(w) - 7)] AS sp
+         FROM t
+       ), e AS (
+         SELECT doc_id, unnest(sp) AS span FROM s
+       ), g AS (
+         SELECT span, doc_id, count(*) AS pos FROM e GROUP BY span, doc_id
+       ), g2 AS (
+         SELECT doc_id, pos,
+                count(*) OVER (PARTITION BY span) AS ndocs
+         FROM g
+       ), dup AS (
+         SELECT doc_id,
+                CAST(sum(CASE WHEN ndocs >= 2 THEN pos ELSE 0 END) AS BIGINT)
+                    AS n_dup
+         FROM g2 GROUP BY doc_id
+       )
+       SELECT s.doc_id,
+              CAST(len(sp) AS BIGINT) AS n_spans,
+              CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+              (len(sp) > 0 AND 5 * coalesce(d.n_dup, 0) >= len(sp))
+                  AS flag_dup_heavy
+       FROM s LEFT JOIN dup d USING (doc_id)""",
+    "Span-level exact duplication profile (Lee et al. 2021, 'Deduplicating "
+    "Training Data Makes Language Models Better' — ExactSubstr at shingle "
+    "grain): every positional 8-token span, a span is DUPLICATED iff the "
+    "identical token sequence occurs in >= 2 distinct documents; per doc "
+    "emit total spans, duplicated-span positions, and the >=20% "
+    "dup-heavy flag via integer cross-multiplication (5*n_dup >= n_spans "
+    "— no float division). Lee et al.'s suffix array finds variable-length "
+    "repeats; the fixed-grain shingle profile is the shuffle-friendly "
+    "form (their own MapReduce fallback) and upper-bounds the same spans. "
+    "Scale: positional spans are scan-side array lambdas (no distinct — "
+    "positions matter); then 3 compact-aggregate shuffles: (span, doc) "
+    "partial-count, a per-span window over that aggregate (never the raw "
+    "positions), per-doc rollup joined back to the doc-level span counts "
+    "on doc_id. At 100 TB the span strings would be xxhash64-compressed "
+    "to 8-byte shuffle keys (identical plan, collision odds ~n^2/2^64); "
+    "the raw-string grouping here keeps the oracle exact.",
+)
+def q_dup_spans(spark, sf_dir):
+    n = 8
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    w = X.tokens(F.col("text"))
+    spans = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.try_element_at(w, (i + k + 1).cast("int"))
+                  for k in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select("doc_id", spans.alias("sp"))
+    ex = base.select("doc_id", F.explode("sp").alias("span"))
+    g = ex.groupBy("span", "doc_id").agg(F.count("*").alias("pos"))
+    g2 = g.withColumn("ndocs", F.count("*").over(Window.partitionBy("span")))
+    dup = g2.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("ndocs") >= 2, F.col("pos")).otherwise(0))
+        .cast("long")
+        .alias("n_dup")
+    )
+    per_doc = base.select(
+        "doc_id", F.size("sp").cast("long").alias("n_spans")
+    )
+    return per_doc.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
+        (
+            (F.col("n_spans") > 0)
+            & (5 * F.coalesce("n_dup", F.lit(0)) >= F.col("n_spans"))
+        ).alias("flag_dup_heavy"),
+    )
+
+
+_BIGRAM_VOCAB_CACHE: dict[tuple[str, int], list[str]] = {}
+
+
+def _char_bigrams(col):
+    """Positional char-bigram array (scan-side, no explode): substring at
+    every offset. Guarded for len<2 (empty array) though the fixture's
+    min doc length is far above it."""
+    return F.when(
+        F.length(col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - 1),
+            lambda i: col.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _fitted_bigram_vocab(d, sf_dir: str, top: int = 64) -> list[str]:
+    """Corpus-wide top-``top`` char bigrams by (count DESC, bigram ASC) —
+    a deterministic total order, so the fit is replayable. The collect is
+    BOUNDED (``top`` two-char strings, ~128 bytes) — the fit-small/
+    broadcast-big shape shared with bloom words and k-means centroids;
+    memoized per sf_dir so repeated query builds reuse one fit job."""
+    key = (sf_dir, top)
+    vocab = _BIGRAM_VOCAB_CACHE.get(key)
+    if vocab is None:
+        rows = (
+            d.select(F.explode(_char_bigrams(F.col("text"))).alias("g"))
+            .groupBy("g")
+            .count()
+            .orderBy(F.col("count").desc(), F.col("g"))
+            .limit(top)
+            .collect()
+        )
+        vocab = [r["g"] for r in rows]
+        _BIGRAM_VOCAB_CACHE[key] = vocab
+    return vocab
+
+
+@register(
+    "q_charlm_coverage",
+    """WITH b AS (
+         SELECT doc_id,
+                [substring(text, i + 1, 2)
+                 for i in range(len(text) - 1)] AS bg
+         FROM documents
+       ), e AS (
+         SELECT unnest(bg) AS g FROM b
+       ), v AS (
+         SELECT g FROM e GROUP BY g ORDER BY count(*) DESC, g LIMIT 64
+       ), vl AS (
+         SELECT list(g) AS gs FROM v
+       )
+       SELECT doc_id,
+              CAST(len(bg) AS BIGINT) AS n_bigrams,
+              CAST(len(list_filter(bg, x -> list_contains(vl.gs, x)))
+                   AS BIGINT) AS n_in_vocab,
+              CASE WHEN len(bg) = 0 THEN NULL
+                   ELSE (1000000 * len(list_filter(bg,
+                            x -> list_contains(vl.gs, x)))) // len(bg)
+              END AS coverage_ppm
+       FROM b, vl""",
+    "Corpus-fit character-LM coverage score — the cheap statistical-LM "
+    "stand-in for perplexity filtering (CCNet/KenLM stage of curation "
+    "pipelines; perplexity needs log-probs whose libm evaluation diverges "
+    "between engines, so the score is the exact INTEGER in-vocabulary "
+    "rate instead): pass 1 fits the corpus top-64 char bigrams by (count "
+    "DESC, bigram ASC) — a deterministic total order; pass 2 scores every "
+    "doc scan-side as in-vocab bigram positions and a floor ppm via "
+    "integer division. Fit-small/broadcast-big: the fit collects 64 "
+    "two-char strings (bounded, memoized per sf_dir — same shape as "
+    "bloom words / k-means centroids) and embeds them as an isin literal "
+    "list, so the SCORING plan is a zero-shuffle narrow map; the fit "
+    "itself is one hash aggregate + TakeOrdered over the bigram explode.",
+)
+def q_charlm_coverage(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    vocab = _fitted_bigram_vocab(d, sf_dir)
+    bg = _char_bigrams(F.col("text"))
+    n_in = F.size(F.filter(bg, lambda b: b.isin(*vocab))).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            F.size(bg).cast("long").alias("n_bigrams"),
+            n_in.alias("n_in_vocab"),
+        )
+        .withColumn(
+            "coverage_ppm",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.expr("(1000000 * n_in_vocab) div n_bigrams"),
+            ),
+        )
+    )

@@ -156,6 +156,72 @@ def q_simhash_neardup(spark, sf_dir):
 
 
 @register(
+    "q_minhash_est_jaccard",
+    """WITH t AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+       ), s AS (
+         SELECT doc_id,
+                list_distinct([concat_ws(' ', w[i+1], w[i+2], w[i+3])
+                               for i in range(greatest(len(w) - 2, 1))]) AS sh
+         FROM t
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
+              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT)
+                  AS union_size,
+              TRUE AS est_ok
+       FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""",
+    "MinHash ACCURACY attestation — the value-checked companion to the "
+    "rows-only q_minhash_neardup: over every consecutive doc pair, compute "
+    "the exact 3-shingle Jaccard (intersection/union sizes, fully "
+    "oracle-checked) AND the 64-hash MinHash estimate (matching signature "
+    "positions / 64), then attest |estimate - exact| <= 0.35 via pure "
+    "integer cross-multiplication (100*|matches*union - inter*64| <= "
+    "35*64*union — no float division anywhere). The xxhash64 signatures "
+    "are Spark-specific so the estimate itself cannot be recomputed by "
+    "DuckDB; the oracle checks the exact side and the attestation column "
+    "is literal TRUE — Hoeffding puts per-pair failure at 2*exp(-2*64*"
+    "0.35^2) ~ 3e-7, and the seeded hashes make the check deterministic "
+    "(verified at sf0.001/0.01/0.1). Signature table is localCheckpoint-"
+    "materialized before the self-join (same 8x rationale as "
+    "minhash_near_duplicates). Scale: signatures are scan-side array "
+    "lambdas; the pair join is an equi-join on doc_id.",
+)
+def q_minhash_est_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    s = TD.with_minhash_signature(d, "text", n_hashes=64, shingle_words=3).select(
+        "doc_id",
+        X.word_shingles(F.col("text"), 3).alias("sh"),
+        F.col("minhash"),
+    )
+    # Both self-join branches would recompute the 64x xxhash64 chain.
+    s = s.localCheckpoint(eager=True)
+    a = s.alias("a")
+    b = s.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("sh").alias("sh_b"),
+        F.col("minhash").alias("sig_b"),
+    )
+    j = a.join(b, F.col("a.doc_id") == F.col("join_id"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("minhash", "sig_b", lambda x, y: x == y), lambda e: e
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect("sh", "sh_b")).cast("long")
+    uni = F.size(F.array_union("sh", "sh_b")).cast("long")
+    return j.select(
+        F.col("a.doc_id").alias("id_a"),
+        (F.col("a.doc_id") + 1).alias("id_b"),
+        inter.alias("inter_size"),
+        uni.alias("union_size"),
+        (
+            100 * F.abs(matches * uni - inter * 64) <= 35 * 64 * uni
+        ).alias("est_ok"),
+    ).orderBy("id_a")
+
+
+@register(
     "q_dup_clusters",
     """WITH RECURSIVE tok AS (
          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w

@@ -1347,3 +1347,49 @@ def q_sql_entry(spark, sf_dir):
                    max(ts) AS last_ts
             FROM {name} GROUP BY event_type"""
     )
+
+
+@register(
+    "q_pareto_frontier",
+    """WITH p AS (
+         SELECT p_partkey,
+                CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+                p_size
+         FROM part
+       )
+       SELECT p_partkey, price_cents, p_size
+       FROM p t
+       WHERE NOT EXISTS (
+         SELECT 1 FROM p u
+         WHERE u.price_cents <= t.price_cents AND u.p_size >= t.p_size
+           AND (u.price_cents < t.price_cents OR u.p_size > t.p_size)
+       )""",
+    "2-D Pareto frontier (skyline): parts not dominated on (minimize "
+    "price, maximize size) — the classic multi-objective shortlist "
+    "(cheapest-per-capability sweep). The ORACLE is the O(N^2) "
+    "NOT-EXISTS dominance SQL; the Spark plan is the O(N log N) sweep "
+    "that survives 100 TB: group to one (price, max_size) row per "
+    "distinct price (hash shuffle, domain-bounded output — cents prices, "
+    "not N rows), running max of size over the price-ordered staircase, "
+    "keep prices whose max_size strictly improves on every cheaper "
+    "price, then a broadcast join back picks the rows at (price, "
+    "max_size). A point is dominated iff a cheaper price reaches >= its "
+    "size (prefix max >= size) or an equal price exceeds it (group max "
+    "> size) — comparisons only, no float arithmetic. The staircase "
+    "window orders the price-distinct aggregate, not the fact table; at "
+    "cluster scale that is a range-partitioned sort + partition-offset "
+    "broadcast over a domain-bounded row count.",
+)
+def q_pareto_frontier(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.topk import (
+        pareto_frontier_2d,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    return pareto_frontier_2d(p, "price_cents", "p_size").orderBy(
+        "price_cents", "p_partkey"
+    )

@@ -946,3 +946,88 @@ def q_asof_tolerance(spark, sf_dir):
         tolerance_seconds=1800,
     )
     return out.select("event_id", "user_id", "ts", "rate")
+
+
+@register(
+    "q_ks_drift",
+    """WITH p AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                (event_id % 2 = 0) AS is_a
+         FROM events
+       ), g AS (
+         SELECT v,
+                CAST(count(*) FILTER (WHERE is_a) AS BIGINT) AS ca,
+                CAST(count(*) FILTER (WHERE NOT is_a) AS BIGINT) AS cb
+         FROM p GROUP BY v
+       ), c AS (
+         SELECT v,
+                CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+                CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+         FROM g
+       ), t AS (
+         SELECT CAST(count(*) FILTER (WHERE is_a) AS BIGINT) AS na,
+                CAST(count(*) FILTER (WHERE NOT is_a) AS BIGINT) AS nb
+         FROM p
+       ), dd AS (
+         SELECT c.v, abs(c.cuma * t.nb - c.cumb * t.na) AS dnum,
+                t.na, t.nb
+         FROM c, t
+       )
+       SELECT max(na) AS n_left, max(nb) AS n_right,
+              max(dnum) AS d_num,
+              min(v) FILTER (WHERE dnum = (SELECT max(dnum) FROM dd))
+                  AS d_at_cents
+       FROM dd""",
+    "Two-sample Kolmogorov-Smirnov drift monitor — the distribution-shift "
+    "gate a training-data pipeline runs between corpus snapshots / "
+    "producer cohorts (here: even vs odd event_id over exact cent "
+    "values). EXACT integer statistic: D = max |F_a - F_b| is computed as "
+    "max |cuma*nb - cumb*na| over the pooled distinct-value staircase — "
+    "the un-normalized numerator (divide by na*nb off-engine for the "
+    "classical D), so no float division drifts between engines; "
+    "d_at_cents is the smallest value attaining the max (total order). "
+    "Scale: one hash aggregate to per-distinct-value counts (domain-"
+    "bounded — cent values, not N rows), cumulative sums via an ordered "
+    "window over that staircase (same domain-bounded-sort rationale as "
+    "the Pareto sweep), totals joined in as a broadcast 1-row scalar, "
+    "final single-row max — no all-pairs work, nothing data-proportional "
+    "past the first aggregate.",
+)
+def q_ks_drift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        cents(F.col("value")).alias("v"),
+        (F.col("event_id") % 2 == 0).alias("is_a"),
+    )
+    g = ev.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "v",
+        F.sum("ca").over(w).cast("long").alias("cuma"),
+        F.sum("cb").over(w).cast("long").alias("cumb"),
+    )
+    tot = ev.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("nb"),
+    )
+    dd = c.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+        ).alias("dnum"),
+    )
+    s = dd.agg(
+        F.max("na").alias("n_left"),
+        F.max("nb").alias("n_right"),
+        F.max(F.struct(F.col("dnum"), (-F.col("v")).alias("nv"))).alias("s"),
+    )
+    return s.select(
+        "n_left",
+        "n_right",
+        F.col("s.dnum").alias("d_num"),
+        (-F.col("s.nv")).alias("d_at_cents"),
+    )

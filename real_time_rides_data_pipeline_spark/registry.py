@@ -61,11 +61,12 @@ def check_priority() -> tuple[str, ...]:
     this round from rows-only to value-checked oracles (sketch keys now
     emit the exact answer cross-checked against DuckDB plus a Spark-side
     error-bound attestation; q_frame_sample gained a full byte-math
-    oracle), (b2) the fourteen never-checked keys registered this round
-    (queries_ops.py — never-checked outranks stale greens), (c) the 24
+    oracle), (b2) the eighteen never-checked keys registered this round
+    (queries_ops.py plus the MinHash-attestation / Gopher-rules / RRF /
+    Pareto additions — never-checked outranks stale greens), (c) the 24
     r3-stale keys — after this window no key's latest check is older than
-    r4, (d) the r4-stale cohort in registration order (2+4+14+24 = 44 head
-    slots leave 6 of the 45 remaining; the rest roll to round 8). Keys
+    r4, (d) the r4-stale cohort in registration order (2+4+18+24 = 48 head
+    slots leave 2 of the 45 remaining; the rest roll to round 8). Keys
     not listed keep registration order afterwards."""
     return (
         # (a) re-fixed this round, must re-check green
@@ -73,12 +74,13 @@ def check_priority() -> tuple[str, ...]:
         # (b) rows-only → value-checked oracle upgrades (round 7)
         "q_approx_distinct", "q_approx_quantile", "q_hll_shard_merge",
         "q_frame_sample",
-        # (b2) new in round 7 (queries_ops.py), never driver-checked
+        # (b2) new in round 7, never driver-checked
         "q_join_full", "q_jaccard_join_exact", "q_time_weighted_avg",
         "q_compaction_plan", "q_observed_metrics", "q_python_udtf",
         "q_sql_params", "q_triangle_count", "q_winsorized_mean",
         "q_recursive_cte", "q_pipe_sql", "q_xml_parse", "q_curation_e2e",
-        "q_asof_tolerance",
+        "q_asof_tolerance", "q_minhash_est_jaccard", "q_gopher_rules",
+        "q_rrf_fusion", "q_pareto_frontier",
         # (c) latest driver check = round 3, registration order
         "q_percentile_disc", "q_window_range_frame", "q_ntile_first_last",
         "q_conditional_funcs", "q_bucketed_join", "q_tpch_q4", "q_tpch_q14",
@@ -86,9 +88,8 @@ def check_priority() -> tuple[str, ...]:
         "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13",
         "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
         "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-        # (d) latest driver check = round 4, registration order (first 6)
-        "q_malformed_filter", "q_struct_star", "q_derived_duration",
-        "q_rand_column", "q_validity_filter", "q_bool_enrich",
+        # (d) latest driver check = round 4, registration order (first 2)
+        "q_malformed_filter", "q_struct_star",
     )
 
 

@@ -651,3 +651,69 @@ def test_curation_e2e_two_data_shuffles_and_group_limit(spark):
     plan = _plan(spark, "q_curation_e2e")
     assert plan.count("Arguments: hashpartitioning") == 2, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_gopher_rules_narrow_map(spark):
+    """Every rule is a regex/array expression over the scan: no exchange,
+    no join, no Python."""
+    plan = _plan(spark, "q_gopher_rules")
+    assert "Arguments: hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_pareto_frontier_broadcasts_staircase(spark):
+    """The sweep must join the fact back against the (domain-bounded)
+    frontier staircase via BROADCAST — never a shuffled self-join or a
+    nested loop — and the only hash exchange is the per-price aggregate."""
+    plan = _plan(spark, "q_pareto_frontier")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_minhash_est_jaccard_no_allpairs(spark):
+    """The accuracy attestation joins consecutive doc ids — an equi-join,
+    never a cartesian/nested-loop pairing."""
+    plan = _plan(spark, "q_minhash_est_jaccard")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rrf_fusion_is_top_k(spark):
+    """The fused ranking ends in ORDER BY + LIMIT 50 — must plan as
+    TakeOrderedAndProject, not a global sort of the corpus."""
+    plan = _plan(spark, "q_rrf_fusion")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dup_spans_compact_aggregate_shuffles(spark):
+    """Span profiling shuffles only compact aggregates: the (span, doc)
+    partial count, the per-span window, the per-doc rollup, and the
+    doc-level join — never a cartesian pairing, never Python."""
+    plan = _plan(spark, "q_dup_spans")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_charlm_coverage_scoring_is_zero_shuffle(spark):
+    """The fit is collected at build time (bounded, 64 strings); the
+    SCORING plan the key returns must be a narrow map over the scan —
+    no hash shuffle (the only exchange is ensure_parallelism's
+    round-robin fan-out of the tiny fixture scan), no join, no Python."""
+    plan = _plan(spark, "q_charlm_coverage")
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_ks_drift_single_domain_shuffle_and_broadcast_totals(spark):
+    """One hash exchange (the per-cent-value aggregate); the 1-row totals
+    enter via broadcast; the ordered window runs over the domain-bounded
+    staircase, not the fact table."""
+    plan = _plan(spark, "q_ks_drift")
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -657,3 +657,36 @@ def test_degree_ordered_triangle_count_exact(spark, edges):
     closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     got = wedges.join(closing, ["x", "y"]).count()
     assert got == want, (sorted(und), got, want)
+
+
+@settings(**SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pareto_frontier_matches_brute_force(spark, pts):
+    """The O(N log N) staircase sweep must return exactly the rows the
+    O(N²) dominance definition keeps — including duplicate points (mutually
+    non-dominating) and ties on either axis. Small integer domains force
+    heavy collisions on both axes."""
+    from real_time_rides_data_pipeline_spark.operators.topk import (
+        pareto_frontier_2d,
+    )
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = sorted(
+        (r["id"], r["a"], r["b"])
+        for r in pareto_frontier_2d(df, "a", "b").collect()
+    )
+    want = sorted(
+        (i, a, b)
+        for i, a, b in rows
+        if not any(
+            ua <= a and ub >= b and (ua < a or ub > b) for _, ua, ub in rows
+        )
+    )
+    assert got == want
