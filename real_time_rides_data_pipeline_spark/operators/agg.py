@@ -87,3 +87,61 @@ def reaggregate_gold(df: DataFrame, key_col: str = "driver_id") -> DataFrame:
         )
         .orderBy(F.col("window_start").desc())
     )
+
+
+def ks_two_sample(
+    df: DataFrame, value_col: str, side_col: str
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic over an integer value
+    column, split by a boolean side column. Returns ONE row:
+    (n_left, n_right, d_num, d_at) with d_num = max over the pooled
+    distinct values v of |cum_left(v)*n_right - cum_right(v)*n_left| —
+    the un-normalized integer numerator (divide by n_left*n_right
+    off-engine for the classical D), so nothing floats; d_at is the
+    smallest value attaining the max (total order).
+
+    Scale: one hash aggregate to per-distinct-value counts (domain-
+    bounded), cumulative sums via an ordered window over that staircase
+    (single-partition by design — it orders the domain-bounded aggregate,
+    never the fact rows), totals broadcast as a 1-row scalar, final
+    single-row max. Property-tested against a brute-force ECDF sweep."""
+    from pyspark.sql import Window
+
+    v = df.select(
+        F.col(value_col).alias("__v"), F.col(side_col).alias("__a")
+    )
+    g = v.groupBy("__v").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "__v",
+        F.sum("ca").over(w).cast("long").alias("cuma"),
+        F.sum("cb").over(w).cast("long").alias("cumb"),
+    )
+    tot = v.agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long").alias("nb"),
+    )
+    dd = c.crossJoin(F.broadcast(tot)).select(
+        "__v",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+        ).alias("dnum"),
+    )
+    s = dd.agg(
+        F.max("na").alias("n_left"),
+        F.max("nb").alias("n_right"),
+        F.max(
+            F.struct(F.col("dnum"), (-F.col("__v")).alias("nv"))
+        ).alias("s"),
+    )
+    return s.select(
+        "n_left",
+        "n_right",
+        F.col("s.dnum").alias("d_num"),
+        (-F.col("s.nv")).alias("d_at"),
+    )

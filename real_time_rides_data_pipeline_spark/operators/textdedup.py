@@ -188,3 +188,59 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dup_span_profile(
+    df: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Span-level exact duplication profile (Lee et al. 2021 ExactSubstr at
+    fixed shingle grain): for every POSITIONAL n-token span (duplicates
+    within a doc kept — positions matter), a span is duplicated iff the
+    identical token sequence occurs in >= 2 distinct documents. Emits one
+    row per doc: (id, n_spans, n_dup_spans, flag_dup_heavy) where the
+    >=20% flag is integer cross-multiplication (5*n_dup >= n_spans).
+
+    Scale: spans are scan-side array lambdas; then three compact-aggregate
+    shuffles — (span, id) partial count, a per-span window OVER THAT
+    AGGREGATE (never the raw positions), per-doc rollup — plus the
+    doc-level equi-join. At 100 TB the span strings would be
+    xxhash64-compressed to 8-byte shuffle keys (identical plan shape);
+    raw strings keep the DuckDB oracle exact. Property-tested against the
+    brute-force positional definition."""
+    from pyspark.sql import Window
+
+    w = tokens(F.col(text_col))
+    spans = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.try_element_at(w, (i + k + 1).cast("int"))
+                  for k in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), spans.alias("__sp"))
+    ex = base.select(id_col, F.explode("__sp").alias("__span"))
+    g = ex.groupBy("__span", id_col).agg(F.count("*").alias("__pos"))
+    g2 = g.withColumn(
+        "__ndocs", F.count("*").over(Window.partitionBy("__span"))
+    )
+    dup = g2.groupBy(id_col).agg(
+        F.sum(F.when(F.col("__ndocs") >= 2, F.col("__pos")).otherwise(0))
+        .cast("long")
+        .alias("__ndup")
+    )
+    per_doc = base.select(
+        id_col, F.size("__sp").cast("long").alias("n_spans")
+    )
+    return per_doc.join(dup, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("__ndup", F.lit(0)).cast("long").alias("n_dup_spans"),
+        (
+            (F.col("n_spans") > 0)
+            & (5 * F.coalesce("__ndup", F.lit(0)) >= F.col("n_spans"))
+        ).alias("flag_dup_heavy"),
+    )

@@ -1134,41 +1134,12 @@ def q_rrf_fusion(spark, sf_dir):
     "the raw-string grouping here keeps the oracle exact.",
 )
 def q_dup_spans(spark, sf_dir):
-    n = 8
+    from real_time_rides_data_pipeline_spark.operators.textdedup import (
+        dup_span_profile,
+    )
+
     d = _t(spark, sf_dir, "documents", parallel=True)
-    w = X.tokens(F.col("text"))
-    spans = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.try_element_at(w, (i + k + 1).cast("int"))
-                  for k in range(n)],
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = d.select("doc_id", spans.alias("sp"))
-    ex = base.select("doc_id", F.explode("sp").alias("span"))
-    g = ex.groupBy("span", "doc_id").agg(F.count("*").alias("pos"))
-    g2 = g.withColumn("ndocs", F.count("*").over(Window.partitionBy("span")))
-    dup = g2.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("ndocs") >= 2, F.col("pos")).otherwise(0))
-        .cast("long")
-        .alias("n_dup")
-    )
-    per_doc = base.select(
-        "doc_id", F.size("sp").cast("long").alias("n_spans")
-    )
-    return per_doc.join(dup, "doc_id", "left").select(
-        "doc_id",
-        "n_spans",
-        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
-        (
-            (F.col("n_spans") > 0)
-            & (5 * F.coalesce("n_dup", F.lit(0)) >= F.col("n_spans"))
-        ).alias("flag_dup_heavy"),
-    )
+    return dup_span_profile(d, n=8)
 
 
 _BIGRAM_VOCAB_CACHE: dict[tuple[str, int], list[str]] = {}

@@ -994,40 +994,14 @@ def q_asof_tolerance(spark, sf_dir):
     "past the first aggregate.",
 )
 def q_ks_drift(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.agg import (
+        ks_two_sample,
+    )
+
     ev = _t(spark, sf_dir, "events").select(
         cents(F.col("value")).alias("v"),
         (F.col("event_id") % 2 == 0).alias("is_a"),
     )
-    g = ev.groupBy("v").agg(
-        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("ca"),
-        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("cb"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    c = g.select(
-        "v",
-        F.sum("ca").over(w).cast("long").alias("cuma"),
-        F.sum("cb").over(w).cast("long").alias("cumb"),
-    )
-    tot = ev.agg(
-        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na"),
-        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("nb"),
-    )
-    dd = c.crossJoin(F.broadcast(tot)).select(
-        "v",
-        "na",
-        "nb",
-        F.abs(
-            F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
-        ).alias("dnum"),
-    )
-    s = dd.agg(
-        F.max("na").alias("n_left"),
-        F.max("nb").alias("n_right"),
-        F.max(F.struct(F.col("dnum"), (-F.col("v")).alias("nv"))).alias("s"),
-    )
-    return s.select(
-        "n_left",
-        "n_right",
-        F.col("s.dnum").alias("d_num"),
-        (-F.col("s.nv")).alias("d_at_cents"),
+    return ks_two_sample(ev, "v", "is_a").withColumnRenamed(
+        "d_at", "d_at_cents"
     )

@@ -61,13 +61,15 @@ def check_priority() -> tuple[str, ...]:
     this round from rows-only to value-checked oracles (sketch keys now
     emit the exact answer cross-checked against DuckDB plus a Spark-side
     error-bound attestation; q_frame_sample gained a full byte-math
-    oracle), (b2) the eighteen never-checked keys registered this round
+    oracle), (b2) the twenty never-checked keys registered this round
     (queries_ops.py plus the MinHash-attestation / Gopher-rules / RRF /
-    Pareto additions — never-checked outranks stale greens), (c) the 24
-    r3-stale keys — after this window no key's latest check is older than
-    r4, (d) the r4-stale cohort in registration order (2+4+18+24 = 48 head
-    slots leave 2 of the 45 remaining; the rest roll to round 8). Keys
-    not listed keep registration order afterwards."""
+    Pareto / span-dedup / KS-drift additions — never-checked outranks
+    stale greens), (c) the 24 r3-stale keys — after this window no key's
+    latest check is older than r4 (2+4+20+24 = 50 head slots exactly),
+    (e) the 21st never-checked key (q_charlm_coverage, locally
+    oracle-green) plus the r4-stale cohort roll to round 8 as the first
+    entries past the window. Keys not listed keep registration order
+    afterwards."""
     return (
         # (a) re-fixed this round, must re-check green
         "q_decimal_money", "q_bloom_decontaminate",
@@ -80,7 +82,7 @@ def check_priority() -> tuple[str, ...]:
         "q_sql_params", "q_triangle_count", "q_winsorized_mean",
         "q_recursive_cte", "q_pipe_sql", "q_xml_parse", "q_curation_e2e",
         "q_asof_tolerance", "q_minhash_est_jaccard", "q_gopher_rules",
-        "q_rrf_fusion", "q_pareto_frontier",
+        "q_rrf_fusion", "q_pareto_frontier", "q_dup_spans", "q_ks_drift",
         # (c) latest driver check = round 3, registration order
         "q_percentile_disc", "q_window_range_frame", "q_ntile_first_last",
         "q_conditional_funcs", "q_bucketed_join", "q_tpch_q4", "q_tpch_q14",
@@ -88,8 +90,8 @@ def check_priority() -> tuple[str, ...]:
         "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13",
         "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
         "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-        # (d) latest driver check = round 4, registration order (first 2)
-        "q_malformed_filter", "q_struct_star",
+        # (e) first past the 50-key window — rolls to round 8
+        "q_charlm_coverage", "q_malformed_filter", "q_struct_star",
     )
 
 

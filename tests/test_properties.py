@@ -690,3 +690,81 @@ def test_pareto_frontier_matches_brute_force(spark, pts):
         )
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dup_span_profile_matches_brute_force(spark, docs):
+    """The compact-aggregate span profile must equal the positional
+    brute-force definition: a span position is duplicated iff its n-token
+    sequence occurs in >= 2 distinct docs. A 3-letter alphabet at n=2
+    forces heavy cross-doc and within-doc span collisions; docs shorter
+    than n must profile as (0, 0, false)."""
+    from real_time_rides_data_pipeline_spark.operators.textdedup import (
+        dup_span_profile,
+    )
+
+    n = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["flag_dup_heavy"])
+        for r in dup_span_profile(df, n=n).collect()
+    }
+    spans = {
+        i: [tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        for i, toks in enumerate(docs)
+    }
+    owners = {}
+    for i, sp in spans.items():
+        for s in sp:
+            owners.setdefault(s, set()).add(i)
+    want = {}
+    for i, sp in spans.items():
+        ndup = sum(1 for s in sp if len(owners[s]) >= 2)
+        want[i] = (len(sp), ndup, len(sp) > 0 and 5 * ndup >= len(sp))
+    assert got == want, (docs, got, want)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-5, 5), st.booleans()),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_ks_two_sample_matches_brute_force(spark, vals):
+    """The staircase KS numerator must equal the brute-force ECDF sweep:
+    D_num = max over pooled distinct v of |cum_a(v)*n_b - cum_b(v)*n_a|,
+    d_at the smallest v attaining it. Small integer domains force ties
+    across and within sides; one-sided inputs (n_a or n_b = 0) must
+    still return a well-defined row."""
+    from real_time_rides_data_pipeline_spark.operators.agg import (
+        ks_two_sample,
+    )
+
+    df = spark.createDataFrame(vals, "v long, is_a boolean")
+    r = ks_two_sample(df, "v", "is_a").collect()[0]
+    a = sorted(v for v, s in vals if s)
+    b = sorted(v for v, s in vals if not s)
+    na, nb = len(a), len(b)
+    best, best_at = -1, None
+    for v in sorted({v for v, _ in vals}):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        d = abs(ca * nb - cb * na)
+        if d > best:
+            best, best_at = d, v
+    assert (r["n_left"], r["n_right"], r["d_num"], r["d_at"]) == (
+        na,
+        nb,
+        best,
+        best_at,
+    ), (vals, dict(r.asDict()))
