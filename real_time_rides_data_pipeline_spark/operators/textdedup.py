@@ -200,29 +200,37 @@ def dup_span_profile(
     row per doc: (id, n_spans, n_dup_spans, flag_dup_heavy) where the
     >=20% flag is integer cross-multiplication (5*n_dup >= n_spans).
 
-    Scale: spans are scan-side array lambdas; then three compact-aggregate
-    shuffles — (span, id) partial count, a per-span window OVER THAT
-    AGGREGATE (never the raw positions), per-doc rollup — plus the
-    doc-level equi-join. At 100 TB the span strings would be
+    Span generation EXPLODES POSITIONS, not a prebuilt span array:
+    ``explode(sequence(1, len-n+1))`` then one slice+join per generated
+    row, with the token array riding through the Generate as a
+    pass-through column. Building the full span array under the generator
+    instead re-evaluates the O(len·n) construction per emitted row —
+    measured 8x slower at sf0.1 (37.6s -> ~6s end-to-end). The sequence
+    is guarded empty for docs shorter than n because Spark's
+    ``sequence(1, 0)`` counts DOWN ([1, 0]) rather than yielding an empty
+    array — an unguarded short doc would emit a slice at position 0 and
+    crash under ANSI.
+
+    Scale: the explode carries (id, token-array, position) — no
+    materialization of span text until the per-row projection; then three
+    compact-aggregate shuffles — (span, id) partial count, a per-span
+    window OVER THAT AGGREGATE (never the raw positions), per-doc rollup
+    — plus the doc-level equi-join. At 100 TB the span strings would be
     xxhash64-compressed to 8-byte shuffle keys (identical plan shape);
     raw strings keep the DuckDB oracle exact. Property-tested against the
     brute-force positional definition."""
     from pyspark.sql import Window
 
-    w = tokens(F.col(text_col))
-    spans = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.try_element_at(w, (i + k + 1).cast("int"))
-                  for k in range(n)],
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = df.select(F.col(id_col), spans.alias("__sp"))
-    ex = base.select(id_col, F.explode("__sp").alias("__span"))
+    tk = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+    positions = F.when(
+        F.size("__w") >= n, F.sequence(F.lit(1), F.size("__w") - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    ex = tk.select(
+        id_col, "__w", F.explode(positions).alias("__i")
+    ).select(
+        id_col,
+        F.array_join(F.slice("__w", F.col("__i"), n), " ").alias("__span"),
+    )
     g = ex.groupBy("__span", id_col).agg(F.count("*").alias("__pos"))
     g2 = g.withColumn(
         "__ndocs", F.count("*").over(Window.partitionBy("__span"))
@@ -232,8 +240,11 @@ def dup_span_profile(
         .cast("long")
         .alias("__ndup")
     )
-    per_doc = base.select(
-        id_col, F.size("__sp").cast("long").alias("n_spans")
+    per_doc = tk.select(
+        id_col,
+        F.greatest(F.size("__w") - n + 1, F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
     )
     return per_doc.join(dup, id_col, "left").select(
         id_col,

@@ -1235,3 +1235,115 @@ def q_charlm_coverage(spark, sf_dir):
             ),
         )
     )
+
+
+# =========================================================================
+# URL canonicalization + per-URL dedup (web-corpus curation stage 1)
+# =========================================================================
+
+
+@register(
+    "q_url_canon_dedup",
+    """WITH u AS (
+         SELECT doc_id,
+                doc_id // 4 AS base_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'https://src' || (doc_id // 4) % 20
+                           || '.example.com/p/' || doc_id // 4
+                  WHEN 1 THEN 'HTTPS://SRC' || (doc_id // 4) % 20
+                           || '.EXAMPLE.COM:443/p/' || doc_id // 4
+                  WHEN 2 THEN 'https://src' || (doc_id // 4) % 20
+                           || '.example.com/p/' || doc_id // 4
+                           || '?utm_source=feed&utm_campaign=c1#frag'
+                  ELSE 'Https://src' || (doc_id // 4) % 20
+                           || '.example.com:443/p/' || doc_id // 4 || '/'
+                END AS url
+         FROM documents
+       ), c AS (
+         SELECT doc_id, base_id,
+                regexp_replace(
+                  lower(regexp_extract(u4, '^([^/]+://[^/]+)', 1))
+                    || regexp_extract(u4, '^[^/]+://[^/]+(.*)$', 1),
+                  '([^/])/$', '\\1') AS canon_url
+         FROM (
+           SELECT doc_id, base_id,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(url, '#.*$', ''),
+                        '[?&](utm_[A-Za-z]*|fbclid)=[^&#]*', '', 'g'),
+                      '\\?$', ''),
+                    ':(443|80)/', '/') AS u4
+           FROM u)
+       )
+       SELECT canon_url,
+              CAST(count(*) AS BIGINT) AS n_variants,
+              min(doc_id) AS keeper_doc_id
+       FROM c GROUP BY canon_url""",
+    "URL canonicalization + per-URL dedup — the first stage of every "
+    "web-corpus pipeline (CommonCrawl WARC dedup keys on canonical URL "
+    "before any content hashing): lowercase scheme+host, strip default "
+    "ports (:80/:443), drop tracking params (utm_*/fbclid) and fragments, "
+    "strip the trailing slash, then keep ONE doc per canonical URL "
+    "(min doc_id) with the variant count. The fixture has no real URLs, "
+    "so four deterministic mess classes (canonical / SHOUTING host + "
+    "default port / tracking params + fragment / mixed-case scheme + "
+    "trailing slash) are synthesized per doc_id group of 4 and must "
+    "collapse 4->1. Pure regex/concat narrow map + ONE hash aggregate on "
+    "the canonical key — the same shape at any corpus size; the param "
+    "surgery is deliberately the simple global-regex form (the synthetic "
+    "URLs carry only tracking params; production keeps an allowlist "
+    "parser).",
+)
+def q_url_canon_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    base = F.expr("doc_id div 4")
+    host_n = (base % 20).cast("string")
+    b = base.cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://src"), host_n,
+                     F.lit(".example.com/p/"), b),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("HTTPS://SRC"), host_n,
+                     F.lit(".EXAMPLE.COM:443/p/"), b),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://src"), host_n,
+                     F.lit(".example.com/p/"), b,
+                     F.lit("?utm_source=feed&utm_campaign=c1#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("Https://src"), host_n,
+                     F.lit(".example.com:443/p/"), b, F.lit("/")),
+        )
+    )
+    u4 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(url, r"#.*$", ""),
+                r"[?&](utm_[A-Za-z]*|fbclid)=[^&#]*", "",
+            ),
+            r"\?$", "",
+        ),
+        r":(443|80)/", "/",
+    )
+    canon = F.regexp_replace(
+        F.concat(
+            F.lower(F.regexp_extract(u4, r"^([^/]+://[^/]+)", 1)),
+            F.regexp_extract(u4, r"^[^/]+://[^/]+(.*)$", 1),
+        ),
+        r"([^/])/$", r"$1",
+    )
+    return (
+        d.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )

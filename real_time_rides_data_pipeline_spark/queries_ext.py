@@ -452,6 +452,56 @@ def q_embed_neardup(spark, sf_dir):
 
 
 @register(
+    "q_semdedup",
+    f"""WITH RECURSIVE edges AS (
+         SELECT a.vec_id AS src, b.vec_id AS dst
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE floor(({_COSINE_SQL.format(q="b.embedding")}) * 1000000)
+               / 1000000.0 >= 0.4
+       ), sym AS (
+         SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+       ), walk(id, lbl) AS (
+         SELECT vec_id, vec_id FROM embeddings
+         UNION
+         SELECT sym.dst, walk.lbl FROM walk JOIN sym ON sym.src = walk.id
+       )
+       SELECT id AS vec_id, min(lbl) AS group_rep,
+              (id = min(lbl)) AS keep
+       FROM walk GROUP BY id""",
+    "SemDeDup (Abbas et al. 2023): semantic dedup over embeddings — group "
+    "vectors whose cosine similarity exceeds the threshold, keep ONE "
+    "representative per group (the smallest vec_id — deterministic), drop "
+    "the rest. Composes three already-proven exact operators: the "
+    "angular-cluster-pruned cosine pair join (provably identical to "
+    "all-pairs, q_embed_neardup), large-star/small-star connected "
+    "components over the pair graph (q_dup_clusters), and the keep-min "
+    "rule. The paper prunes pairs within k-means cells only (recall<1 "
+    "across cell borders); the spherical-triangle block pruning here is "
+    "globally exact, so the oracle is the O(N^2) pair join + recursive-"
+    "CTE reachability. Scale: no nested loop anywhere — pruned equi-join "
+    "blocks + O(log d) CC rounds.",
+)
+def q_semdedup(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings", parallel=True)
+    cents = _fitted_centroids(emb, sf_dir)
+    pairs = SIM.cluster_pruned_pairs_above(emb, cents, 0.4).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(
+        emb.select(F.col("vec_id").alias("id")), pairs
+    )
+    return cc.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("group_rep"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
+
+
+@register(
     "q_ann_ivf",
     None,  # recall<1 by construction; centroid assignment is engine-internal
     "IVF ANN: 8 centroids from a seeded sampled spherical k-means fit "

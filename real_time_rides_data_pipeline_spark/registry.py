@@ -66,10 +66,10 @@ def check_priority() -> tuple[str, ...]:
     Pareto / span-dedup / KS-drift additions — never-checked outranks
     stale greens), (c) the 24 r3-stale keys — after this window no key's
     latest check is older than r4 (2+4+20+24 = 50 head slots exactly),
-    (e) the 21st never-checked key (q_charlm_coverage, locally
-    oracle-green) plus the r4-stale cohort roll to round 8 as the first
-    entries past the window. Keys not listed keep registration order
-    afterwards."""
+    (e) the never-checked keys past the window (q_charlm_coverage,
+    q_semdedup, q_url_canon_dedup — all locally oracle-green) plus the
+    r4-stale cohort roll to round 8 as the first entries past it. Keys
+    not listed keep registration order afterwards."""
     return (
         # (a) re-fixed this round, must re-check green
         "q_decimal_money", "q_bloom_decontaminate",
@@ -91,7 +91,8 @@ def check_priority() -> tuple[str, ...]:
         "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
         "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
         # (e) first past the 50-key window — rolls to round 8
-        "q_charlm_coverage", "q_malformed_filter", "q_struct_star",
+        "q_charlm_coverage", "q_semdedup", "q_url_canon_dedup",
+        "q_malformed_filter", "q_struct_star",
     )
 
 

@@ -717,3 +717,20 @@ def test_ks_drift_single_domain_shuffle_and_broadcast_totals(spark):
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_no_allpairs(spark):
+    """SemDeDup composes the pruned pair join + star CC: no cartesian
+    product and no broadcast nested loop anywhere in the composed plan."""
+    plan = _plan(spark, "q_semdedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_url_canon_dedup_single_aggregate(spark):
+    """Canonicalization is a narrow regex map; the dedup is exactly ONE
+    hash aggregate on the canonical key — no join, no window, no Python."""
+    plan = _plan(spark, "q_url_canon_dedup")
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
