@@ -1393,3 +1393,143 @@ def q_pareto_frontier(spark, sf_dir):
     return pareto_frontier_2d(p, "price_cents", "p_size").orderBy(
         "price_cents", "p_partkey"
     )
+
+
+@register(
+    "q_event_transitions",
+    """WITH t AS (
+         SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS to_type
+         FROM events
+       )
+       SELECT from_type, to_type,
+              CAST(count(*) AS BIGINT) AS n_transitions
+       FROM t WHERE to_type IS NOT NULL
+       GROUP BY from_type, to_type""",
+    "Event-transition matrix (Markov-chain sequence analytics — the "
+    "first-order behavior model behind next-action prediction and "
+    "funnel-drop diagnosis): per user, order events by (ts, event_id) — "
+    "a total order, ties broken exactly — pair each event with its "
+    "successor via lead(), count every (from, to) transition corpus-wide. "
+    "Scale: ONE hash shuffle on user_id for the window (per-user "
+    "sequences sort within partitions), then a partial-first aggregate "
+    "onto the tiny |event_types|^2 transition matrix — the fact table "
+    "crosses the wire once.",
+)
+def q_event_transitions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+
+
+@register(
+    "q_gapfill_interp",
+    """WITH hr AS (
+         SELECT date_trunc('hour', ts) AS hour_ts,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS total_cents
+         FROM events
+         WHERE event_type = 'purchase' AND value >= 300.0
+         GROUP BY 1
+       ), b AS (
+         SELECT date_trunc('hour', min(ts)) AS mn,
+                date_trunc('hour', max(ts)) AS mx
+         FROM events
+       ), spine AS (
+         SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+         FROM b
+       ), f AS (
+         SELECT s.hour_ts,
+                epoch_us(s.hour_ts) // 3600000000 AS h,
+                hr.total_cents
+         FROM spine s LEFT JOIN hr USING (hour_ts)
+       ), wnd AS (
+         SELECT hour_ts, h, total_cents,
+                last_value(total_cents IGNORE NULLS) OVER
+                  (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS pv,
+                last_value(CASE WHEN total_cents IS NOT NULL THEN h END
+                           IGNORE NULLS) OVER
+                  (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS ph,
+                first_value(total_cents IGNORE NULLS) OVER
+                  (ORDER BY h ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN total_cents IS NOT NULL THEN h END
+                            IGNORE NULLS) OVER
+                  (ORDER BY h ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING) AS nh
+         FROM f
+       )
+       SELECT hour_ts,
+              (total_cents IS NOT NULL) AS is_observed,
+              CASE WHEN pv IS NULL OR nv IS NULL THEN NULL
+                   WHEN ph = nh THEN pv
+                   ELSE (pv * (nh - h) + nv * (h - ph)) // (nh - ph)
+              END AS interp_cents
+       FROM wnd""",
+    "LINEAR-interpolation gap filling (TimescaleDB interpolate() / pandas "
+    "interpolate('time') semantics — the step past q_gapfill_spine's "
+    "zero-fill): missing hours get the time-weighted line between the "
+    "nearest observed neighbors, computed ENTIRELY in integers — hours "
+    "as epoch-hour ordinals, values as cents, the interpolant "
+    "(pv*(nh-h) + nv*(h-ph)) div (nh-ph) floor-divided so no float "
+    "crosses an engine boundary; observed hours reproduce themselves "
+    "(ph=nh collapses the formula), edges before the first / after the "
+    "last observation stay NULL. Scale: same as the spine key — raw "
+    "data crosses the wire once into the hour-grain aggregate; the "
+    "neighbor windows run over the domain-bounded spine (~9k rows/year "
+    "regardless of TB), broadcast join against the aggregate.",
+)
+def q_gapfill_interp(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") >= 300.0)
+        )
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.sum(cents(F.col("value"))).alias("total_cents"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    f = spine.join(F.broadcast(hourly), "hour_ts", "left").select(
+        "hour_ts",
+        F.expr("unix_micros(hour_ts) div 3600000000").alias("h"),
+        "total_cents",
+    )
+    obs_h = F.when(F.col("total_cents").isNotNull(), F.col("h"))
+    wp = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    wnd = f.select(
+        "hour_ts",
+        "h",
+        "total_cents",
+        F.last("total_cents", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("total_cents", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    return wnd.select(
+        "hour_ts",
+        F.col("total_cents").isNotNull().alias("is_observed"),
+        F.when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .when(F.col("ph") == F.col("nh"), F.col("pv"))
+        .otherwise(F.expr("(pv * (nh - h) + nv * (h - ph)) div (nh - ph)"))
+        .alias("interp_cents"),
+    )

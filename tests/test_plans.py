@@ -734,3 +734,22 @@ def test_url_canon_dedup_single_aggregate(spark):
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_event_transitions_two_compact_shuffles(spark):
+    """The fact table shuffles once for the per-user window; the final
+    aggregate exchanges only the tiny transition matrix (partial-first)."""
+    plan = _plan(spark, "q_event_transitions")
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+    assert "partial_" in plan, plan
+
+
+def test_gapfill_interp_broadcasts_hourly_aggregate(spark):
+    """Raw events cross the wire once (the hourly aggregate); the spine
+    join must broadcast the aggregate, and the neighbor windows run over
+    the domain-bounded spine — only one hash exchange in the plan."""
+    plan = _plan(spark, "q_gapfill_interp")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
