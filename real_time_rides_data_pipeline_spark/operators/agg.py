@@ -103,7 +103,8 @@ def ks_two_sample(
     Scale: one hash aggregate to per-distinct-value counts (domain-
     bounded), cumulative sums via an ordered window over that staircase
     (single-partition by design — it orders the domain-bounded aggregate,
-    never the fact rows), totals broadcast as a 1-row scalar, final
+    never the fact rows), side totals as the full-frame max of the
+    nondecreasing cumulative sums (same sort, no scalar join), final
     single-row max. Property-tested against a brute-force ECDF sweep."""
     from pyspark.sql import Window
 
@@ -115,16 +116,25 @@ def ks_two_sample(
         F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long").alias("cb"),
     )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    # Totals are the FULL-frame max of the nondecreasing cumulative sums —
+    # same sort, same (empty) partitioning, so both window frames ride one
+    # WindowExec over the domain-bounded staircase: no second scan of the
+    # fact rows, no scalar join branch at all.
+    wt = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     c = g.select(
         "__v",
         F.sum("ca").over(w).cast("long").alias("cuma"),
         F.sum("cb").over(w).cast("long").alias("cumb"),
     )
-    tot = v.agg(
-        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("na"),
-        F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long").alias("nb"),
-    )
-    dd = c.crossJoin(F.broadcast(tot)).select(
+    dd = c.select(
+        "__v",
+        F.max("cuma").over(wt).alias("na"),
+        F.max("cumb").over(wt).alias("nb"),
+        F.col("cuma"),
+        F.col("cumb"),
+    ).select(
         "__v",
         "na",
         "nb",

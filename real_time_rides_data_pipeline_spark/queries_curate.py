@@ -1273,7 +1273,7 @@ def q_charlm_coverage(spark, sf_dir):
                         regexp_replace(url, '#.*$', ''),
                         '[?&](utm_[A-Za-z]*|fbclid)=[^&#]*', '', 'g'),
                       '\\?$', ''),
-                    ':(443|80)/', '/') AS u4
+                    ':(443|80)/', '/', 'g') AS u4
            FROM u)
        )
        SELECT canon_url,

@@ -989,7 +989,8 @@ def q_asof_tolerance(spark, sf_dir):
     "Scale: one hash aggregate to per-distinct-value counts (domain-"
     "bounded — cent values, not N rows), cumulative sums via an ordered "
     "window over that staircase (same domain-bounded-sort rationale as "
-    "the Pareto sweep), totals joined in as a broadcast 1-row scalar, "
+    "the Pareto sweep), side totals as the full-frame max of the "
+    "nondecreasing cumulative sums on the same sort (no scalar join), "
     "final single-row max — no all-pairs work, nothing data-proportional "
     "past the first aggregate.",
 )

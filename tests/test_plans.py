@@ -709,13 +709,13 @@ def test_charlm_coverage_scoring_is_zero_shuffle(spark):
     assert "Python" not in plan, plan
 
 
-def test_ks_drift_single_domain_shuffle_and_broadcast_totals(spark):
-    """One hash exchange (the per-cent-value aggregate); the 1-row totals
-    enter via broadcast; the ordered window runs over the domain-bounded
-    staircase, not the fact table."""
+def test_ks_drift_single_domain_shuffle_no_join(spark):
+    """One hash exchange (the per-cent-value aggregate); the cumulative
+    and full-frame total windows both run over the domain-bounded
+    staircase on the same sort — no join branch anywhere in the plan."""
     plan = _plan(spark, "q_ks_drift")
     assert plan.count("Arguments: hashpartitioning") == 1, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
