@@ -1,0 +1,148 @@
+"""Scale-slope probe: empirical evidence for the 100 TB design claims.
+
+Replicates the sf0.1 fixtures 8x and 64x into /tmp (key-offset copies, so
+group cardinalities grow with the data instead of collapsing onto the same
+keys) and times a representative key set at each factor. A design that
+"survives 100x" must show ~linear wall-clock in the replication factor
+once past fixed overhead; anything superlinear at 64x is a scale bug the
+sf0.1 bench cannot see.
+
+Replication semantics (chosen so each operator's work grows honestly):
+- events: event_id offset per replica, user_id offset per replica (group
+  count grows linearly -> window/agg state grows), ts shifted +r hours
+  (the hourly-agg group count grows), value untouched.
+- lineitem: l_orderkey offset per replica (join/agg keys grow), everything
+  else untouched.
+- documents: doc_id offset per replica, text suffixed with a replica token
+  (replicas stay NEAR-duplicates — realistic heavy-dup corpus — while
+  exact-dedup groups and span vocabulary still grow).
+
+Usage: python scripts/scale_probe.py [factors...]   (default: 1 8 64)
+Prints one JSON line per (factor, key) and a final summary with the
+64x/8x slope ratio per key (1.0 = perfectly linear, values >> 8 suggest
+superlinear blowup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/scale_probe"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+KEYS = [
+    "q_window_hourly_agg",   # streaming-twin hourly aggregate (events)
+    "q_tpch_q1",             # wide scan + partial-first agg (lineitem)
+    "q_exact_dedup",         # hash-shuffle keep-first dedup (documents)
+    "q_dup_spans",           # span-profile: explode + 3 compact aggs
+    "q_ks_drift",            # domain-bounded staircase (events)
+    "q_event_transitions",   # per-user window + matrix agg (events)
+]
+
+
+def _replicate(spark, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = f"{WORK}/f{factor}"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    from real_time_rides_data_pipeline_spark.sources import load_fixture
+
+    for t in TABLES:
+        if t not in ("events", "lineitem", "documents") or factor == 1:
+            # untouched dims: link, don't copy
+            os.symlink(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+            continue
+        df = load_fixture(spark, t, SRC)
+        r = (
+            spark.range(factor)
+            .withColumnRenamed("id", "__r")
+            .hint("broadcast")
+        )
+        x = df.crossJoin(r)
+        if t == "events":
+            x = x.select(
+                (F.col("event_id") + F.col("__r") * 10_000_000).alias(
+                    "event_id"
+                ),
+                (F.col("ts") + F.make_interval(hours=F.col("__r"))).alias(
+                    "ts"
+                ),
+                (F.col("user_id") + F.col("__r") * 1_000_000).alias(
+                    "user_id"
+                ),
+                "event_type", "value", "props",
+            )
+        elif t == "lineitem":
+            x = x.select(
+                (F.col("l_orderkey") + F.col("__r") * 100_000_000).alias(
+                    "l_orderkey"
+                ),
+                *[c for c in df.columns if c != "l_orderkey"],
+            )
+        else:  # documents
+            x = x.select(
+                (F.col("doc_id") + F.col("__r") * 100_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" r"), F.col("__r").cast("string")
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        x.coalesce(max(1, factor // 4)).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    return out
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 8, 64]
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from real_time_rides_data_pipeline_spark.registry import registry
+    from real_time_rides_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    reg = registry()
+    results: dict[str, dict[int, float]] = {k: {} for k in KEYS}
+    for factor in factors:
+        sf_dir = _replicate(spark, factor)
+        for key in KEYS:
+            best = None
+            for _ in range(2):  # min-of-2, noop sink — bench.py protocol.
+                # NOT .count(): Catalyst eliminates a unique-key left join
+                # (and its whole subtree) under count(), which silently
+                # un-measures e.g. q_dup_spans' aggregate branch.
+                t0 = time.time()
+                df = reg[key].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results[key][factor] = round(best, 3)
+            print(json.dumps(
+                {"factor": factor, "key": key, "sec": round(best, 3)}
+            ), flush=True)
+    if len(factors) >= 3:
+        lo, mid, hi = factors[0], factors[-2], factors[-1]
+        summary = {
+            k: {
+                "slope_ratio": round(
+                    (v[hi] / v[mid]) / (hi / mid), 2
+                ) if v.get(mid) and v.get(hi) else None,
+                **{f"f{f}": v.get(f) for f in factors},
+            }
+            for k, v in results.items()
+        }
+        print(json.dumps({"summary": summary}, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    if os.environ.get("SCALE_PROBE_CLEAN"):
+        shutil.rmtree(WORK, ignore_errors=True)
+    main()
