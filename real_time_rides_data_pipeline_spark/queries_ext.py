@@ -445,8 +445,15 @@ def q_embed_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings", parallel=True)
     # Centroids from the seeded sampled k-means fit (same as q_ann_ivf).
     # Output is provably centroid-INDEPENDENT (the pruning bound is sound
-    # for any centroids; tests pin equality with brute force) — better
-    # centroids only tighten the pruning, i.e. fewer candidate blocks.
+    # for any centroids; tests pin equality with brute force). K stays
+    # FIXED at 8: the round-7 scale probe measured the adaptive
+    # K ~ sqrt(N) alternative and it LOST on the near-uniform fixture
+    # (more centroids shrink inter-centroid angles faster than uniform
+    # radii shrink -> LESS pruning, sf0.1 4.8 s -> 18.6 s) while the
+    # heavy-dup replicated corpus stayed pair-output-bound either way —
+    # the scaling answer there is exact-dedup-first pipeline ordering
+    # (q_curation_e2e), not K tuning. Full analysis: BASELINE.md
+    # round-7 dedup-family probe.
     cents = _fitted_centroids(emb, sf_dir)
     return SIM.cluster_pruned_pairs_above(emb, cents, 0.4)
 
