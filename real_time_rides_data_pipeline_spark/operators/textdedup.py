@@ -190,6 +190,73 @@ def simhash_near_duplicates(
     )
 
 
+def _span_positions(df, n, id_col, text_col):
+    """Shared positional n-token span generator: returns (tokenized frame,
+    exploded (id, __span) positions). Explodes POSITIONS with the token
+    array as a pass-through column — see ``dup_span_profile`` for why the
+    prebuilt-array alternative is 8x slower and why the empty-sequence
+    guard is load-bearing (``sequence(1, 0)`` counts DOWN)."""
+    tk = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+    positions = F.when(
+        F.size("__w") >= n, F.sequence(F.lit(1), F.size("__w") - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    ex = tk.select(
+        id_col, "__w", F.explode(positions).alias("__i")
+    ).select(
+        id_col,
+        F.array_join(F.slice("__w", F.col("__i"), n), " ").alias("__span"),
+    )
+    return tk, ex
+
+
+def span_novelty_profile(
+    df, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Span-level NOVELTY profile — the first-occurrence complement of
+    ``dup_span_profile`` for ingestion-ordered corpora (growing-corpus
+    curation: how much of an incoming doc is new text vs already-ingested
+    spans): a span position in doc d is NOVEL iff no doc with a smaller
+    ``id_col`` contains the same n-token sequence (the minimum-id owner of
+    each span keeps ALL its positions of it, including within-doc
+    repeats). Emits (id, n_spans, n_novel_spans, novelty_ppm) with the
+    ppm an exact integer floor division.
+
+    Same three compact-aggregate shuffles as the dup profile — the
+    per-span window computes min(id) instead of a distinct-doc count."""
+    from pyspark.sql import Window
+
+    tk, ex = _span_positions(df, n, id_col, text_col)
+    g = ex.groupBy("__span", id_col).agg(F.count("*").alias("__pos"))
+    g2 = g.withColumn(
+        "__first", F.min(id_col).over(Window.partitionBy("__span"))
+    )
+    nov = g2.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col(id_col) == F.col("__first"), F.col("__pos"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("__nov")
+    )
+    per_doc = tk.select(
+        id_col,
+        F.greatest(F.size("__w") - n + 1, F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return per_doc.join(nov, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("__nov", F.lit(0)).cast("long").alias("n_novel_spans"),
+        F.when(
+            F.col("n_spans") > 0,
+            F.expr(
+                "(1000000 * coalesce(__nov, 0L)) div n_spans"
+            ),
+        ).alias("novelty_ppm"),
+    )
+
+
 def dup_span_profile(
     df: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -221,16 +288,7 @@ def dup_span_profile(
     brute-force positional definition."""
     from pyspark.sql import Window
 
-    tk = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
-    positions = F.when(
-        F.size("__w") >= n, F.sequence(F.lit(1), F.size("__w") - n + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    ex = tk.select(
-        id_col, "__w", F.explode(positions).alias("__i")
-    ).select(
-        id_col,
-        F.array_join(F.slice("__w", F.col("__i"), n), " ").alias("__span"),
-    )
+    tk, ex = _span_positions(df, n, id_col, text_col)
     g = ex.groupBy("__span", id_col).agg(F.count("*").alias("__pos"))
     g2 = g.withColumn(
         "__ndocs", F.count("*").over(Window.partitionBy("__span"))

@@ -1347,3 +1347,55 @@ def q_url_canon_dedup(spark, sf_dir):
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+@register(
+    "q_span_novelty",
+    """WITH t AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         FROM documents
+       ), s AS (
+         SELECT doc_id,
+                [concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4],
+                                w[i+5], w[i+6], w[i+7], w[i+8])
+                 for i in range(len(w) - 7)] AS sp
+         FROM t
+       ), e AS (
+         SELECT doc_id, unnest(sp) AS span FROM s
+       ), g AS (
+         SELECT span, doc_id, count(*) AS pos FROM e GROUP BY span, doc_id
+       ), g2 AS (
+         SELECT doc_id, pos,
+                min(doc_id) OVER (PARTITION BY span) AS first_doc
+         FROM g
+       ), nov AS (
+         SELECT doc_id,
+                CAST(sum(CASE WHEN doc_id = first_doc THEN pos ELSE 0 END)
+                     AS BIGINT) AS nv
+         FROM g2 GROUP BY doc_id
+       )
+       SELECT s.doc_id,
+              CAST(len(sp) AS BIGINT) AS n_spans,
+              CAST(coalesce(n.nv, 0) AS BIGINT) AS n_novel_spans,
+              CASE WHEN len(sp) > 0
+                   THEN (1000000 * coalesce(n.nv, 0)) // len(sp)
+              END AS novelty_ppm
+       FROM s LEFT JOIN nov n USING (doc_id)""",
+    "Span-level NOVELTY profile — the first-occurrence complement of "
+    "q_dup_spans for ingestion-ordered corpora (growing-corpus curation: "
+    "how much of an incoming doc is new text vs already-ingested spans, "
+    "the admission metric behind dedup-aware crawling): a span position "
+    "is NOVEL iff no smaller doc_id contains the same 8-token sequence — "
+    "the minimum-id owner keeps all its positions. novelty_ppm is an "
+    "exact integer floor division; same three compact-aggregate shuffles "
+    "as the dup profile with min(doc_id) replacing the distinct-doc "
+    "count in the per-span window (operators/textdedup.py "
+    "span_novelty_profile, property-tested against brute force).",
+)
+def q_span_novelty(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.textdedup import (
+        span_novelty_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    return span_novelty_profile(d, n=8)

@@ -68,7 +68,7 @@ def check_priority() -> tuple[str, ...]:
     latest check is older than r4 (2+4+20+24 = 50 head slots exactly),
     (e) the never-checked keys past the window (q_charlm_coverage,
     q_semdedup, q_url_canon_dedup, q_event_transitions,
-    q_gapfill_interp — all locally oracle-green) plus the
+    q_gapfill_interp, q_span_novelty — all locally oracle-green) plus the
     r4-stale cohort roll to round 8 as the first entries past it. Keys
     not listed keep registration order afterwards."""
     return (
@@ -93,7 +93,7 @@ def check_priority() -> tuple[str, ...]:
         "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
         # (e) first past the 50-key window — rolls to round 8
         "q_charlm_coverage", "q_semdedup", "q_url_canon_dedup",
-        "q_event_transitions", "q_gapfill_interp",
+        "q_event_transitions", "q_gapfill_interp", "q_span_novelty",
         "q_malformed_filter", "q_struct_star",
     )
 

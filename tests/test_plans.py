@@ -753,3 +753,12 @@ def test_gapfill_interp_broadcasts_hourly_aggregate(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_span_novelty_compact_aggregate_shuffles(spark):
+    """Same contract as the dup profile: compact aggregates and the
+    doc-level join only — no cartesian pairing, no Python."""
+    plan = _plan(spark, "q_span_novelty")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan

@@ -768,3 +768,42 @@ def test_ks_two_sample_matches_brute_force(spark, vals):
         best,
         best_at,
     ), (vals, dict(r.asDict()))
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_span_novelty_profile_matches_brute_force(spark, docs):
+    """A span position is novel iff no smaller doc id contains the same
+    n-token sequence — the min-id owner keeps ALL its positions,
+    including within-doc repeats."""
+    from real_time_rides_data_pipeline_spark.operators.textdedup import (
+        span_novelty_profile,
+    )
+
+    n = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_novel_spans"], r["novelty_ppm"])
+        for r in span_novelty_profile(df, n=n).collect()
+    }
+    spans = {
+        i: [tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        for i, toks in enumerate(docs)
+    }
+    first = {}
+    for i in sorted(spans):
+        for sp in spans[i]:
+            first.setdefault(sp, i)
+    want = {}
+    for i, sp in spans.items():
+        nov = sum(1 for s in sp if first[s] == i)
+        ppm = (1_000_000 * nov) // len(sp) if sp else None
+        want[i] = (len(sp), nov, ppm)
+    assert got == want, (docs, got, want)
