@@ -8,10 +8,15 @@ randomized structural coverage, not volume."""
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
-SETTINGS = dict(max_examples=5, deadline=None)
+#: PROP_EXAMPLES=50 python -m pytest tests/test_properties.py  → deep run
+SETTINGS = dict(
+    max_examples=int(os.environ.get("PROP_EXAMPLES", "5")), deadline=None
+)
 
 
 def _union_find(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
