@@ -212,3 +212,57 @@ def _cc_labelprop(e: DataFrame, max_iter: int) -> DataFrame:
             "deeper than max_iter — raise max_iter or use algorithm='star'"
         )
     return labels
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank with EXACT integer arithmetic.
+
+    ``edges`` is a directed edge list with columns (src, dst); every node
+    is assumed to have out-degree >= 1 (symmetrize first if not — a
+    dangling node would leak rank mass). Ranks are scaled integers
+    (initial rank = ``scale``), per-edge contribution is ``rank div
+    out_degree`` and the update is
+
+        r' = scale*(100-damping_pct) div 100  +  damping_pct * sum(contrib) div 100
+
+    — floor division on non-negative int64 at every step, so the result is
+    bit-identical on ANY engine and ANY partitioning/summation order
+    (float PageRank is not reproducible across engines: the neighbor sum
+    is order-dependent). SURVEY §7.4 determinism rules.
+
+    Scale design: the iteration is join(edges, ranks) on src — a hash
+    shuffle of the edge list per round — followed by a map-side-combined
+    sum per dst. The edge+degree table is localCheckpoint'd lazily so its
+    scan/distinct lineage runs once, not once per iteration. int64
+    headroom: sum(contrib) over a node's in-edges is bounded by total rank
+    mass ≈ |V|·scale, so damping_pct·|V|·scale must stay < 2^63 — at
+    scale=1e12 that is |V| < ~10^5; lower ``scale`` for larger graphs.
+    """
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    base = scale * (100 - damping_pct) // 100
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), F.expr("r div __d").alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"{damping_pct} * coalesce(__c, 0L) div 100")
+            ).cast("long").alias("r"),
+        )
+    return ranks

@@ -241,3 +241,68 @@ def bucketed_range_join(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < end)
     )
     return joined.drop("__cell")
+
+
+def bucketed_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Interval-OVERLAP join: pair every ``left`` row with every ``right``
+    row whose half-open time intervals ``[l_start, l_end)`` and
+    ``[r_start, r_end)`` intersect.
+
+    The naive formulation is a pure theta-join (BroadcastNestedLoopJoin or
+    worse, a cartesian product) — O(|L|·|R|) at any scale. The scale path
+    buckets absolute time into ``bucket_seconds`` cells and EXPLODES each
+    interval to the cells it covers, turning overlap into an equi-join on
+    the cell id plus a residual overlap filter. Two overlapping intervals
+    always share at least one covered cell (the overlap region is
+    non-empty), so recall is exact.
+
+    Duplicate suppression is join-side, not a post-distinct: a pair that
+    shares k cells would match k times, so the join keeps only the
+    CANONICAL cell ``max(first_cell(l), first_cell(r))`` — the first cell
+    where both intervals are present. Every overlapping pair matches in
+    exactly that one cell, which removes the extra dedup shuffle entirely.
+
+    Rows with empty intervals (start >= end) are dropped on both sides:
+    they can overlap nothing, and pre-filtering keeps ``sequence`` from
+    generating a DESCENDING cell range (Spark steps -1 when stop < start).
+
+    Choose ``bucket_seconds`` at or above the typical interval length: the
+    explode factor is ceil(interval / bucket) + 1, so a too-fine bucket
+    multiplies the shuffle volume. Column names of the two inputs must be
+    disjoint.
+    """
+    cell_us = bucket_seconds * 1_000_000
+
+    def first_last(s: str, e: str):
+        cs = F.floor(F.unix_micros(F.col(s)) / cell_us).cast("long")
+        # end-exclusive: [s, e) covers cells floor(s/B) .. floor((e-1us)/B)
+        ce = F.floor((F.unix_micros(F.col(e)) - 1) / cell_us).cast("long")
+        return cs, ce
+
+    lcs, lce = first_last(l_start, l_end)
+    l2 = (
+        left.filter(F.col(l_start) < F.col(l_end))
+        .withColumn("__lc0", lcs)
+        .withColumn("__cell", F.explode(F.sequence(lcs, lce)))
+    )
+    rcs, rce = first_last(r_start, r_end)
+    r2 = (
+        right.filter(F.col(r_start) < F.col(r_end))
+        .withColumn("__rc0", rcs)
+        .withColumn("__cell", F.explode(F.sequence(rcs, rce)))
+    )
+    overlap = (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+    canonical = F.col("__cell") == F.greatest(F.col("__lc0"), F.col("__rc0"))
+    return (
+        l2.join(r2, "__cell")
+        .filter(overlap & canonical)
+        .drop("__cell", "__lc0", "__rc0")
+    )

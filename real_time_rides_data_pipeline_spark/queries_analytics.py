@@ -1,0 +1,438 @@
+"""Round-7 continuation: relational-integrity / graph / time-series /
+subword-text operators.
+
+Same registry contract as queries.py / queries_ops.py (SURVEY.md §2.9
+scope). Determinism rules (SURVEY §7.4) throughout: exact integer cents /
+counts / scaled ranks, floor (`div`) division only, every ORDER BY tied off
+by a total order, no compared float/decimal columns.
+
+What this module adds (each a genuinely distinct surface, none previously
+registered):
+
+- ``q_fk_orphans`` — the referential-integrity audit: orphan counts + ppm
+  for three FK edges checked against a deliberately pruned parent snapshot
+  (the stale-dimension / late-arriving-dim production failure mode).
+- ``q_interval_overlap_join`` — interval x interval OVERLAP join via
+  absolute-time bucketing with canonical-cell dedup
+  (``operators.joins.bucketed_interval_overlap_join``) — the join shape
+  behind incident/session attribution; complements the existing
+  point-in-interval ``q_range_join``.
+- ``q_decayed_sum`` — exponentially-decayed windowed counter (the
+  time-decayed engagement/abuse score): a 16-tap dyadic decay computed as
+  exact BIGINT via shifts — the streaming-counter primitive, reproducible
+  bit-for-bit on any engine because no float ever appears.
+- ``q_pagerank`` — 3-iteration PageRank over the symmetrized
+  part<->supplier co-purchase graph in EXACT integer arithmetic
+  (``operators.graph.pagerank_int``): float PageRank is not cross-engine
+  reproducible (neighbor-sum order), integer floor-div PageRank is.
+- ``q_bpe_pairs`` — the inner loop of BPE vocabulary training: adjacent
+  CHARACTER-pair frequencies within words, top-50. Distinct from the
+  word-level ``q_pmi_bigrams``.
+- ``q_null_impute`` — per-group mean imputation of a derived-missing
+  measure (error events carry no trusted value) with a global-mean
+  fallback, all in exact integer cents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from real_time_rides_data_pipeline_spark.functions.precision import cents
+from real_time_rides_data_pipeline_spark.operators.graph import pagerank_int
+from real_time_rides_data_pipeline_spark.operators.joins import (
+    bucketed_interval_overlap_join,
+)
+from real_time_rides_data_pipeline_spark.registry import _t, register
+
+# =========================================================================
+# Referential-integrity audit
+# =========================================================================
+
+
+@register(
+    "q_fk_orphans",
+    """WITH snap_cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0),
+            snap_part AS (SELECT p_partkey FROM part WHERE p_partkey % 97 <> 0),
+            snap_supp AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 97 <> 0),
+            a1 AS (SELECT 'orders->customer' AS relationship,
+                          CAST(count(*) AS BIGINT) AS child_rows,
+                          CAST(count(*) FILTER (WHERE o_custkey NOT IN
+                               (SELECT c_custkey FROM snap_cust)) AS BIGINT)
+                            AS orphan_rows
+                   FROM orders),
+            a2 AS (SELECT 'lineitem->part', count(*),
+                          count(*) FILTER (WHERE l_partkey NOT IN
+                               (SELECT p_partkey FROM snap_part))
+                   FROM lineitem),
+            a3 AS (SELECT 'lineitem->supplier', count(*),
+                          count(*) FILTER (WHERE l_suppkey NOT IN
+                               (SELECT s_suppkey FROM snap_supp))
+                   FROM lineitem)
+       SELECT relationship, child_rows, orphan_rows,
+              CAST(orphan_rows * 1000000 // child_rows AS BIGINT) AS orphan_ppm
+       FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL
+             SELECT * FROM a3)
+       ORDER BY relationship""",
+    "Referential-integrity audit: for each FK edge, total child rows, "
+    "orphan child rows, and orphan ppm — checked against a parent snapshot "
+    "missing every 97th key (the stale-dimension simulation; on the raw "
+    "TPC-H-consistent fixtures every audit would be trivially zero). "
+    "Scale: each audit first collapses the child to DISTINCT keys with "
+    "counts (one map-side-combined shuffle carrying one row per distinct "
+    "key, not per child row), then left-joins the parent keyset and folds "
+    "to a single row — the anti-join never sees raw fact rows. The three "
+    "audits are independent branches unioned at one row each.",
+)
+def q_fk_orphans(spark, sf_dir):
+    def audit(child, key, parent, pkey, rel):
+        per_key = child.groupBy(F.col(key).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        snap = (
+            parent.filter(F.col(pkey) % 97 != 0)
+            .select(F.col(pkey).alias("__k"))
+            .withColumn("__hit", F.lit(1))
+        )
+        return per_key.join(snap, "__k", "left").agg(
+            F.lit(rel).alias("relationship"),
+            F.sum("__n").cast("long").alias("child_rows"),
+            F.sum(F.when(F.col("__hit").isNull(), F.col("__n")).otherwise(0))
+            .cast("long")
+            .alias("orphan_rows"),
+        )
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    audits = audit(
+        orders, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey",
+        "orders->customer",
+    ).unionAll(
+        audit(lineitem, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey",
+              "lineitem->part")
+    ).unionAll(
+        audit(lineitem, "l_suppkey", _t(spark, sf_dir, "supplier"),
+              "s_suppkey", "lineitem->supplier")
+    )
+    return audits.select(
+        "relationship",
+        "child_rows",
+        "orphan_rows",
+        F.expr("orphan_rows * 1000000 div child_rows").alias("orphan_ppm"),
+    ).orderBy("relationship")
+
+
+# =========================================================================
+# Interval-overlap join
+# =========================================================================
+
+
+@register(
+    "q_interval_overlap_join",
+    """WITH win AS (
+         SELECT k AS window_id,
+                TIMESTAMP '2024-01-01' + INTERVAL (k*72) HOUR AS w_start,
+                TIMESTAMP '2024-01-01' + INTERVAL (k*72+36) HOUR AS w_end
+         FROM generate_series(0, 9) AS t(k)),
+       ev AS (SELECT event_id, event_type, ts AS e_start,
+                     ts + INTERVAL (CAST(greatest(floor(value), 1) AS INT))
+                            MINUTE AS e_end
+              FROM events)
+       SELECT w.window_id,
+              CAST(count(*) AS BIGINT) AS n_overlap,
+              CAST(count(DISTINCT ev.event_type) AS BIGINT) AS n_types
+       FROM win w JOIN ev
+         ON ev.e_start < w.w_end AND w.w_start < ev.e_end
+       GROUP BY window_id ORDER BY window_id""",
+    "Interval x interval OVERLAP join: events (interval = [ts, ts + "
+    "max(floor(value),1) minutes) — the 1-minute floor keeps zero-duration "
+    "events from becoming empty half-open intervals, which overlap "
+    "nothing) against ten 36-hour maintenance windows every "
+    "72 hours. The oracle is the naive theta-join; the Spark plan is "
+    "operators.joins.bucketed_interval_overlap_join — both sides explode "
+    "to covered 36h absolute-time cells, overlap becomes an EQUI-join on "
+    "the cell id + residual filter, and each pair is kept only at its "
+    "canonical cell max(first_cell_l, first_cell_r) so no post-distinct "
+    "shuffle is needed. Scale: the windows here are 10 rows (broadcast), "
+    "but the plan is the one that survives a million-interval right side — "
+    "hash equi-join, explode factor ~2, no nested loop.",
+)
+def q_interval_overlap_join(spark, sf_dir):
+    win = spark.range(10).select(
+        F.col("id").alias("window_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(hours=F.col("id") * 72)
+        ).alias("w_start"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(hours=F.col("id") * 72 + 36)
+        ).alias("w_end"),
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").alias("e_start"),
+        (
+            F.col("ts")
+            + F.make_interval(
+                mins=F.greatest(F.floor("value"), F.lit(1)).cast("int")
+            )
+        ).alias("e_end"),
+    )
+    joined = bucketed_interval_overlap_join(
+        win, ev, "w_start", "w_end", "e_start", "e_end",
+        bucket_seconds=36 * 3600,
+    )
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("window_id")
+    )
+
+
+# =========================================================================
+# Exponentially-decayed windowed counter
+# =========================================================================
+
+_DECAY_TAPS = 16
+
+
+@register(
+    "q_decayed_sum",
+    """WITH t AS (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase')
+       SELECT event_id, user_id,
+              CAST("""
+    + " + ".join(
+        f"coalesce(lag(cents, {j}) OVER w, 0) * {1 << (_DECAY_TAPS - 1 - j)}"
+        for j in range(_DECAY_TAPS)
+    )
+    + """ AS BIGINT) AS decayed
+       FROM t
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ORDER BY event_id""",
+    "Exponentially-decayed windowed counter (time-decayed spend score): "
+    "for each purchase, sum of the user's last 16 purchase amounts with "
+    "dyadic weights 2^15 (current) down to 2^0 — EXACT BIGINT via shifts, "
+    "no float decay factor, so the score is bit-reproducible on any "
+    "engine and any partitioning (SURVEY §7.4). Scale: the 16 lag taps "
+    "share ONE window spec → a single hash shuffle on user_id + one sort "
+    "per partition; the purchase filter is pushed to the parquet scan "
+    "before the shuffle.",
+)
+def q_decayed_sum(spark, sf_dir):
+    t = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", cents(F.col("value")).alias("c"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    taps = [
+        F.coalesce(F.lag("c", j).over(w), F.lit(0))
+        * F.lit(1 << (_DECAY_TAPS - 1 - j))
+        for j in range(_DECAY_TAPS)
+    ]
+    decayed = taps[0]
+    for tap in taps[1:]:
+        decayed = decayed + tap
+    return (
+        t.select(
+            "event_id", "user_id", decayed.cast("long").alias("decayed")
+        ).orderBy("event_id")
+    )
+
+
+# =========================================================================
+# Integer PageRank
+# =========================================================================
+
+
+@register(
+    "q_pagerank",
+    """WITH e0 AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+                   FROM lineitem),
+       edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       nodes AS (SELECT DISTINCT src AS node FROM edges),
+       r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+       s1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS c FROM edges e
+              JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+              GROUP BY e.dst),
+       r1 AS (SELECT n.node,
+                     CAST(150000000000 + 85 * coalesce(s1.c, 0) // 100
+                          AS BIGINT) AS r
+              FROM nodes n LEFT JOIN s1 ON s1.node = n.node),
+       s2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS c FROM edges e
+              JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+              GROUP BY e.dst),
+       r2 AS (SELECT n.node,
+                     CAST(150000000000 + 85 * coalesce(s2.c, 0) // 100
+                          AS BIGINT) AS r
+              FROM nodes n LEFT JOIN s2 ON s2.node = n.node),
+       s3 AS (SELECT e.dst AS node, sum(r2.r // deg.d) AS c FROM edges e
+              JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+              GROUP BY e.dst),
+       r3 AS (SELECT n.node,
+                     CAST(150000000000 + 85 * coalesce(s3.c, 0) // 100
+                          AS BIGINT) AS r
+              FROM nodes n LEFT JOIN s3 ON s3.node = n.node)
+       SELECT node, r AS rank_scaled FROM r3
+       ORDER BY rank_scaled DESC, node LIMIT 20""",
+    "3-iteration PageRank (damping 0.85, rank scale 1e12) over the "
+    "symmetrized part<->supplier co-purchase graph from lineitem, top-20 "
+    "nodes (parts encoded 2k, suppliers 2k+1). EXACT integer arithmetic "
+    "throughout (operators.graph.pagerank_int): per-edge contribution is "
+    "rank div out_degree, update is 15% teleport + 85% div 100 — floor "
+    "division on int64, so the fixpoint trajectory is bit-identical in "
+    "any engine; float PageRank is NOT cross-engine comparable because "
+    "the neighbor sum is order-dependent. Scale: each iteration is one "
+    "edge-list hash join + map-side-combined sum per dst; the edge+degree "
+    "table is lazily localCheckpoint'd so its scan/distinct runs once, "
+    "not once per iteration. Top-20 is TakeOrdered, no global sort.",
+)
+def q_pagerank(spark, sf_dir):
+    e0 = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_int(edges, iterations=3, scale=10**12, damping_pct=85)
+    return (
+        ranks.select("node", F.col("r").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(20)
+    )
+
+
+# =========================================================================
+# BPE pair counting
+# =========================================================================
+
+
+@register(
+    "q_bpe_pairs",
+    """WITH words AS (
+         SELECT regexp_replace(
+                  unnest(string_split_regex(trim(lower(text)), '\\s+')),
+                  '[^a-z0-9]', '', 'g') AS w
+         FROM documents),
+       pairs AS (
+         SELECT unnest(list_transform(range(1, length(w)),
+                                      i -> substr(w, i, 2))) AS pair
+         FROM words WHERE length(w) >= 2)
+       SELECT pair, CAST(count(*) AS BIGINT) AS n
+       FROM pairs GROUP BY pair
+       ORDER BY n DESC, pair LIMIT 50""",
+    "The inner loop of BPE vocabulary training: frequency of every "
+    "adjacent CHARACTER pair within normalized words (lowercased, "
+    "non-alphanumerics stripped), top-50 by count with a total tie-break. "
+    "Distinct from q_pmi_bigrams (word-level co-occurrence). Scale: "
+    "tokenize + pair expansion are pure JVM transform/explode inside one "
+    "codegen stage over the scan — the only shuffle is the "
+    "map-side-combined count over a key space bounded by 37^2 pairs, and "
+    "top-50 is TakeOrdered (no global sort). This is exactly the "
+    "count-pairs step a distributed BPE trainer runs per merge round.",
+)
+def q_bpe_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents", parallel=True)
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w0")
+    ).select(F.regexp_replace(F.col("w0"), "[^a-z0-9]", "").alias("w"))
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1),"
+                       " i -> substring(w, i, 2))")
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
+
+
+# =========================================================================
+# Group-mean imputation
+# =========================================================================
+
+
+@register(
+    "q_null_impute",
+    """WITH t AS (SELECT user_id, event_type = 'error' AS miss,
+                         CAST(round(value*100) AS BIGINT) AS cents
+                  FROM events),
+       pu AS (SELECT user_id,
+                     CAST(count(*) FILTER (WHERE miss) AS BIGINT) AS n_missing,
+                     CAST(count(*) FILTER (WHERE NOT miss) AS BIGINT)
+                       AS n_present,
+                     CAST(coalesce(sum(cents) FILTER (WHERE NOT miss), 0)
+                          AS BIGINT) AS present_sum
+              FROM t GROUP BY user_id),
+       g AS (SELECT CAST(sum(present_sum) // sum(n_present) AS BIGINT)
+                      AS gmean FROM pu)
+       SELECT user_id, n_missing,
+              CAST(CASE WHEN n_present > 0 THEN present_sum // n_present
+                        ELSE g.gmean END AS BIGINT) AS imputed_cents,
+              CAST(present_sum + n_missing *
+                   (CASE WHEN n_present > 0 THEN present_sum // n_present
+                         ELSE g.gmean END) AS BIGINT) AS total_cents
+       FROM pu, g
+       ORDER BY user_id""",
+    "Per-group mean imputation, the feature-prep primitive: error events "
+    "carry no trusted value (derived missingness — the fixtures have no "
+    "physical NULLs), each user's missing values are imputed with the "
+    "user's floor-mean of present cents, falling back to the global "
+    "floor-mean for users with no present rows. All arithmetic exact "
+    "integer (floor div on cents). Scale: one map-side-combined groupBy "
+    "user carrying three partial aggregates; the global fallback is a "
+    "1-row re-aggregate of the per-user table broadcast back as a scalar "
+    "cross join — never a second scan of the fact table.",
+)
+def q_null_impute(spark, sf_dir):
+    t = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_type") == "error").alias("miss"),
+        cents(F.col("value")).alias("cents"),
+    )
+    # Lazy localCheckpoint: the per-user table is consumed by TWO branches
+    # (the global-mean re-aggregate and the final projection); without it
+    # each branch would re-run the fact scan + aggregate — a full extra
+    # pass over events at scale. Checkpointing the small per-user table
+    # materializes it once and both branches read the cached RDD.
+    pu = t.groupBy("user_id").agg(
+        F.sum(F.when(F.col("miss"), 1).otherwise(0)).cast("long").alias("n_missing"),
+        F.sum(F.when(~F.col("miss"), 1).otherwise(0)).cast("long").alias("n_present"),
+        F.coalesce(F.sum(F.when(~F.col("miss"), F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("present_sum"),
+    ).localCheckpoint(eager=False)
+    g = pu.agg(
+        F.expr("sum(present_sum) div sum(n_present)").alias("gmean")
+    )
+    imput = F.when(
+        F.col("n_present") > 0, F.expr("present_sum div n_present")
+    ).otherwise(F.col("gmean"))
+    return (
+        pu.crossJoin(F.broadcast(g))
+        .select(
+            "user_id",
+            "n_missing",
+            imput.cast("long").alias("imputed_cents"),
+            (F.col("present_sum") + F.col("n_missing") * imput)
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )

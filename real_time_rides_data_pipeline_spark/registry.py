@@ -38,6 +38,7 @@ def registry() -> dict[str, QuerySpec]:
     ``check_priority``/``ordered_registry``, applied only at the
     ``__spark_entry__`` boundary."""
     import real_time_rides_data_pipeline_spark.queries  # noqa: F401
+    import real_time_rides_data_pipeline_spark.queries_analytics  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_curate  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_ext  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_olap  # noqa: F401
@@ -68,9 +69,12 @@ def check_priority() -> tuple[str, ...]:
     latest check is older than r4 (2+4+20+24 = 50 head slots exactly),
     (e) the never-checked keys past the window (q_charlm_coverage,
     q_semdedup, q_url_canon_dedup, q_event_transitions,
-    q_gapfill_interp, q_span_novelty — all locally oracle-green) plus the
-    r4-stale cohort roll to round 8 as the first entries past it. Keys
-    not listed keep registration order afterwards."""
+    q_gapfill_interp, q_span_novelty, and the round-7-continuation
+    queries_analytics.py six: q_fk_orphans, q_interval_overlap_join,
+    q_decayed_sum, q_pagerank, q_bpe_pairs, q_null_impute — all locally
+    oracle-green) plus the r4-stale cohort roll to round 8 as the first
+    entries past it. Keys not listed keep registration order
+    afterwards."""
     return (
         # (a) re-fixed this round, must re-check green
         "q_decimal_money", "q_bloom_decontaminate",
@@ -94,6 +98,8 @@ def check_priority() -> tuple[str, ...]:
         # (e) first past the 50-key window — rolls to round 8
         "q_charlm_coverage", "q_semdedup", "q_url_canon_dedup",
         "q_event_transitions", "q_gapfill_interp", "q_span_novelty",
+        "q_fk_orphans", "q_interval_overlap_join", "q_decayed_sum",
+        "q_pagerank", "q_bpe_pairs", "q_null_impute",
         "q_malformed_filter", "q_struct_star",
     )
 

@@ -762,3 +762,70 @@ def test_span_novelty_compact_aggregate_shuffles(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_fk_orphans_audits_distinct_keys_not_fact_rows(spark):
+    """Each audit collapses the child to distinct FK keys BEFORE joining
+    the parent snapshot (partial_count in the pre-join aggregate), and the
+    child scans read only the FK column."""
+    plan = _plan(spark, "q_fk_orphans")
+    assert "partial_count" in plan, plan
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    orders_lines = [ln for ln in schema_lines if "o_custkey" in ln]
+    assert orders_lines and all(
+        "o_totalprice" not in ln for ln in orders_lines
+    ), schema_lines
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_overlap_join_is_equi_join(spark):
+    """The overlap join must be the bucketed EQUI-join (hash or broadcast
+    hash on the cell id), never a nested-loop theta join or cartesian
+    product — the whole point of the operator."""
+    plan = _plan(spark, "q_interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_decayed_sum_single_window_shuffle(spark):
+    """All 16 lag taps share one window spec: exactly ONE hash exchange
+    (user_id), and the purchase filter reaches the parquet scan."""
+    plan = _plan(spark, "q_decayed_sum")
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert pushed and "event_type" in pushed[0], pushed
+    assert "Join" not in plan, plan
+
+
+def test_pagerank_no_allpairs_and_topk(spark):
+    """Each iteration is an equi-join on the edge key — no cartesian or
+    nested-loop anywhere — and the top-20 is TakeOrdered, not a global
+    sort of the rank table."""
+    plan = _plan(spark, "q_pagerank")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bpe_pairs_single_count_shuffle_topk(spark):
+    """Pair expansion is JVM transform/explode over the scan; the only
+    hash exchange is the map-side-combined pair count (key space <= 37^2)
+    and the top-50 is TakeOrdered."""
+    plan = _plan(spark, "q_bpe_pairs")
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_null_impute_one_fact_shuffle_broadcast_fallback(spark):
+    """The per-user table is lazily localCheckpoint'd so BOTH consumers
+    (global-mean re-aggregate, final projection) read the materialized
+    RDD instead of re-running the fact scan + aggregate — the plan must
+    show zero parquet scans (all behind the checkpoint) and the fallback
+    must join back via broadcast, never a cartesian product."""
+    plan = _plan(spark, "q_null_impute")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
