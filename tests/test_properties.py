@@ -812,3 +812,98 @@ def test_span_novelty_profile_matches_brute_force(spark, docs):
         ppm = (1_000_000 * nov) // len(sp) if sp else None
         want[i] = (len(sp), nov, ppm)
     assert got == want, (docs, got, want)
+
+
+@settings(**SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, 180)),
+        min_size=1,
+        max_size=8,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, 180)),
+        min_size=1,
+        max_size=8,
+    ),
+    bucket=st.sampled_from([7, 60, 100]),
+)
+def test_interval_overlap_join_matches_theta_join(spark, lefts, rights, bucket):
+    """bucketed_interval_overlap_join == the naive O(n²) overlap predicate,
+    with every pair reported EXACTLY once — across bucket widths finer
+    than, comparable to, and coarser than the interval lengths (the
+    canonical-cell dedup is what's under test when intervals span many
+    cells)."""
+    from real_time_rides_data_pipeline_spark.operators.joins import (
+        bucketed_interval_overlap_join,
+    )
+
+    def ts(col):
+        return F.timestamp_micros(col * 1_000_000)
+
+    left = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(lefts)],
+        "lid long, ls long, le long",
+    ).select("lid", ts(F.col("ls")).alias("ls"), ts(F.col("le")).alias("le"))
+    right = spark.createDataFrame(
+        [(j, s, s + d) for j, (s, d) in enumerate(rights)],
+        "rid long, rs long, re long",
+    ).select("rid", ts(F.col("rs")).alias("rs"), ts(F.col("re")).alias("re"))
+    got = sorted(
+        (r.lid, r.rid)
+        for r in bucketed_interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=bucket
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, d1) in enumerate(lefts)
+        for j, (s2, d2) in enumerate(rights)
+        if s1 < s2 + d2 and s2 < s1 + d1
+    )
+    assert got == want, (got, want, bucket)
+
+
+def _pagerank_int_py(
+    edges: list[tuple[int, int]], iterations: int, scale: int, damping: int
+) -> dict[int, int]:
+    """Pure-Python twin of operators.graph.pagerank_int (floor div)."""
+    from collections import defaultdict
+
+    out: dict[int, list[int]] = defaultdict(list)
+    for s, d in set(edges):
+        out[s].append(d)
+    nodes = sorted(out)
+    base = scale * (100 - damping) // 100
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        contrib: dict[int, int] = defaultdict(int)
+        for s in nodes:
+            c = r[s] // len(out[s])
+            for d in out[s]:
+                contrib[d] += c
+        r = {n: base + damping * contrib.get(n, 0) // 100 for n in nodes}
+    return r
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(2, 8),
+    edge_idx=st.lists(st.integers(0, 63), min_size=1, max_size=14),
+)
+def test_pagerank_int_matches_python_reference(spark, n, edge_idx):
+    """pagerank_int == the sequential floor-div recurrence, bit-exact —
+    the whole point of integer PageRank is that partitioning/summation
+    order cannot change a single rank value."""
+    from real_time_rides_data_pipeline_spark.operators.graph import pagerank_int
+
+    pairs = sorted({(i // n % n, i % n) for i in edge_idx})
+    # symmetrize so no node is dangling (the operator's contract)
+    edges = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.r
+        for r in pagerank_int(df, iterations=3, scale=10**9, damping_pct=85).collect()
+    }
+    want = _pagerank_int_py(edges, iterations=3, scale=10**9, damping=85)
+    assert got == want, (edges, got, want)
