@@ -436,3 +436,80 @@ def q_null_impute(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# =========================================================================
+# Streaming twin of the decayed counter (order-sensitive state)
+# =========================================================================
+
+
+@register(
+    "q_stream_decayed",
+    """WITH t AS (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase')
+       SELECT event_id, user_id,
+              CAST("""
+    + " + ".join(
+        f"coalesce(lag(cents, {j}) OVER w, 0) * {1 << (_DECAY_TAPS - 1 - j)}"
+        for j in range(_DECAY_TAPS)
+    )
+    + """ AS BIGINT) AS decayed
+       FROM t
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ORDER BY event_id""",
+    "STREAMING twin of q_decayed_sum, checked against the SAME batch "
+    "oracle (stream≡batch, SURVEY §5.2.2) — and unlike the other stateful "
+    "keys this operator is ORDER-SENSITIVE: an event's score depends on "
+    "its 15 event-time predecessors, but the 2 replay micro-batches split "
+    "round-robin, so predecessors arrive late on purpose. The "
+    "applyInPandasWithState fold (streaming.stateful.running_decayed_"
+    "scores) merges arrivals into per-user (ts,event_id)-sorted history "
+    "and re-emits CORRECTED scores for every event whose 16-tap window an "
+    "insertion changed (at most |batch|+15 corrections); the latest-wins "
+    "MERGE on event_id converges to the batch answer under any split. "
+    "Scale: state is the watermark-bounded suffix of each user's history "
+    "(settled events are prunable after keeping 15 trailing predecessors) "
+    "— see the operator docstring for the pruning contract.",
+)
+def q_stream_decayed(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
+    from real_time_rides_data_pipeline_spark.sinks import foreach_batch_merge
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+    from real_time_rides_data_pipeline_spark.streaming.stateful import (
+        running_decayed_scores,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    inp = _replay_input(ev, "decayed", sf_dir)  # 2 files -> 2 micro-batches
+    run_dir = tempfile.mkdtemp(prefix="decayed_run_")
+    out, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
+    stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
+    # same state-store shuffle-width knee as q_stateful_running (16 @ 32c)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            foreach_batch_merge(
+                running_decayed_scores(stream), out, ckpt, keys=("event_id",)
+            )
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", "decayed")
+        .orderBy("event_id")
+    )

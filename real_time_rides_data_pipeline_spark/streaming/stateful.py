@@ -189,3 +189,114 @@ def running_top_values(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- order-sensitive stateful operator: decayed scores with corrections ----
+
+DECAYED_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("decayed", T.LongType()),
+    ]
+)
+
+#: per-key event history sorted by (ts_us, event_id) — parallel arrays
+_DECAYED_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("eid", T.ArrayType(T.LongType())),
+        T.StructField("cents", T.ArrayType(T.LongType())),
+    ]
+)
+
+_DECAY_TAPS = 16
+
+
+def _update_decayed(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """ORDER-SENSITIVE state update with bounded corrections.
+
+    The decayed score of an event depends on its 15 predecessors in
+    event-time order, but micro-batches deliver events in ARRIVAL order —
+    a later batch can insert an event before already-scored ones. The
+    fold therefore (1) merges the batch into the per-key history sorted
+    by (ts, event_id), (2) re-emits the score of every event whose 16-tap
+    window contains an inserted position — at most |batch| + 15 rows, the
+    correction bound — and the keyed latest-wins MERGE sink converges to
+    the batch answer under ANY batch split/order.
+
+    State here is the full per-key history because the file-replay twin
+    has no watermark; the production contract is watermark pruning: an
+    event is SETTLED (immutable score, safe to drop after keeping the 15
+    trailing entries as future predecessors) once the watermark passes
+    its event time, so state is bounded by per-key event rate x allowed
+    lateness + 15 — never unbounded.
+    """
+    if state.exists:
+        ts_us, eid, cents = (list(a) for a in state.get)
+    else:
+        ts_us, eid, cents = [], [], []
+    rows = []
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        rows += list(
+            zip(
+                (int(x) for x in us),
+                (int(x) for x in pdf["event_id"].astype("int64")),
+                (int(x) for x in pdf["value"].mul(100).round().astype("int64")),
+            )
+        )
+    if not rows:
+        return
+    merged = sorted(zip(ts_us, eid, cents))
+    new = sorted(rows)
+    inserted_keys = {(t, e) for t, e, _ in new}
+    # set-dedup makes redelivered rows (foreachBatch is at-least-once)
+    # idempotent: a replayed event merges to the same history and just
+    # re-emits the same scores
+    merged = sorted(set(merged) | set(new))
+    ts_us = [t for t, _, _ in merged]
+    eid = [e for _, e, _ in merged]
+    cents = [c for _, _, c in merged]
+    state.update((ts_us, eid, cents))
+    # affected = any position whose window [p-15, p] contains an insert
+    ins = [i for i, (t, e, _) in enumerate(merged) if (t, e) in inserted_keys]
+    affected: set[int] = set()
+    for q in ins:
+        affected.update(range(q, min(q + _DECAY_TAPS, len(merged))))
+    out_eid, out_dec = [], []
+    for p in sorted(affected):
+        s = 0
+        for j in range(min(_DECAY_TAPS, p + 1)):
+            s += cents[p - j] * (1 << (_DECAY_TAPS - 1 - j))
+        out_eid.append(eid[p])
+        out_dec.append(s)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_eid),
+            "event_id": out_eid,
+            "decayed": out_dec,
+        }
+    )
+
+
+def running_decayed_scores(events: DataFrame) -> DataFrame:
+    """Per-user exponentially-decayed score stream over (user_id, ts,
+    event_id, value) — the streaming twin of the batch 16-tap dyadic
+    decayed counter (queries_analytics.q_decayed_sum). Update-mode
+    emissions are (user_id, event_id, decayed) rows including CORRECTIONS
+    for previously-emitted events whose window a late arrival changed;
+    pair with a latest-wins MERGE on event_id."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_decayed,
+        outputStructType=DECAYED_OUTPUT,
+        stateStructType=_DECAYED_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -842,3 +842,67 @@ def test_rate_source_produces_monotonic_rows(spark):
         sq.stop()
     assert len(vals) >= 20
     assert vals == list(range(vals[0], vals[0] + len(vals))), vals[:5]
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving a state-update function
+    directly (no stream) — exists/get/update are all the decayed fold uses."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_decayed_fold_corrects_late_predecessor():
+    """A late arrival that lands BEFORE already-scored events must re-emit
+    corrected scores for every event whose 16-tap window it entered —
+    and only for those (the |batch|+15 correction bound)."""
+    import pandas as pd
+
+    from real_time_rides_data_pipeline_spark.streaming.stateful import (
+        _update_decayed,
+    )
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [7] * len(rows),
+                "ts": pd.to_datetime([t for t, _, _ in rows], unit="s"),
+                "event_id": [e for _, e, _ in rows],
+                "value": [v for _, _, v in rows],
+            }
+        )
+
+    state = _FakeGroupState()
+    # batch 1: events at t=100 (100 cents) and t=300 (300 cents)
+    out1 = pd.concat(
+        _update_decayed((7,), [batch([(100, 1, 1.0), (300, 3, 3.0)])], state)
+    )
+    got1 = dict(zip(out1["event_id"], out1["decayed"]))
+    assert got1 == {1: 100 * 2**15, 3: 300 * 2**15 + 100 * 2**14}
+    # batch 2: LATE event at t=200 (200 cents) — inserts between them
+    out2 = pd.concat(
+        _update_decayed((7,), [batch([(200, 2, 2.0)])], state)
+    )
+    got2 = dict(zip(out2["event_id"], out2["decayed"]))
+    # event 1 precedes the insertion → NOT re-emitted; 2 scored, 3 corrected
+    assert got2 == {
+        2: 200 * 2**15 + 100 * 2**14,
+        3: 300 * 2**15 + 200 * 2**14 + 100 * 2**13,
+    }
+    # redelivery of the same late row is idempotent (same emissions, same state)
+    out3 = pd.concat(
+        _update_decayed((7,), [batch([(200, 2, 2.0)])], state)
+    )
+    got3 = dict(zip(out3["event_id"], out3["decayed"]))
+    assert got3 == got2
