@@ -513,3 +513,184 @@ def q_stream_decayed(spark, sf_dir):
         .select("event_id", "user_id", "decayed")
         .orderBy("event_id")
     )
+
+
+# =========================================================================
+# Last-touch attribution (as-of with tolerance over the event stream)
+# =========================================================================
+
+
+@register(
+    "q_attribution_lasttouch",
+    """WITH p AS (SELECT user_id, ts, event_id,
+                         CAST(round(value*100) AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase'),
+       t AS (SELECT user_id, ts, event_id, event_type
+             FROM events WHERE event_type IN ('click', 'view'))
+       SELECT coalesce(a.event_type, 'direct') AS channel,
+              CAST(count(*) AS BIGINT) AS n_purchases,
+              CAST(sum(p.cents) AS BIGINT) AS total_cents
+       FROM p LEFT JOIN LATERAL (
+         SELECT event_type FROM t
+         WHERE t.user_id = p.user_id AND t.ts <= p.ts
+           AND t.ts >= p.ts - INTERVAL 3 DAY
+         ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) a ON true
+       GROUP BY channel ORDER BY channel""",
+    "Last-touch marketing attribution: every purchase is attributed to "
+    "the user's most recent click/view at or before it, within a 3-day "
+    "lookback (stale touches fall to the 'direct' bucket) — the oracle is "
+    "the per-purchase LATERAL argmax, the Spark plan is the union-window "
+    "as-of join with tolerance (operators.joins.asof_join): tag both "
+    "sides, union, last(ignorenulls) over (user ORDER BY ts, side) — ONE "
+    "shuffle on user_id, no per-key nested loop, the same state shape the "
+    "streaming version holds. Touches are deduped to one per (user, ts) "
+    "keeping max event_id, matching the oracle's (ts, event_id) DESC "
+    "tie-break exactly.",
+)
+def q_attribution_lasttouch(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("cents")
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("touch_type")
+    )
+    # unique per (user, ts): keep the max event_id — the oracle's tie-break
+    wdedup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    touches = (
+        touches.withColumn("__rn", F.row_number().over(wdedup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "event_id")
+    )
+    attributed = asof_join(
+        purchases,
+        touches,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload="touch_type",
+        tolerance_seconds=3 * 24 * 3600,
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("touch_type"), F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+# =========================================================================
+# Shuffle-key skew probe
+# =========================================================================
+
+
+@register(
+    "q_skew_report",
+    """WITH k AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+                  FROM lineitem GROUP BY l_suppkey),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+                      CAST(count(*) AS BIGINT) AS ndv FROM k)
+       SELECT rnk, l_suppkey, n,
+              CAST(n * 1000000 // total_rows AS BIGINT) AS share_ppm,
+              CAST(n * ndv * 100 // total_rows AS BIGINT) AS skew_x100,
+              total_rows, ndv
+       FROM (SELECT *, row_number() OVER (ORDER BY n DESC, l_suppkey) AS rnk
+             FROM k), tot
+       WHERE rnk <= 5 ORDER BY rnk""",
+    "Shuffle-key skew probe — the planning query you run BEFORE choosing "
+    "a join strategy: per-key row counts for a prospective shuffle key "
+    "(l_suppkey), top-5 heavy hitters with absolute share (ppm) and "
+    "skew_x100 = key size vs mean key size (100 = perfectly uniform). A "
+    "skew_x100 in the thousands is the signal to salt (q_salted_join) or "
+    "let AQE split. Scale: one map-side-combined count per key, a 1-row "
+    "total broadcast back, TakeOrdered for the top-5 — the probe costs "
+    "one scan regardless of skew.",
+)
+def q_skew_report(spark, sf_dir):
+    k = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = k.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+    )
+    top5 = k.orderBy(F.desc("n"), "l_suppkey").limit(5)
+    wr = Window.orderBy(F.desc("n"), "l_suppkey")
+    return (
+        top5.withColumn("rnk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "l_suppkey",
+            "n",
+            F.expr("n * 1000000 div total_rows").alias("share_ppm"),
+            F.expr("n * ndv * 100 div total_rows").alias("skew_x100"),
+            "total_rows",
+            "ndv",
+        )
+        .orderBy("rnk")
+    )
+
+
+# =========================================================================
+# Burst detection (rate anomaly over a gappy minute series)
+# =========================================================================
+
+
+@register(
+    "q_burst_detect",
+    """WITH m AS (SELECT event_type,
+                         CAST(epoch(date_trunc('minute', ts)) // 60 AS BIGINT)
+                           AS minute_id,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM events GROUP BY 1, 2),
+       w AS (SELECT event_type, minute_id, c,
+                    sum(c) OVER (PARTITION BY event_type ORDER BY minute_id
+                                 RANGE BETWEEN 60 PRECEDING AND 1 PRECEDING)
+                      AS trailing_c
+             FROM m)
+       SELECT event_type, minute_id, c, CAST(trailing_c AS BIGINT) AS trailing_c
+       FROM w
+       WHERE trailing_c IS NOT NULL AND c * 60 > 3 * trailing_c
+       ORDER BY event_type, minute_id""",
+    "Burst detection over a GAPPY per-minute rate series: a (type, "
+    "minute) is a burst when its count exceeds 3x the trailing 60-minute "
+    "average — computed as the exact-integer cross-multiplication "
+    "c*60 > 3*trailing, with the trailing hour taken as a RANGE frame "
+    "over the integer minute id so missing minutes subtract from the "
+    "window instead of silently stretching it (a ROWS frame would span "
+    "hours of real time on a sparse key). Scale: one map-side-combined "
+    "(type, minute) aggregate, then one window shuffle on event_type — "
+    "the frame state is bounded by 60 rows per key.",
+)
+def q_burst_detect(spark, sf_dir):
+    m = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(unix_micros(date_trunc('minute', ts)) div 60000000"
+                   " AS BIGINT)").alias("minute_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_id")
+        .rangeBetween(-60, -1)
+    )
+    return (
+        m.withColumn("trailing_c", F.sum("c").over(w).cast("long"))
+        .filter(
+            F.col("trailing_c").isNotNull()
+            & (F.col("c") * 60 > 3 * F.col("trailing_c"))
+        )
+        .orderBy("event_type", "minute_id")
+    )

@@ -100,6 +100,7 @@ def check_priority() -> tuple[str, ...]:
         "q_event_transitions", "q_gapfill_interp", "q_span_novelty",
         "q_fk_orphans", "q_interval_overlap_join", "q_decayed_sum",
         "q_pagerank", "q_bpe_pairs", "q_null_impute", "q_stream_decayed",
+        "q_attribution_lasttouch", "q_skew_report", "q_burst_detect",
         "q_malformed_filter", "q_struct_star",
     )
 

@@ -829,3 +829,34 @@ def test_null_impute_one_fact_shuffle_broadcast_fallback(spark):
     assert plan.count("Scan parquet") == 0, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_attribution_lasttouch_is_union_window_not_nested_loop(spark):
+    """The as-of attribution must keep the union-window shape: no join of
+    purchases against touches at all (the LATERAL argmax is the oracle,
+    not the plan) — only window exchanges, no cartesian/nested loop."""
+    plan = _plan(spark, "q_attribution_lasttouch")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_skew_report_single_scan_topk(spark):
+    """The probe costs one scan: per-key count, 1-row totals broadcast
+    back, TakeOrdered for the heavy hitters — no global sort of the key
+    histogram."""
+    plan = _plan(spark, "q_skew_report")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_burst_detect_two_compact_shuffles(spark):
+    """One (type, minute) pre-aggregate shuffle + one window shuffle on
+    event_type; the RANGE frame runs over the compact minute series, never
+    raw events — and no join anywhere."""
+    plan = _plan(spark, "q_burst_detect")
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
