@@ -694,3 +694,181 @@ def q_burst_detect(spark, sf_dir):
         )
         .orderBy("event_type", "minute_id")
     )
+
+
+# =========================================================================
+# Vector-column per-dimension profile
+# =========================================================================
+
+
+@register(
+    "q_embed_dimstats",
+    """WITH x AS (
+         SELECT u.i AS dim,
+                CAST(floor(CAST(u.v AS DOUBLE) * 1000000) AS BIGINT) AS s
+         FROM embeddings,
+              LATERAL (SELECT generate_subscripts(embedding, 1) AS i,
+                              unnest(embedding) AS v) u)
+       SELECT dim, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(s) AS BIGINT) AS sum_scaled,
+              CAST(min(s) AS BIGINT) AS min_scaled,
+              CAST(max(s) AS BIGINT) AS max_scaled
+       FROM x GROUP BY dim ORDER BY dim""",
+    "Per-DIMENSION profile of the embedding column (count / sum / min / "
+    "max at 1e-6 scale) — the feature-normalization fit every vector "
+    "pipeline runs before quantization or whitening. Values are "
+    "floor-scaled to exact integers BEFORE aggregation: floor sees the "
+    "identical binary double in both engines (precision.py fact #1) and "
+    "integer sums are summation-order-independent, so the profile is "
+    "bit-reproducible under any partitioning — a float sum would differ "
+    "run to run. Scale: posexplode fans each row out x64 inside codegen "
+    "(no shuffle), then ONE map-side-combined aggregate on a key space "
+    "of exactly 64 dims.",
+)
+def q_embed_dimstats(spark, sf_dir):
+    x = (
+        _t(spark, sf_dir, "embeddings", parallel=True)
+        .select(F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("v").cast("double") * 1000000)
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return (
+        x.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s").cast("long").alias("sum_scaled"),
+            F.min("s").cast("long").alias("min_scaled"),
+            F.max("s").cast("long").alias("max_scaled"),
+        )
+        .orderBy("dim")
+    )
+
+
+# =========================================================================
+# Schema-evolution union
+# =========================================================================
+
+
+@register(
+    "q_union_evolve",
+    """WITH early AS (SELECT event_id, event_type,
+                             CAST(round(value*100) AS BIGINT) AS cents
+                      FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+       late AS (SELECT event_id, event_type,
+                       CAST(round(value*100) AS BIGINT) AS cents,
+                       CAST(length(props) AS BIGINT) AS props_len
+                FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+       u AS (SELECT * FROM early UNION ALL BY NAME SELECT * FROM late)
+       SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(count(props_len) AS BIGINT) AS n_with_props,
+              CAST(sum(cents) AS BIGINT) AS total_cents,
+              CAST(coalesce(sum(props_len), 0) AS BIGINT) AS total_props_len
+       FROM u GROUP BY event_type ORDER BY event_type""",
+    "Schema-evolution union: an early extract (3 columns) unified with a "
+    "late extract that gained a column (props_len), via unionByName("
+    "allowMissingColumns=True) — the missing column NULL-fills, exactly "
+    "DuckDB's UNION ALL BY NAME and Delta's mergeSchema read semantics "
+    "(the batch face of sinks.py's mergeSchema parity). The aggregate "
+    "distinguishes physical presence (count(props_len)) from row count. "
+    "Scale: both halves are partition-prunable scans of the same table; "
+    "the union is plan-level (no data movement) and the only shuffle is "
+    "the final 5-group aggregate.",
+)
+def q_union_evolve(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    early = ev.filter(F.col("ts") < cutoff).select(
+        "event_id", "event_type", cents(F.col("value")).alias("cents")
+    )
+    late = ev.filter(F.col("ts") >= cutoff).select(
+        "event_id",
+        "event_type",
+        cents(F.col("value")).alias("cents"),
+        F.length("props").cast("long").alias("props_len"),
+    )
+    u = early.unionByName(late, allowMissingColumns=True)
+    return (
+        u.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("props_len").alias("n_with_props"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.coalesce(F.sum("props_len"), F.lit(0))
+            .cast("long")
+            .alias("total_props_len"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =========================================================================
+# Snapshot diff (the inverse of CDC apply)
+# =========================================================================
+
+
+@register(
+    "q_snapshot_diff",
+    """WITH a AS (SELECT o_orderkey, o_orderstatus,
+                         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+                  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+       b AS (SELECT o_orderkey,
+                    CASE WHEN o_orderkey % 100 = 0 THEN 'X'
+                         ELSE o_orderstatus END AS o_orderstatus,
+                    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+             FROM orders WHERE o_orderkey % 997 <> 0),
+       d AS (SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                         WHEN b.o_orderkey IS NULL THEN 'removed'
+                         WHEN a.o_orderstatus <> b.o_orderstatus
+                              OR a.cents <> b.cents THEN 'changed'
+                         ELSE 'unchanged' END AS change_type
+             FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey)
+       SELECT change_type, CAST(count(*) AS BIGINT) AS n
+       FROM d GROUP BY change_type ORDER BY change_type""",
+    "Snapshot diff — the INVERSE of q_cdc_apply: given two keyed table "
+    "snapshots (old = pre-1998 orders; new = current orders with every "
+    "997th key deleted and every 100th status amended), derive the "
+    "changelog classification added / removed / changed / unchanged by "
+    "FULL OUTER join on the key and column comparison on exact values "
+    "(status, integer cents). This is how you bootstrap CDC when the "
+    "source system has no op log. Scale: full outer cannot broadcast "
+    "either side — one hash shuffle per side on the key, then a compact "
+    "4-group aggregate; the comparison columns are pruned to exactly "
+    "what the classifier reads.",
+)
+def q_snapshot_diff(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("ak"),
+        F.col("o_orderstatus").alias("astatus"),
+        cents(F.col("o_totalprice")).alias("acents"),
+    )
+    b = orders.filter(F.col("o_orderkey") % 997 != 0).select(
+        F.col("o_orderkey").alias("bk"),
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("bstatus"),
+        cents(F.col("o_totalprice")).alias("bcents"),
+    )
+    d = a.join(b, a["ak"] == b["bk"], "full").select(
+        F.when(F.col("ak").isNull(), "added")
+        .when(F.col("bk").isNull(), "removed")
+        .when(
+            (F.col("astatus") != F.col("bstatus"))
+            | (F.col("acents") != F.col("bcents")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type")
+    )

@@ -101,6 +101,7 @@ def check_priority() -> tuple[str, ...]:
         "q_fk_orphans", "q_interval_overlap_join", "q_decayed_sum",
         "q_pagerank", "q_bpe_pairs", "q_null_impute", "q_stream_decayed",
         "q_attribution_lasttouch", "q_skew_report", "q_burst_detect",
+        "q_embed_dimstats", "q_union_evolve", "q_snapshot_diff",
         "q_malformed_filter", "q_struct_star",
     )
 

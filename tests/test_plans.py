@@ -860,3 +860,36 @@ def test_burst_detect_two_compact_shuffles(spark):
     assert plan.count("Arguments: hashpartitioning") == 2, plan
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_embed_dimstats_no_shuffle_before_dim_agg(spark):
+    """posexplode fans out inside codegen; exactly ONE hash exchange (the
+    64-key dim aggregate), map-side combined, no join, no Python."""
+    plan = _plan(spark, "q_embed_dimstats")
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_union_evolve_prunes_both_scans(spark):
+    """Both halves push their ts filter to the scan and the union is
+    plan-level: one final aggregate exchange, no join."""
+    plan = _plan(spark, "q_union_evolve")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert len(pushed) >= 2 and all("ts" in ln for ln in pushed), pushed
+    assert "Union" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_snapshot_diff_full_outer_prunes_columns(spark):
+    """The FULL OUTER diff reads only (key, status, price, date) — never
+    the whole orders schema — and classifies without any extra shuffle
+    beyond the join inputs + 4-group aggregate."""
+    plan = _plan(spark, "q_snapshot_diff")
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines and all(
+        "o_orderpriority" not in ln for ln in schema_lines
+    ), schema_lines
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
