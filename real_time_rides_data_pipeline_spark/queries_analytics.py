@@ -872,3 +872,159 @@ def q_snapshot_diff(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("change_type")
     )
+
+
+# =========================================================================
+# Vocabulary build + dictionary encode
+# =========================================================================
+
+
+@register(
+    "q_vocab_encode",
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         FROM documents),
+       vocab AS (
+         SELECT tok,
+                CAST(dense_rank() OVER (ORDER BY n DESC, tok) AS BIGINT)
+                  AS tid
+         FROM (SELECT tok, count(*) AS n FROM toks GROUP BY tok)),
+       enc AS (SELECT t.doc_id, v.tid FROM toks t JOIN vocab v USING (tok))
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(tid) AS BIGINT) AS sum_ids,
+              CAST(min(tid) AS BIGINT) AS min_id,
+              CAST(max(tid) AS BIGINT) AS max_id
+       FROM enc GROUP BY doc_id ORDER BY doc_id""",
+    "Vocabulary build + dictionary encoding — the tokenize-to-ids step of "
+    "every training-data pipeline: token ids are assigned by corpus "
+    "frequency (rank 1 = most frequent; ties broken by token, a total "
+    "order, so the id map is deterministic), then each document is "
+    "re-encoded and profiled (token count, id-sum checksum, min/max id). "
+    "Scale: the frequency count is one map-side-combined shuffle; the id "
+    "assignment is a window over the DISTINCT-TOKEN table — "
+    "domain-bounded (vocab ≪ corpus), the standard single-sort dictionary "
+    "build; the encode join hashes tokens against the vocab (broadcast "
+    "when the vocab fits); re-tokenizing the corpus for the encode pass "
+    "is deliberate — cheaper at scale than materializing the exploded "
+    "token stream.",
+)
+def q_vocab_encode(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions import text as X
+
+    def toks(df):
+        return df.select(
+            "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok")
+        )
+
+    docs = _t(spark, sf_dir, "documents", parallel=True)
+    freq = toks(docs).groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.orderBy(F.desc("n"), "tok")
+    vocab = freq.select(
+        "tok", F.dense_rank().over(wv).cast("long").alias("tid")
+    )
+    enc = toks(docs).join(vocab, "tok").select("doc_id", "tid")
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tid").cast("long").alias("sum_ids"),
+            F.min("tid").cast("long").alias("min_id"),
+            F.max("tid").cast("long").alias("max_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# =========================================================================
+# Physical-file lineage audit
+# =========================================================================
+
+
+@register(
+    "q_file_lineage",
+    # The one oracle that cannot run on the pre-registered views: DuckDB
+    # exposes the source file only through read_parquet(filename=true).
+    # Both the driver gate and the pytest oracle harness compare at
+    # EXACTLY sf0.01 (tests/conftest.ORACLE_SF), so the literal path is
+    # the same dataset the Spark side receives as sf_dir.
+    """SELECT parse_filename(filename) AS file_name,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(min(l_orderkey) AS BIGINT) AS min_key,
+              CAST(max(l_orderkey) AS BIGINT) AS max_key
+       FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet',
+                         filename=true)
+       GROUP BY file_name ORDER BY file_name""",
+    "Physical-file lineage audit via the hidden ``_metadata`` struct "
+    "(Spark 3.2+): rows and key span per source parquet file — the "
+    "manifest query behind incremental backfills, bad-file quarantine, "
+    "and compaction verification. The fixture table is one file; at "
+    "scale this is the per-file freshness/row-count report over "
+    "thousands of scan files, computed in the SAME pass as the scan "
+    "(the metadata column is constant-folded per file, no extra IO). "
+    "Scale: one map-side-combined aggregate keyed by file name.",
+)
+def q_file_lineage(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.sources import load_fixture
+
+    li = load_fixture(spark, "lineitem", sf_dir)
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"), "l_orderkey")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").cast("long").alias("min_key"),
+            F.max("l_orderkey").cast("long").alias("max_key"),
+        )
+        .orderBy("file_name")
+    )
+
+
+# =========================================================================
+# Degree distribution of the co-purchase graph
+# =========================================================================
+
+
+@register(
+    "q_degree_dist",
+    """WITH e0 AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+                   FROM lineitem),
+       edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges
+               GROUP BY src)
+       SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(min(d) AS BIGINT) AS min_deg,
+              CAST(max(d) AS BIGINT) AS max_deg
+       FROM deg GROUP BY bucket ORDER BY bucket""",
+    "Log2-bucketed degree distribution of the symmetrized part<->supplier "
+    "graph — the probe you run BEFORE any graph algorithm (CC, PageRank, "
+    "triangles) to see whether high-degree hubs will dominate a round. "
+    "The bucket is length(bin(d))-1 = floor(log2 d) computed on INTEGER "
+    "bit length, never libm log2 (whose last-ulp rounding differs across "
+    "engines — SURVEY §7.4 / the oracle-determinism rules). Scale: "
+    "distinct-edge shuffle, per-node degree count, then a ~10-key "
+    "histogram aggregate — all map-side combined.",
+)
+def q_degree_dist(spark, sf_dir):
+    e0 = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg.select((F.length(F.bin("d")) - 1).cast("long").alias("bucket"), "d")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").cast("long").alias("min_deg"),
+            F.max("d").cast("long").alias("max_deg"),
+        )
+        .orderBy("bucket")
+    )

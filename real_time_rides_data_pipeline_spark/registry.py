@@ -102,6 +102,7 @@ def check_priority() -> tuple[str, ...]:
         "q_pagerank", "q_bpe_pairs", "q_null_impute", "q_stream_decayed",
         "q_attribution_lasttouch", "q_skew_report", "q_burst_detect",
         "q_embed_dimstats", "q_union_evolve", "q_snapshot_diff",
+        "q_vocab_encode", "q_file_lineage", "q_degree_dist",
         "q_malformed_filter", "q_struct_star",
     )
 

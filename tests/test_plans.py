@@ -893,3 +893,34 @@ def test_snapshot_diff_full_outer_prunes_columns(spark):
     ), schema_lines
     assert "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_vocab_encode_no_allpairs_no_python(spark):
+    """Vocab build + encode stays in JVM equi-joins: no cartesian pairing,
+    no Python, and the single-partition exchange is ONLY the
+    domain-bounded vocab id sort, never the token stream."""
+    plan = _plan(spark, "q_vocab_encode")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_file_lineage_single_scan_aggregate(spark):
+    """The lineage audit is the scan itself + one map-side-combined
+    aggregate on the metadata file name — no join, no second pass."""
+    plan = _plan(spark, "q_file_lineage")
+    # one scan node = one "Location:" detail entry (the tree line and its
+    # detail section both say "Scan parquet", so count the unique marker)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_degree_dist_compact_aggregates_only(spark):
+    """Distinct-edge dedup, per-node degree, ~10-bucket histogram — all
+    map-side-combined aggregates, no join anywhere."""
+    plan = _plan(spark, "q_degree_dist")
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
