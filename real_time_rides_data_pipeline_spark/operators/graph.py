@@ -245,7 +245,15 @@ def pagerank_int(
     """
     e = edges.select("src", "dst").distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
-    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    # Hash-partition the edge table on the join key BEFORE checkpointing:
+    # LogicalRDD preserves outputPartitioning, so every iteration's
+    # join(ranks, src == node) reuses the edge-side layout and only the
+    # (much smaller) rank table shuffles — 2 exchanges per round instead
+    # of 3, and the big shuffle happens exactly once for any iteration
+    # count.
+    ed = e.join(deg, "src").repartition(F.col("src")).localCheckpoint(
+        eager=False
+    )
     nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=False
     )
