@@ -1,0 +1,526 @@
+"""Round-7 continuation (second wave): sketch / ranking / privacy /
+cogroup / streaming-session operators.
+
+Same registry contract as queries.py (SURVEY.md §2.9 scope). Determinism
+rules (SURVEY §7.4) throughout: exact integer ppm/cents/counts, floor
+(`DIV` / `//`) division only — both engines truncate identically on the
+all-positive operands used here — and every ORDER BY tied off by a total
+order.
+
+What this module adds (each a genuinely distinct surface, none previously
+registered):
+
+- ``q_gini_impurity`` — class-balance (Gini) impurity of the language
+  distribution per source: the dataset-mix health metric a curation
+  pipeline tracks per shard. Gini is a RATIONAL statistic
+  (1 - Σ(cᵢ/n)²), so unlike entropy it is exactly computable in integer
+  ppm with no cross-engine log drift.
+- ``q_kanon_suppress`` — k-anonymity suppression over quasi-identifiers
+  (nation, market segment): groups smaller than k get their QI columns
+  nulled. The privacy primitive next to the existing ``q_pii_redact``
+  (which masks direct identifiers); one window shuffle.
+- ``q_bm25_topk`` — BM25-style per-document term ranking in EXACT integer
+  arithmetic: true tf-saturation (k1=1.2) and length normalization
+  (b=0.75) via scaled-integer floor division, and the (N-df+0.5)/(df+0.5)
+  idf ODDS kept as an exact rational in ppm instead of its log — per
+  term the log is a monotone transform of the odds, so rare-vs-common
+  discrimination is preserved while no float (and no non-portable log)
+  ever appears; tests pin that the integer pipeline ranks identically
+  to real-arithmetic evaluation of the same formula. Complements
+  ``q_tfidf_topk`` (pure tf/df) with the production ranking function.
+- ``q_cms_heavy_hitters`` — a distributed COUNT-MIN SKETCH built from
+  DataFrame ops (depth 4 × width 1024 via seeded xxhash64, one hash-agg
+  shuffle, like operators/bloom.py's design), probed for the top-10 exact
+  heavy hitters. The sketch's hard guarantee (estimate ≥ true count,
+  always) and its ε=2/W error bound are attested Spark-side as boolean
+  columns; the exact counts are value-checked against DuckDB.
+- ``q_cogroup_asof`` — the CoGroupedData.applyInPandas surface (the
+  FOURTH Pandas API next to mapInPandas / grouped-map / WithState, not
+  previously exercised): per-user pandas.merge_asof of purchases against
+  the latest prior click. Semantically the as-of family (q_asof_join);
+  this key pins the cogroup plumbing — two shuffles co-partitioning both
+  sides, one Arrow batch per (key, side). Scale note: like grouped-map,
+  cogroup loads one whole group per side per batch — fine on bounded
+  per-user event counts, giant-key hazard otherwise (the JVM
+  union+window as-of in operators/joins.py stays the scale default).
+- ``q_stream_session`` — session windows (30 min gap) driven as a REAL
+  2-micro-batch stream with watermark + sentinel flush: the streaming
+  twin of batch ``q_window_session``, exercising Spark's session-window
+  STATE MERGE across micro-batches (a session straddling the batch
+  boundary must come out as one row). Oracle = the batch gaps-and-islands
+  SQL on the same subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_rides_data_pipeline_spark.functions import text as X
+from real_time_rides_data_pipeline_spark.registry import _t, register
+
+# =========================================================================
+# Dataset-mix health: exact rational Gini impurity
+# =========================================================================
+
+
+@register(
+    "q_gini_impurity",
+    """WITH cl AS (
+         SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+         FROM documents GROUP BY source, lang
+       ), s AS (
+         SELECT source,
+                CAST(sum(c * c) AS BIGINT) AS sumsq,
+                CAST(sum(c) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS n_langs
+         FROM cl GROUP BY source
+       )
+       SELECT source, n AS n_docs, n_langs,
+              1000000 - (1000000 * sumsq) // (n * n) AS gini_ppm
+       FROM s""",
+    "Gini impurity of the language mix per source, exact integer ppm: "
+    "1e6 - floor(1e6*Σc²/n²). Gini is rational (unlike Shannon entropy, "
+    "whose log is not bit-portable across engines), so the impurity a "
+    "curation dashboard tracks per shard is reproducible to the last "
+    "digit. Two hash-agg shuffles, both map-side combining; the second "
+    "groups |sources| rows. No float anywhere.",
+)
+def q_gini_impurity(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cl.groupBy("source")
+        .agg(
+            F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_langs"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "n_langs",
+            F.expr("1000000 - (1000000 * sumsq) DIV (n * n)").alias("gini_ppm"),
+        )
+    )
+
+
+# =========================================================================
+# Privacy: k-anonymity suppression
+# =========================================================================
+
+_KANON_K = 10
+
+
+@register(
+    "q_kanon_suppress",
+    f"""SELECT c_custkey,
+              CASE WHEN n >= {_KANON_K} THEN c_nationkey END AS nation_qi,
+              CASE WHEN n >= {_KANON_K} THEN c_mktsegment END AS segment_qi,
+              n AS group_n,
+              n < {_KANON_K} AS suppressed
+       FROM (SELECT c_custkey, c_nationkey, c_mktsegment,
+                    CAST(count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                         AS BIGINT) AS n
+             FROM customer)""",
+    "k-anonymity suppression (k=10) over the quasi-identifier pair "
+    "(nation, market segment): every row whose QI group has fewer than k "
+    "members gets both QI columns nulled, so no released row is "
+    "re-identifiable to better than k candidates. One window shuffle on "
+    "the QI key (count over an unordered partition needs no sort); the "
+    "direct-identifier sibling is q_pii_redact. At 100 TB the QI "
+    "cardinality (125 groups here) is tiny relative to data, so the "
+    "window degenerates to a broadcast-joined group-size dimension.",
+)
+def q_kanon_suppress(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    k = F.lit(_KANON_K)
+    return c.select(
+        "c_custkey",
+        F.count(F.lit(1)).over(w).alias("n"),
+        "c_nationkey",
+        "c_mktsegment",
+    ).select(
+        "c_custkey",
+        F.when(F.col("n") >= k, F.col("c_nationkey")).alias("nation_qi"),
+        F.when(F.col("n") >= k, F.col("c_mktsegment")).alias("segment_qi"),
+        F.col("n").alias("group_n"),
+        (F.col("n") < k).alias("suppressed"),
+    )
+
+
+# =========================================================================
+# Ranking: integer-exact BM25
+# =========================================================================
+
+
+@register(
+    "q_bm25_topk",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         FROM documents
+       ), tf_t AS (
+         SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM tok GROUP BY doc_id, term
+       ), dl_t AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+       ), df_t AS (
+         SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_t GROUP BY term
+       ), corpus AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(dl) AS BIGINT) AS sum_dl
+         FROM dl_t
+       ), scored AS (
+         SELECT t.doc_id, t.term, t.tf, d.df, l.dl,
+                (((t.tf * 2200000000000)
+                  // (t.tf * 1000000
+                      + (120 * (250000
+                                + (75 * ((l.dl * 1000000 * c.n_docs) // c.sum_dl))
+                                  // 100))
+                        // 100))
+                 * (((2 * (c.n_docs - d.df) + 1) * 1000000) // (2 * d.df + 1)))
+                // 1000000 AS score_ppm
+         FROM tf_t t
+         JOIN df_t d ON t.term = d.term
+         JOIN dl_t l ON t.doc_id = l.doc_id
+         CROSS JOIN corpus c
+       )
+       SELECT doc_id, term, tf, df, dl, score_ppm, rk
+       FROM (SELECT *, row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY score_ppm DESC, tf DESC, term ASC) AS rk
+             FROM scored)
+       WHERE rk <= 3""",
+    "BM25 per-doc top-3 terms, bit-exact: saturation tf*(k1+1)/(tf + "
+    "k1*(1-b+b*dl/avgdl)) with k1=1.2, b=0.75 computed in scaled-integer "
+    "floor division (ppm), multiplied by the exact idf ODDS "
+    "(2(N-df)+1)*1e6 DIV (2df+1) — the rational inside BM25's log, a "
+    "monotone surrogate that never touches float. Shuffles: (doc,term) "
+    "tf agg, term df agg (vocab-sized, shuffle-joined), doc_id dl agg, "
+    "1-row corpus scalar cross-joined, then one window per doc. The "
+    "operand chain is overflow-audited: tf*2.2e12 ≤ 1e16 and "
+    "sat_ppm*odds_ppm ≤ 8e15 at any realistic corpus size.",
+)
+def q_bm25_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))  # 1-row scalar join
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "dl",
+            F.expr(
+                """(((tf * 2200000000000L)
+                     DIV (tf * 1000000L
+                          + (120 * (250000
+                                    + (75 * ((dl * 1000000L * n_docs) DIV sum_dl))
+                                      DIV 100))
+                            DIV 100))
+                    * (((2 * (n_docs - df) + 1) * 1000000L) DIV (2 * df + 1)))
+                   DIV 1000000L"""
+            ).alias("score_ppm"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_ppm"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "dl", "score_ppm", "rk")
+    )
+
+
+# =========================================================================
+# Sketch: distributed count-min with hard-guarantee attestation
+# =========================================================================
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+@register(
+    "q_cms_heavy_hitters",
+    """SELECT term, exact_cnt, TRUE AS no_underestimate, TRUE AS within_eps
+       FROM (SELECT t AS term, CAST(count(*) AS BIGINT) AS exact_cnt
+             FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+                   FROM documents)
+             GROUP BY t
+             ORDER BY exact_cnt DESC, term ASC
+             LIMIT 10)""",
+    "Distributed count-min sketch (operators/cms.py; depth 4 × width "
+    "1024, seeded xxhash64 rows — same public-primitive build as "
+    "operators/bloom.py): token "
+    "occurrences hash to (row, bucket) cells, ONE map-side-combining "
+    "shuffle aggregates cell counts (the sketch is ≤4096 rows regardless "
+    "of data size — mergeable across shards by cell-wise +). The top-10 "
+    "exact heavy hitters probe it: estimate = min over rows of the cell "
+    "count. Driver-checked columns: the exact counts (vs DuckDB) plus "
+    "two Spark-side attestations — no_underestimate (est ≥ exact, the "
+    "CMS hard guarantee, must ALWAYS hold) and within_eps (est ≤ exact + "
+    "2·N/W, the ε=2/W bound). The estimates themselves stay internal "
+    "(xxhash64 has no DuckDB twin).",
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.cms import (
+        build_cms,
+        estimate_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+    sketch = build_cms(tok, "term", _CMS_DEPTH, _CMS_WIDTH)
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))  # 1 row
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(10)
+    probed = estimate_counts(top, "term", sketch, _CMS_DEPTH, _CMS_WIDTH).crossJoin(
+        F.broadcast(total)  # 1-row scalar join
+    )
+    return probed.select(
+        "term",
+        "exact_cnt",
+        (F.col("est") >= F.col("exact_cnt")).alias("no_underestimate"),
+        (
+            F.col("est")
+            <= F.col("exact_cnt") + F.expr(f"(2 * n_total) DIV {_CMS_WIDTH}")
+        ).alias("within_eps"),
+    )
+
+
+# =========================================================================
+# CoGrouped applyInPandas: per-user as-of match
+# =========================================================================
+
+
+@register(
+    "q_cogroup_asof",
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+              c.click_id, c.gap_s
+       FROM (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'purchase') p
+       LEFT JOIN LATERAL (
+           SELECT c.event_id AS click_id,
+                  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+           FROM events c
+           WHERE c.event_type = 'click'
+             AND c.user_id = p.user_id
+             AND c.ts <= p.ts
+           ORDER BY c.ts DESC, c.event_id DESC
+           LIMIT 1) c ON TRUE""",
+    "CoGroupedData.applyInPandas — the fourth Pandas API surface (after "
+    "mapInPandas, grouped-map, applyInPandasWithState): purchases and "
+    "clicks cogroup per user_id, pandas.merge_asof matches each purchase "
+    "to the LATEST click at-or-before it (ties on ts broken by max "
+    "event_id via the secondary sort — the same total order the LATERAL "
+    "oracle uses). gap_s is exact integer floor-seconds. Plan: both "
+    "sides shuffle once to co-partition on user_id, one Arrow batch per "
+    "(user, side). Scale caveat as grouped-map: a whole group per batch; "
+    "bounded per-user event counts here, JVM union+window as-of "
+    "(operators/joins.py) is the giant-key default.",
+)
+def q_cogroup_asof(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    ts_type = purchases.schema["ts"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("purchase_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("purchase_ts", ts_type),
+            T.StructField("click_id", T.LongType()),
+            T.StructField("gap_s", T.LongType()),
+        ]
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(left) == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema.fields}
+            )
+        left = left.sort_values(["ts", "event_id"]).rename(
+            columns={"event_id": "purchase_id"}
+        )
+        right = right.sort_values(["ts", "event_id"]).rename(
+            columns={"event_id": "click_id", "ts": "click_ts"}
+        )[["click_ts", "click_id"]]
+        if len(right):
+            m = pd.merge_asof(
+                left, right, left_on="ts", right_on="click_ts",
+                direction="backward",
+            )
+        else:
+            m = left.copy()
+            m["click_ts"] = pd.NaT
+            m["click_id"] = np.nan
+        # Exact floor-seconds: the timedelta is < 2^53 µs, so
+        # total_seconds() is exact to the microsecond and floor is safe.
+        # NaN (no prior click) survives floor and becomes NA in the
+        # nullable Int64 via the Float64 hop (a direct float->Int64
+        # astype raises on NaN).
+        secs = (m["ts"] - m["click_ts"]).dt.total_seconds()
+        gap_s = (
+            pd.Series(np.floor(secs.to_numpy(dtype="float64")), index=m.index)
+            .astype("Float64")
+            .astype("Int64")
+        )
+        return pd.DataFrame(
+            {
+                "purchase_id": m["purchase_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "purchase_ts": m["ts"],
+                "click_id": m["click_id"].astype("Float64").astype("Int64"),
+                "gap_s": gap_s,
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(asof, out_schema)
+    )
+
+
+# =========================================================================
+# Streaming session windows (real 2-micro-batch stream)
+# =========================================================================
+
+
+@register(
+    "q_stream_session",
+    """WITH sub AS (
+         SELECT user_id, ts, event_id FROM events WHERE event_id % 5 = 0
+       ), marked AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE OR
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+         FROM sub
+       ), islands AS (
+         SELECT user_id, ts, event_id,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+         FROM marked
+       )
+       SELECT user_id, min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM islands GROUP BY user_id, session_no""",
+    "Session windows (30 min gap) as a REAL 2-micro-batch stream — the "
+    "streaming twin of batch q_window_session, exercising session-window "
+    "STATE MERGE: a session straddling the micro-batch boundary (batch 1 "
+    "= pre-Jan-15, batch 2 = rest) must surface as ONE merged row. "
+    "Watermark 10 min bounds state; append mode emits a session only "
+    "once the watermark proves it closed, so two far-future sentinel "
+    "batches (user_id -1/-2, +72/+73 h, pyarrow-appended and "
+    "os.rename'd in — see q_stream_stream_join_outer for both hazards) "
+    "flush the tail. Sentinel rows are filtered from the SINK table, "
+    "never in-stream (a pushed-down filter would starve the watermark). "
+    "Oracle = batch gaps-and-islands on the same subset.",
+)
+def q_stream_session(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("user_id", "ts", "event_id")
+    )
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    work = tempfile.mkdtemp(prefix="sesstream_")
+    inp = f"{work}/in"
+    early = ev.filter(F.col("ts") < cutoff)
+    early.coalesce(1).write.parquet(inp)
+    late = ev.filter(F.col("ts") >= cutoff)
+    max_us = ev.agg(F.unix_micros(F.max("ts").cast("timestamp"))).first()[0]
+
+    schema = ev.schema
+    stream = parquet_stream(spark, inp, schema, max_files_per_trigger=1)
+    sessions = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("event_id").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"sesstream_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: sessions open, state held
+            late.coalesce(1).write.mode("append").parquet(inp)
+            q.processAllAvailable()  # batch 2: straddling sessions merge
+            # Sentinel flush — pyarrow append + atomic rename (batch N's
+            # eviction uses the watermark computed at the END of batch
+            # N-1, hence two appends; timestamps carried as epoch micros
+            # end-to-end, see q_stream_stream_join_outer).
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            ntz = isinstance(schema["ts"].dataType, T.TimestampNTZType)
+            pa_ts = pa.timestamp("us") if ntz else pa.timestamp("us", tz="UTC")
+            pa_schema = pa.schema(
+                [("user_id", pa.int64()), ("ts", pa_ts), ("event_id", pa.int64())]
+            )
+            for hours, uid in ((72, -1), (73, -2)):
+                sentinel_us = max_us + hours * 3_600_000_000
+                tbl = pa.table(
+                    {
+                        "user_id": pa.array([uid], pa.int64()),
+                        "ts": pa.array([sentinel_us], pa.int64()).cast(pa_ts),
+                        "event_id": pa.array([-1], pa.int64()),
+                    },
+                    schema=pa_schema,
+                )
+                staged = f"{work}/stage-{hours}.parquet"
+                pq.write_table(tbl, staged)
+                os.rename(staged, f"{inp}/sentinel-{hours}.parquet")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).filter(F.col("user_id") >= 0)

@@ -41,6 +41,7 @@ def registry() -> dict[str, QuerySpec]:
     import real_time_rides_data_pipeline_spark.queries_analytics  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_curate  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_ext  # noqa: F401
+    import real_time_rides_data_pipeline_spark.queries_mining  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_olap  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_ops  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_scale  # noqa: F401
@@ -103,6 +104,8 @@ def check_priority() -> tuple[str, ...]:
         "q_attribution_lasttouch", "q_skew_report", "q_burst_detect",
         "q_embed_dimstats", "q_union_evolve", "q_snapshot_diff",
         "q_vocab_encode", "q_file_lineage", "q_degree_dist",
+        "q_gini_impurity", "q_kanon_suppress", "q_bm25_topk",
+        "q_cms_heavy_hitters", "q_cogroup_asof", "q_stream_session",
         "q_malformed_filter", "q_struct_star",
     )
 

@@ -562,3 +562,159 @@ def test_bloom_saturation_warns_but_stays_correct(spark):
         warnings.simplefilter("always")
         B.build_bloom_words(big, "g", m_bits=1 << 17, k=4)
     assert not any("saturated" in str(w.message) for w in caught)
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    """Count-min hard guarantee: est >= exact for EVERY key (not just the
+    heavy hitters the query emits) on a skewed synthetic multiset; and
+    min-over-depth keeps the overestimate within eps*N (eps = 2/width)
+    for every probed key on this deterministic input."""
+    from real_time_rides_data_pipeline_spark.operators.cms import (
+        build_cms,
+        estimate_counts,
+    )
+
+    # Zipf-ish multiset: key i repeats (200 // (i + 1)) + 1 times.
+    vals = spark.range(200).selectExpr(
+        "explode(transform(sequence(1, 200 div (id + 1) + 1), x -> concat('w', id))) AS v"
+    )
+    depth, width = 4, 64  # deliberately tight width to force collisions
+    sketch = build_cms(vals, "v", depth, width)
+    exact = vals.groupBy("v").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = estimate_counts(exact, "v", sketch, depth, width)
+    n_total = vals.count()
+    rows = est.collect()
+    assert len(rows) == 200
+    assert all(r["est"] >= r["exact_cnt"] for r in rows), "CMS underestimated"
+    bound = n_total * 2 // width
+    assert all(r["est"] <= r["exact_cnt"] + bound for r in rows), (
+        "min-over-depth exceeded the eps=2/width bound on deterministic input"
+    )
+
+
+def test_cms_absent_key_estimates_zero_or_collision(spark):
+    """A never-inserted key must estimate 0 unless every one of its depth
+    cells collides — with depth 4 over a sparse sketch, 0 here."""
+    from real_time_rides_data_pipeline_spark.operators.cms import (
+        build_cms,
+        estimate_counts,
+    )
+
+    vals = spark.range(4).selectExpr("concat('in', id) AS v")
+    sketch = build_cms(vals, "v", 4, 1024)
+    probe = spark.range(1).selectExpr("'never-inserted' AS v")
+    r = estimate_counts(probe, "v", sketch, 4, 1024).collect()[0]
+    assert r["est"] == 0
+
+
+def test_cogroup_asof_tie_and_missing_semantics(spark):
+    """q_cogroup_asof's pandas merge_asof must (a) allow exact ts matches,
+    (b) break click-ts ties by MAX event_id (the secondary sort), (c) emit
+    NULLs for a purchase with no prior click, and (d) emit nothing for a
+    user with clicks but no purchases — the same total order the LATERAL
+    oracle declares."""
+    import tempfile
+    from datetime import datetime
+
+    from real_time_rides_data_pipeline_spark.queries_mining import q_cogroup_asof
+
+    d = tempfile.mkdtemp(prefix="cgasof_")
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 12, 5, 0)
+    rows = [
+        # user 1: two clicks TIED at t0 (ids 10, 11), purchase AT t0 (id 20)
+        (10, t0, 1, "click"),
+        (11, t0, 1, "click"),
+        (20, t0, 1, "purchase"),
+        # user 1: later purchase at t1 -> still the t0 clicks, id 11 wins
+        (21, t1, 1, "purchase"),
+        # user 2: purchase BEFORE its only click -> no match
+        (30, t0, 2, "purchase"),
+        (31, t1, 2, "click"),
+        # user 3: clicks only -> no output row
+        (40, t0, 3, "click"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(f"{d}/events.parquet")
+    out = {r["purchase_id"]: r for r in q_cogroup_asof(spark, d).collect()}
+    assert set(out) == {20, 21, 30}
+    assert out[20]["click_id"] == 11 and out[20]["gap_s"] == 0
+    assert out[21]["click_id"] == 11 and out[21]["gap_s"] == 300
+    assert out[30]["click_id"] is None and out[30]["gap_s"] is None
+
+
+def test_kanon_every_released_group_has_k_members(spark):
+    """The k-anonymity invariant itself: among rows with non-null QI, every
+    (nation, segment) combination appears >= k times; suppressed rows
+    carry BOTH QI columns null."""
+    from real_time_rides_data_pipeline_spark.queries_mining import (
+        _KANON_K,
+        q_kanon_suppress,
+    )
+
+    # sf0.01, not SMOKE_SF: at sf0.001 every QI group is < k (150 customers
+    # over 125 groups), which would make the released-side check vacuous.
+    rows = q_kanon_suppress(spark, "/root/testdata/sf0.01").collect()
+    released: dict[tuple, int] = {}
+    for r in rows:
+        if r["suppressed"]:
+            assert r["nation_qi"] is None and r["segment_qi"] is None
+        else:
+            key = (r["nation_qi"], r["segment_qi"])
+            assert r["nation_qi"] is not None and r["segment_qi"] is not None
+            released[key] = released.get(key, 0) + 1
+    assert released, "expected at least one released group at smoke SF"
+    assert all(n >= _KANON_K for n in released.values())
+
+
+def test_bm25_integer_pipeline_ranks_like_real_arithmetic(spark):
+    """The scaled-integer floor-division pipeline must produce the SAME
+    per-doc top-3 (and ordering) as REAL-arithmetic evaluation of the
+    same formula — sat(tf, dl; k1=1.2, b=0.75) × odds(df) — computed in
+    Python floats on the same corpus: the ppm quantization must never
+    reorder terms beyond what the documented tie-break absorbs."""
+    import duckdb
+
+    from real_time_rides_data_pipeline_spark.queries_mining import q_bm25_topk
+    from tests.conftest import SMOKE_SF
+
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from '{SMOKE_SF}/documents.parquet'"
+    )
+    toks = con.sql(
+        """SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+           FROM documents"""
+    ).fetchall()
+    tf: dict[tuple, int] = {}
+    dl: dict[int, int] = {}
+    for doc, t in toks:
+        tf[(doc, t)] = tf.get((doc, t), 0) + 1
+        dl[doc] = dl.get(doc, 0) + 1
+    dfreq: dict[str, int] = {}
+    for (_, t), _n in tf.items():
+        dfreq[t] = dfreq.get(t, 0) + 1
+    n_docs, sum_dl = len(dl), sum(dl.values())
+    avgdl = sum_dl / n_docs
+
+    def fscore(doc, t):
+        k1, b = 1.2, 0.75
+        f = tf[(doc, t)]
+        sat = f * (k1 + 1) / (f + k1 * (1 - b + b * dl[doc] / avgdl))
+        odds = (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+        return sat * odds
+
+    expected = {}
+    for doc in dl:
+        terms = sorted(
+            (t for (dd, t) in tf if dd == doc),
+            key=lambda t: (-fscore(doc, t), -tf[(doc, t)], t),
+        )[:3]
+        expected[doc] = terms
+    got: dict[int, list] = {}
+    for r in sorted(
+        q_bm25_topk(spark, SMOKE_SF).collect(), key=lambda r: (r["doc_id"], r["rk"])
+    ):
+        got.setdefault(r["doc_id"], []).append(r["term"])
+    assert got == expected

@@ -924,3 +924,53 @@ def test_degree_dist_compact_aggregates_only(spark):
     assert "partial_count" in plan, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_gini_compact_aggregates_no_join(spark):
+    """Two map-side-combined hash aggregates, the second over |sources|
+    rows — no join, no Python, no window."""
+    plan = _plan(spark, "q_gini_impurity")
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_kanon_single_window_exchange_pruned_scan(spark):
+    """One hash exchange on the QI key (unordered window count needs no
+    sort-based frame per row beyond the partition sort) and the scan must
+    read only the 3 referenced customer columns."""
+    plan = _plan(spark, "q_kanon_suppress")
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "c_acctbal" not in schema_line, schema_line
+    assert "c_name" not in schema_line, schema_line
+
+
+def test_bm25_no_cartesian_beyond_scalar_and_jvm_only(spark):
+    """The only nested-loop is the 1-row corpus-stats scalar join; tf/df/dl
+    joins are hash equi-joins and nothing executes in Python."""
+    plan = _plan(spark, "q_bm25_topk")
+    assert "CartesianProduct" not in plan, plan
+    # one BNLJ instance = two mentions (tree line + detail header)
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "Python" not in plan, plan
+
+
+def test_cms_sketch_broadcasts_and_topk_takeordered(spark):
+    """The (<=4096-row) sketch must BROADCAST into the probe join, the
+    heavy-hitter top-10 must be TakeOrdered (no global sort), and the
+    whole pipeline stays JVM-side."""
+    plan = _plan(spark, "q_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_cogroup_asof_plan_shape(spark):
+    """The cogroup surface: FlatMapCoGroupsInPandas over both sides
+    co-partitioned on user_id, with each side's event_type filter pushed
+    into its parquet scan."""
+    plan = _plan(spark, "q_cogroup_asof")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert pushed and all("event_type" in ln for ln in pushed), pushed
