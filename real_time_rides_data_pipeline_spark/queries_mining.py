@@ -49,6 +49,22 @@ registered):
   STATE MERGE across micro-batches (a session straddling the batch
   boundary must come out as one row). Oracle = the batch gaps-and-islands
   SQL on the same subset.
+
+Third wave (same module):
+
+- ``q_domain_cap`` — RefinedWeb-style per-domain cap: at most K docs per
+  source by a deterministic engine-portable shuffle (md5 of the doc id),
+  the exact-K complement of rate-based ``q_stratified_sample``.
+- ``q_join_cardinality_estimate`` — exact join-size prediction from
+  per-key counts on both sides, the pre-flight skew/cost diagnostic.
+- ``q_quantile_bins`` — equal-frequency decile binning via unpartitioned
+  ntile: deliberately the EXACT twin (single-partition sort, documented
+  anti-pattern at scale) that ``q_approx_quantile``'s boundaries are
+  judged against.
+- ``q_chi2_cells`` — contingency-table independence audit in exact
+  integers: per-cell observed vs independence-expected (micros) and the
+  scaled chi-square-numerator deviation; the categorical×categorical
+  sibling of ``q_ks_drift``.
 """
 
 from __future__ import annotations
@@ -339,11 +355,24 @@ def q_cogroup_asof(spark, sf_dir):
     from pyspark.sql import types as T
 
     ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    # Pin the key-hash partitioning at cluster parallelism: the explicit
+    # repartition(n, key) satisfies the cogroup's required distribution
+    # (no second exchange) and its user-specified partition count is
+    # exempt from AQE coalescing — without it AQE shrinks this tiny
+    # shuffle to ONE partition and all ~1.5k per-user pandas calls run
+    # serially in a single Python worker (measured 15 s -> sub-second at
+    # sf0.1). At real scale the shuffle is big enough that AQE never
+    # coalesces to 1 and the pin is simply the normal shuffle width.
+    n_parts = spark.sparkContext.defaultParallelism
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .repartition(n_parts, "user_id")
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .repartition(n_parts, "user_id")
     )
     ts_type = purchases.schema["ts"].dataType
     out_schema = T.StructType(
@@ -524,3 +553,202 @@ def q_stream_session(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+# =========================================================================
+# Curation: deterministic per-domain cap (RefinedWeb-style)
+# =========================================================================
+
+_DOMAIN_CAP = 20
+
+
+@register(
+    "q_domain_cap",
+    f"""SELECT doc_id, source, pick_rank
+       FROM (SELECT doc_id, source,
+                    row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ) AS pick_rank
+             FROM documents)
+       WHERE pick_rank <= {_DOMAIN_CAP}""",
+    "Per-domain cap (RefinedWeb/FineWeb curation stage): keep at most "
+    f"{_DOMAIN_CAP} documents per source, chosen by a deterministic "
+    "engine-portable shuffle — md5 of the doc id's decimal string (md5 is "
+    "bit-identical in Spark and DuckDB, unlike xxhash64), doc_id "
+    "tie-break. Unlike q_stratified_sample's RATE-based thinning this is "
+    "an exact-K guarantee per group, the shape used to stop any one "
+    "domain from dominating a pretraining mix. One window shuffle on "
+    "source; rank computation is a WindowGroupLimit (top-K per group "
+    "pushed below the full sort) at any scale.",
+)
+def q_domain_cap(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= _DOMAIN_CAP)
+    )
+
+
+# =========================================================================
+# Planner diagnostic: exact join-cardinality prediction
+# =========================================================================
+
+
+@register(
+    "q_join_cardinality_estimate",
+    """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_click
+                  FROM events WHERE event_type = 'click' GROUP BY user_id),
+            v AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_view
+                  FROM events WHERE event_type = 'view' GROUP BY user_id)
+       SELECT c.user_id, c.n_click, v.n_view,
+              c.n_click * v.n_view AS pair_count
+       FROM c JOIN v ON c.user_id = v.user_id""",
+    "Exact join-cardinality prediction — the planner/skew diagnostic run "
+    "BEFORE a big key join: per-key row counts on both sides, multiplied "
+    "= exactly how many rows the equi-join on that key will produce, "
+    "without executing it. The two per-key aggregates shuffle once each "
+    "(map-side combined) and join at |keys| rows — at 100 TB this costs "
+    "two count-aggregates instead of the join's full output, which is "
+    "how you discover the 10^12-row key BEFORE it takes the cluster "
+    "down (companion to q_skew_report's single-side view).",
+)
+def q_join_cardinality_estimate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_view"))
+    )
+    return clicks.join(views, "user_id").select(
+        "user_id",
+        "n_click",
+        "n_view",
+        (F.col("n_click") * F.col("n_view")).alias("pair_count"),
+    )
+
+
+# =========================================================================
+# Feature engineering: equal-frequency binning
+# =========================================================================
+
+
+@register(
+    "q_quantile_bins",
+    """WITH t AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id
+         FROM events
+       )
+       SELECT bin,
+              CAST(count(*) AS BIGINT) AS n,
+              min(cents) AS lo_cents,
+              max(cents) AS hi_cents
+       FROM (SELECT cents,
+                    ntile(10) OVER (ORDER BY cents, event_id) AS bin
+             FROM t)
+       GROUP BY bin""",
+    "Equal-frequency binning (decile feature buckets) over value-cents: "
+    "ntile(10) over the total order (cents, event_id) then per-bin "
+    "count/lo/hi — the discretization stage of feature pipelines and the "
+    "exact twin of what approx_percentile boundaries approximate. The "
+    "UNPARTITIONED ntile forces a single-partition sort — correct but "
+    "the documented anti-pattern at 100 TB (see q_approx_quantile for "
+    "the scale path: approx boundaries + a narrow bucket-assign map); "
+    "this key exists to pin the exact semantics the approximation is "
+    "judged against. Ten output rows.",
+)
+def q_quantile_bins(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        cents(F.col("value")).alias("cents"), "event_id"
+    )
+    w = Window.orderBy("cents", "event_id")
+    return (
+        ev.select("cents", F.ntile(10).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+# =========================================================================
+# Statistical audit: contingency-table independence deviations
+# =========================================================================
+
+
+@register(
+    "q_chi2_cells",
+    """WITH t AS (
+         SELECT event_type, CAST(round(value * 100) AS BIGINT) >= 5000 AS hi
+         FROM events
+       ), cell AS (
+         SELECT event_type, hi, CAST(count(*) AS BIGINT) AS observed
+         FROM t GROUP BY event_type, hi
+       ), tot AS (
+         SELECT CAST(sum(observed) AS BIGINT) AS n FROM cell
+       ), rt AS (
+         SELECT event_type, CAST(sum(observed) AS BIGINT) AS row_tot
+         FROM cell GROUP BY event_type
+       ), ct AS (
+         SELECT hi, CAST(sum(observed) AS BIGINT) AS col_tot
+         FROM cell GROUP BY hi
+       )
+       SELECT c.event_type, c.hi, c.observed,
+              (rt.row_tot * ct.col_tot * 1000000) // tot.n AS expected_micros,
+              c.observed * tot.n - rt.row_tot * ct.col_tot AS dev_scaled
+       FROM cell c
+       JOIN rt ON c.event_type = rt.event_type
+       JOIN ct ON c.hi = ct.hi
+       CROSS JOIN tot""",
+    "Contingency-table independence audit (event_type × high-value flag): "
+    "per cell, the observed count, the independence-expected count in "
+    "exact integer micros ((row_tot*col_tot*1e6) DIV n — never a float "
+    "division), and the scaled deviation observed*n - row_tot*col_tot "
+    "(the chi-square numerator's exact integer core, positive = "
+    "over-represented). The categorical×categorical drift/association "
+    "primitive next to q_ks_drift's numeric two-sample test. One cell "
+    "aggregate (domain-bounded: |types|×2 rows) then re-aggregates over "
+    "CELLS, not data; the fact table is scanned once.",
+)
+def q_chi2_cells(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
+    ev = _t(spark, sf_dir, "events")
+    cell = (
+        ev.select("event_type", (cents(F.col("value")) >= 5000).alias("hi"))
+        .groupBy("event_type", "hi")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    cell = cell.localCheckpoint(eager=False)  # 10 rows; reused 4 ways below
+    tot = cell.agg(F.sum("observed").alias("n"))
+    rt = cell.groupBy("event_type").agg(F.sum("observed").alias("row_tot"))
+    ct = cell.groupBy("hi").agg(F.sum("observed").alias("col_tot"))
+    return (
+        cell.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hi")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar join
+        .select(
+            "event_type",
+            "hi",
+            "observed",
+            F.expr("(row_tot * col_tot * 1000000L) DIV n").alias(
+                "expected_micros"
+            ),
+            F.expr("observed * n - row_tot * col_tot").alias("dev_scaled"),
+        )
+    )

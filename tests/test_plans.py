@@ -974,3 +974,40 @@ def test_cogroup_asof_plan_shape(spark):
     assert "FlatMapCoGroupsInPandas" in plan, plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
     assert pushed and all("event_type" in ln for ln in pushed), pushed
+
+
+def test_domain_cap_group_limit_pushed(spark):
+    """row_number <= K per source must plan as WindowGroupLimit (per-group
+    top-K below the sort), with one hash exchange on source."""
+    plan = _plan(spark, "q_domain_cap")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_join_cardinality_estimate_counts_before_join(spark):
+    """Both sides reduce to per-key counts BEFORE the join (map-side
+    partial_count), the event_type filters reach the scans, and there is
+    no cartesian anywhere."""
+    plan = _plan(spark, "q_join_cardinality_estimate")
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert pushed and all("event_type" in ln for ln in pushed), pushed
+
+
+def test_quantile_bins_reads_two_columns(spark):
+    """The (documented single-partition, exactness-twin) ntile sort must at
+    least prune the scan to the 2 referenced columns."""
+    plan = _plan(spark, "q_quantile_bins")
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "value" in schema_line and "event_id" in schema_line, schema_line
+    assert "props" not in schema_line and "user_id" not in schema_line, schema_line
+
+
+def test_chi2_cells_single_fact_scan_broadcast_reagg(spark):
+    """The fact table is scanned once (cell table localCheckpoint'd; the
+    marginals re-aggregate 10 CELLS, not data) and all joins back are
+    broadcast — zero parquet scans in the final plan, no sort-merge."""
+    plan = _plan(spark, "q_chi2_cells")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "SortMergeJoin" not in plan, plan
