@@ -44,6 +44,12 @@ KEYS = [
     "q_dup_spans",           # span-profile: explode + 3 compact aggs
     "q_ks_drift",            # domain-bounded staircase (events)
     "q_event_transitions",   # per-user window + matrix agg (events)
+    # round-7 continuation family (user/doc cardinality grows with factor)
+    "q_bm25_topk",           # tf/df/dl aggs + vocab join + per-doc window
+    "q_cms_heavy_hitters",   # constant-size sketch agg (must go FLAT-ish)
+    "q_domain_cap",          # per-source WindowGroupLimit top-K
+    "q_cogroup_asof",        # per-user pandas cogroup (group count grows)
+    "q_join_cardinality_estimate",  # two count-aggs + keys-sized join
 ]
 
 
