@@ -69,7 +69,6 @@ Third wave (same module):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_rides_data_pipeline_spark.functions import text as X
@@ -217,8 +216,10 @@ def q_kanon_suppress(spark, sf_dir):
     "monotone surrogate that never touches float. Shuffles: (doc,term) "
     "tf agg, term df agg (vocab-sized, shuffle-joined), doc_id dl agg, "
     "1-row corpus scalar cross-joined, then one window per doc. The "
-    "operand chain is overflow-audited: tf*2.2e12 ≤ 1e16 and "
-    "sat_ppm*odds_ppm ≤ 8e15 at any realistic corpus size.",
+    "operand chain is overflow-audited: tf*2.2e12 ≤ 1e16, "
+    "sat_ppm*odds_ppm ≤ 8e15, and the largest product dl*1e6*N needs "
+    "dl*N ≤ 9.2e12 — safe through N = 1e9 docs at dl ≈ 1e3 tokens; past "
+    "that, precompute integer avgdl in the corpus CTE.",
 )
 def q_bm25_topk(spark, sf_dir):
     from pyspark.sql import Window
@@ -475,11 +476,13 @@ def q_cogroup_asof(spark, sf_dir):
 )
 def q_stream_session(spark, sf_dir):
     import os
+    import shutil
     import tempfile
     import uuid
 
     from pyspark.sql import types as T
 
+    from real_time_rides_data_pipeline_spark.queries_ext import _REPLAY_INPUTS
     from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
 
     ev = (
@@ -488,12 +491,38 @@ def q_stream_session(spark, sf_dir):
         .select("user_id", "ts", "event_id")
     )
     cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    # Input prep is a pure function of sf_dir — STAGE it once per process
+    # (_REPLAY_INPUTS policy). This key MUTATES its monitored dir (late
+    # append + sentinels), so each invocation streams from a FRESH dir
+    # populated by file-copy from the stage (~ms) instead of two Spark
+    # writes + a max() job per invocation (same shape as
+    # q_stream_stream_join_outer's staging).
+    stage = _REPLAY_INPUTS.get(("sesstream_stage", sf_dir, 0))
+    if stage is None:
+        work0 = tempfile.mkdtemp(prefix="sesstream_stage_")
+        ev.filter(F.col("ts") < cutoff).coalesce(1).write.parquet(
+            f"{work0}/early"
+        )
+        ev.filter(F.col("ts") >= cutoff).coalesce(1).write.parquet(
+            f"{work0}/late"
+        )
+        us = ev.agg(F.unix_micros(F.max("ts").cast("timestamp"))).first()[0]
+        with open(f"{work0}/max_us", "w") as f:
+            f.write(str(us))
+        stage = work0
+        _REPLAY_INPUTS[("sesstream_stage", sf_dir, 0)] = stage
+    with open(f"{stage}/max_us") as f:
+        max_us = int(f.read())
+
+    def _copy_in(sub: str, dst: str) -> None:
+        for fname in os.listdir(f"{stage}/{sub}"):
+            if fname.endswith(".parquet"):
+                shutil.copy(f"{stage}/{sub}/{fname}", f"{dst}/{fname}")
+
     work = tempfile.mkdtemp(prefix="sesstream_")
     inp = f"{work}/in"
-    early = ev.filter(F.col("ts") < cutoff)
-    early.coalesce(1).write.parquet(inp)
-    late = ev.filter(F.col("ts") >= cutoff)
-    max_us = ev.agg(F.unix_micros(F.max("ts").cast("timestamp"))).first()[0]
+    os.makedirs(inp)
+    _copy_in("early", inp)
 
     schema = ev.schema
     stream = parquet_stream(spark, inp, schema, max_files_per_trigger=1)
@@ -520,7 +549,7 @@ def q_stream_session(spark, sf_dir):
         )
         try:
             q.processAllAvailable()  # batch 1: sessions open, state held
-            late.coalesce(1).write.mode("append").parquet(inp)
+            _copy_in("late", inp)  # staged file-copy, no Spark write
             q.processAllAvailable()  # batch 2: straddling sessions merge
             # Sentinel flush — pyarrow append + atomic rename (batch N's
             # eviction uses the watermark computed at the END of batch
