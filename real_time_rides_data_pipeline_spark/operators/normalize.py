@@ -98,17 +98,15 @@ def grouped_minmax_normalize(
             out[out_col] = nb.astype("Int64")
             return pd.DataFrame(out)
 
-        # Pin the key-hash partitioning at cluster parallelism: the
-        # explicit repartition(n, key) satisfies grouped-map's required
-        # distribution (no second exchange) and its user-specified count
-        # is exempt from AQE coalescing — without it AQE shrinks the tiny
-        # fixture shuffle to ONE partition and every per-key pandas call
-        # runs serially in a single Python worker (same fix, measured
-        # 15 s -> 1.6 s, on queries_mining.q_cogroup_asof). At real scale
-        # the pin is simply the normal shuffle width.
-        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        # AQE would coalesce this tiny shuffle to ONE partition and
+        # serialize every per-key pandas call — pin the key-hash width
+        # (rationale: plans.shape.pin_group_partitioning docstring).
+        from real_time_rides_data_pipeline_spark.plans.shape import (
+            pin_group_partitioning,
+        )
+
         return (
-            base.repartition(n_parts, key_col)
+            pin_group_partitioning(base, key_col)
             .groupBy(key_col)
             .applyInPandas(norm, out_schema)
         )

@@ -1396,8 +1396,6 @@ def q_stream_stream_join_outer(spark, sf_dir):
     import tempfile
     import uuid
 
-    from pyspark.sql import types
-
     from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
@@ -1476,42 +1474,24 @@ def q_stream_stream_join_outer(spark, sf_dir):
         )
         try:
             q.processAllAvailable()
-            # Sentinels are appended with pyarrow, not a Spark write: a
-            # 1-row createDataFrame→write while the streaming query holds
-            # the scheduler costs seconds per append (measured ~4.5 s);
-            # pq.write_table is microseconds and the file source only cares
-            # that a new file appears. Two hazards are designed around:
-            # (a) timestamps are carried as EPOCH MICROS end-to-end —
-            # collecting a Python datetime would round-trip through the
-            # DRIVER's OS timezone (TimestampType.fromInternal uses
-            # fromtimestamp), so re-stamping it UTC on a non-UTC host
-            # would shift the sentinel hours BEFORE the real max event
-            # time and the outer rows would silently never flush;
-            # (b) files are written OUTSIDE the monitored directory and
-            # os.rename'd in (atomic on the same FS), so the polling file
-            # source can never list a half-written footer.
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            ntz = isinstance(schema["ts"].dataType, types.TimestampNTZType)
-            pa_ts = pa.timestamp("us") if ntz else pa.timestamp("us", tz="UTC")
-            pa_schema = pa.schema(
-                [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", pa_ts)]
+            # Sentinel flush via the shared helper (streaming/replay.py,
+            # append_sentinel_file): the epoch-micros timezone hazard and
+            # the atomic pyarrow-write+rename discipline — both first hit
+            # here — live in its docstring now.
+            from real_time_rides_data_pipeline_spark.streaming.replay import (
+                append_sentinel_file,
             )
+
             for hours, uid in ((1, -1), (2, -2)):
-                sentinel_us = max_us + hours * 3_600_000_000
-                tbl = pa.table(
-                    {
-                        "event_id": pa.array([-1], pa.int64()),
-                        "user_id": pa.array([uid], pa.int64()),
-                        "ts": pa.array([sentinel_us], pa.int64()).cast(pa_ts),
-                    },
-                    schema=pa_schema,
-                )
                 for path in (cdir, vdir):
-                    staged = f"{work}/stage-{hours}-{os.path.basename(path)}.parquet"
-                    pq.write_table(tbl, staged)
-                    os.rename(staged, f"{path}/sentinel-{hours}.parquet")
+                    append_sentinel_file(
+                        path,
+                        schema,
+                        "ts",
+                        max_us + hours * 3_600_000_000,
+                        {"event_id": -1, "user_id": uid},
+                        tag=str(hours),
+                    )
                 q.processAllAvailable()
         finally:
             q.stop()

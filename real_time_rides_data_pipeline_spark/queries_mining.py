@@ -99,7 +99,12 @@ from real_time_rides_data_pipeline_spark.registry import _t, register
     "whose log is not bit-portable across engines), so the impurity a "
     "curation dashboard tracks per shard is reproducible to the last "
     "digit. Two hash-agg shuffles, both map-side combining; the second "
-    "groups |sources| rows. No float anywhere.",
+    "groups |sources| rows. No float anywhere. Overflow bound: the "
+    "exact path needs 1e6*sumsq ≤ 2^63, i.e. n ≤ 3.0e6 docs per source "
+    "(sumsq ≤ n²); past that, pre-scale (sumsq DIV n first) at a "
+    "documented ≤1e6/n-ppm precision cost — the bound is per GROUP, not "
+    "per corpus, and a 100 TB corpus tracks impurity per shard/source "
+    "well under it.",
 )
 def q_gini_impurity(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -186,18 +191,17 @@ def q_kanon_suppress(spark, sf_dir):
          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_t GROUP BY term
        ), corpus AS (
          SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(sum(dl) AS BIGINT) AS sum_dl
+                CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
          FROM dl_t
        ), scored AS (
          SELECT t.doc_id, t.term, t.tf, d.df, l.dl,
-                (((t.tf * 2200000000000)
-                  // (t.tf * 1000000
-                      + (120 * (250000
-                                + (75 * ((l.dl * 1000000 * c.n_docs) // c.sum_dl))
-                                  // 100))
-                        // 100))
-                 * (((2 * (c.n_docs - d.df) + 1) * 1000000) // (2 * d.df + 1)))
-                // 1000000 AS score_ppm
+                ((t.tf * 2200000000000)
+                 // (t.tf * 1000000
+                     + (120 * (250000
+                               + (75 * ((l.dl * 1000000) // c.avgdl))
+                                 // 100))
+                       // 100))
+                * (2 * (c.n_docs - d.df) + 1) // (2 * d.df + 1) AS score_ppm
          FROM tf_t t
          JOIN df_t d ON t.term = d.term
          JOIN dl_t l ON t.doc_id = l.doc_id
@@ -216,10 +220,12 @@ def q_kanon_suppress(spark, sf_dir):
     "monotone surrogate that never touches float. Shuffles: (doc,term) "
     "tf agg, term df agg (vocab-sized, shuffle-joined), doc_id dl agg, "
     "1-row corpus scalar cross-joined, then one window per doc. The "
-    "operand chain is overflow-audited: tf*2.2e12 ≤ 1e16, "
-    "sat_ppm*odds_ppm ≤ 8e15, and the largest product dl*1e6*N needs "
-    "dl*N ≤ 9.2e12 — safe through N = 1e9 docs at dl ≈ 1e3 tokens; past "
-    "that, precompute integer avgdl in the corpus CTE.",
+    "operand chain is overflow-audited at CORPUS scale, not fixture "
+    "scale: dl normalizes against a precomputed integer avgdl (so no "
+    "dl*N product exists), the idf odds multiply FOLDS INTO its own "
+    "divide (sat_ppm ≤ 2.2e6 always, so sat_ppm*(2(N-df)+1) ≤ 4.4e15 "
+    "even at N = 1e9 docs), and tf*2.2e12 needs only tf ≤ 4e6 — no "
+    "int64 overflow for any realistic corpus.",
 )
 def q_bm25_topk(spark, sf_dir):
     from pyspark.sql import Window
@@ -230,7 +236,8 @@ def q_bm25_topk(spark, sf_dir):
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(dl) DIV count(1)").alias("avgdl"),
     )
     scored = (
         tf.join(dfreq, "term")
@@ -243,14 +250,13 @@ def q_bm25_topk(spark, sf_dir):
             "df",
             "dl",
             F.expr(
-                """(((tf * 2200000000000L)
-                     DIV (tf * 1000000L
-                          + (120 * (250000
-                                    + (75 * ((dl * 1000000L * n_docs) DIV sum_dl))
-                                      DIV 100))
-                            DIV 100))
-                    * (((2 * (n_docs - df) + 1) * 1000000L) DIV (2 * df + 1)))
-                   DIV 1000000L"""
+                """((tf * 2200000000000L)
+                    DIV (tf * 1000000L
+                         + (120 * (250000
+                                   + (75 * ((dl * 1000000L) DIV avgdl))
+                                     DIV 100))
+                           DIV 100))
+                   * (2 * (n_docs - df) + 1) DIV (2 * df + 1)"""
             ).alias("score_ppm"),
         )
     )
@@ -302,8 +308,16 @@ def q_cms_heavy_hitters(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents", parallel=True)
     tok = d.select(F.explode(X.tokens(F.col("text"))).alias("term"))
-    sketch = build_cms(tok, "term", _CMS_DEPTH, _CMS_WIDTH)
-    total = tok.agg(F.count(F.lit(1)).alias("n_total"))  # 1 row
+    # localCheckpoint: the sketch (≤4096 rows) feeds BOTH the probe join
+    # and the n_total derivation below — without it each consumer re-runs
+    # the scan + tokenization. Every insertion increments exactly one
+    # cell per sketch row, so row 0's cell sum IS the stream length —
+    # n_total costs no pass over the data. Net: 2 fact scans (sketch,
+    # exact counts), down from 3.
+    sketch = build_cms(tok, "term", _CMS_DEPTH, _CMS_WIDTH).localCheckpoint(
+        eager=False
+    )
+    total = sketch.filter(F.col("row") == 0).agg(F.sum("cnt").alias("n_total"))
     exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(10)
     probed = estimate_counts(top, "term", sketch, _CMS_DEPTH, _CMS_WIDTH).crossJoin(
@@ -355,25 +369,25 @@ def q_cogroup_asof(spark, sf_dir):
     import pandas as pd
     from pyspark.sql import types as T
 
-    ev = _t(spark, sf_dir, "events")
-    # Pin the key-hash partitioning at cluster parallelism: the explicit
-    # repartition(n, key) satisfies the cogroup's required distribution
-    # (no second exchange) and its user-specified partition count is
-    # exempt from AQE coalescing — without it AQE shrinks this tiny
-    # shuffle to ONE partition and all ~1.5k per-user pandas calls run
-    # serially in a single Python worker (measured 15 s -> sub-second at
-    # sf0.1). At real scale the shuffle is big enough that AQE never
-    # coalesces to 1 and the pin is simply the normal shuffle width.
-    n_parts = spark.sparkContext.defaultParallelism
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts")
-        .repartition(n_parts, "user_id")
+    from real_time_rides_data_pipeline_spark.plans.shape import (
+        pin_group_partitioning,
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select("event_id", "user_id", "ts")
-        .repartition(n_parts, "user_id")
+
+    ev = _t(spark, sf_dir, "events")
+    # AQE would coalesce this tiny shuffle to ONE partition and serialize
+    # all ~1.5k per-user pandas calls (measured 15 s -> 1.6 s at sf0.1) —
+    # pin the key-hash width (plans.shape.pin_group_partitioning).
+    purchases = pin_group_partitioning(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        ),
+        "user_id",
+    )
+    clicks = pin_group_partitioning(
+        ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        ),
+        "user_id",
     )
     ts_type = purchases.schema["ts"].dataType
     out_schema = T.StructType(
@@ -480,10 +494,11 @@ def q_stream_session(spark, sf_dir):
     import tempfile
     import uuid
 
-    from pyspark.sql import types as T
-
     from real_time_rides_data_pipeline_spark.queries_ext import _REPLAY_INPUTS
     from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+    from real_time_rides_data_pipeline_spark.streaming.replay import (
+        append_sentinel_file,
+    )
 
     ev = (
         _t(spark, sf_dir, "events")
@@ -515,9 +530,15 @@ def q_stream_session(spark, sf_dir):
         max_us = int(f.read())
 
     def _copy_in(sub: str, dst: str) -> None:
+        # Stage the copy OUTSIDE the monitored dir, then os.rename in
+        # (atomic on the same FS): the late batch lands while the query
+        # is live, and a plain copy into the dir could let the polling
+        # file source list a half-written footer.
         for fname in os.listdir(f"{stage}/{sub}"):
             if fname.endswith(".parquet"):
-                shutil.copy(f"{stage}/{sub}/{fname}", f"{dst}/{fname}")
+                staged = f"{work}/stage-{sub}-{fname}"
+                shutil.copy(f"{stage}/{sub}/{fname}", staged)
+                os.rename(staged, f"{dst}/{fname}")
 
     work = tempfile.mkdtemp(prefix="sesstream_")
     inp = f"{work}/in"
@@ -551,31 +572,19 @@ def q_stream_session(spark, sf_dir):
             q.processAllAvailable()  # batch 1: sessions open, state held
             _copy_in("late", inp)  # staged file-copy, no Spark write
             q.processAllAvailable()  # batch 2: straddling sessions merge
-            # Sentinel flush — pyarrow append + atomic rename (batch N's
-            # eviction uses the watermark computed at the END of batch
-            # N-1, hence two appends; timestamps carried as epoch micros
-            # end-to-end, see q_stream_stream_join_outer).
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            ntz = isinstance(schema["ts"].dataType, T.TimestampNTZType)
-            pa_ts = pa.timestamp("us") if ntz else pa.timestamp("us", tz="UTC")
-            pa_schema = pa.schema(
-                [("user_id", pa.int64()), ("ts", pa_ts), ("event_id", pa.int64())]
-            )
+            # Sentinel flush (batch N's eviction uses the watermark
+            # computed at the END of batch N-1, hence two appends; the
+            # epoch-micros/atomic-rename hazards live in the shared
+            # helper's docstring).
             for hours, uid in ((72, -1), (73, -2)):
-                sentinel_us = max_us + hours * 3_600_000_000
-                tbl = pa.table(
-                    {
-                        "user_id": pa.array([uid], pa.int64()),
-                        "ts": pa.array([sentinel_us], pa.int64()).cast(pa_ts),
-                        "event_id": pa.array([-1], pa.int64()),
-                    },
-                    schema=pa_schema,
+                append_sentinel_file(
+                    inp,
+                    schema,
+                    "ts",
+                    max_us + hours * 3_600_000_000,
+                    {"user_id": uid, "event_id": -1},
+                    tag=str(hours),
                 )
-                staged = f"{work}/stage-{hours}.parquet"
-                pq.write_table(tbl, staged)
-                os.rename(staged, f"{inp}/sentinel-{hours}.parquet")
                 q.processAllAvailable()
         finally:
             q.stop()
@@ -738,7 +747,7 @@ def q_quantile_bins(spark, sf_dir):
          FROM cell GROUP BY hi
        )
        SELECT c.event_type, c.hi, c.observed,
-              (rt.row_tot * ct.col_tot * 1000000) // tot.n AS expected_micros,
+              ((rt.row_tot * 1000000) // tot.n) * ct.col_tot AS expected_micros,
               c.observed * tot.n - rt.row_tot * ct.col_tot AS dev_scaled
        FROM cell c
        JOIN rt ON c.event_type = rt.event_type
@@ -746,13 +755,16 @@ def q_quantile_bins(spark, sf_dir):
        CROSS JOIN tot""",
     "Contingency-table independence audit (event_type × high-value flag): "
     "per cell, the observed count, the independence-expected count in "
-    "exact integer micros ((row_tot*col_tot*1e6) DIV n — never a float "
-    "division), and the scaled deviation observed*n - row_tot*col_tot "
-    "(the chi-square numerator's exact integer core, positive = "
-    "over-represented). The categorical×categorical drift/association "
-    "primitive next to q_ks_drift's numeric two-sample test. One cell "
-    "aggregate (domain-bounded: |types|×2 rows) then re-aggregates over "
-    "CELLS, not data; the fact table is scanned once.",
+    "integer micros (((row_tot*1e6) DIV n) * col_tot — the row share is "
+    "floored FIRST so the largest operand is row_tot*1e6, overflow-safe "
+    "through 9.2e12 rows; the floor costs < col_tot micros, i.e. < 1 "
+    "count), and the scaled deviation observed*n - row_tot*col_tot (the "
+    "chi-square numerator's exact integer core, positive = "
+    "over-represented; needs n ≤ 3.0e9 events — past that, emit the "
+    "deviation in ppm of n instead). The categorical×categorical "
+    "drift/association primitive next to q_ks_drift's numeric two-sample "
+    "test. One cell aggregate (domain-bounded: |types|×2 rows) then "
+    "re-aggregates over CELLS, not data; the fact table is scanned once.",
 )
 def q_chi2_cells(spark, sf_dir):
     from real_time_rides_data_pipeline_spark.functions.precision import cents
@@ -775,7 +787,7 @@ def q_chi2_cells(spark, sf_dir):
             "event_type",
             "hi",
             "observed",
-            F.expr("(row_tot * col_tot * 1000000L) DIV n").alias(
+            F.expr("((row_tot * 1000000L) DIV n) * col_tot").alias(
                 "expected_micros"
             ),
             F.expr("observed * n - row_tot * col_tot").alias("dev_scaled"),

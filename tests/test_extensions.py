@@ -653,9 +653,12 @@ def test_kanon_every_released_group_has_k_members(spark):
         q_kanon_suppress,
     )
 
-    # sf0.01, not SMOKE_SF: at sf0.001 every QI group is < k (150 customers
-    # over 125 groups), which would make the released-side check vacuous.
-    rows = q_kanon_suppress(spark, "/root/testdata/sf0.01").collect()
+    from tests.conftest import ORACLE_SF
+
+    # ORACLE_SF (sf0.01), not SMOKE_SF: at sf0.001 every QI group is < k
+    # (150 customers over 125 groups) — the released-side check would be
+    # vacuous.
+    rows = q_kanon_suppress(spark, ORACLE_SF).collect()
     released: dict[tuple, int] = {}
     for r in rows:
         if r["suppressed"]:
@@ -696,13 +699,16 @@ def test_bm25_integer_pipeline_ranks_like_real_arithmetic(spark):
     for (_, t), _n in tf.items():
         dfreq[t] = dfreq.get(t, 0) + 1
     n_docs, sum_dl = len(dl), sum(dl.values())
-    avgdl = sum_dl / n_docs
+    # Same integer avgdl the pipeline precomputes (overflow-free corpus
+    # normalization); everything DOWNSTREAM of it is real arithmetic, so
+    # the assertion isolates the ppm floor-division quantization.
+    avgdl = sum_dl // n_docs
 
     def fscore(doc, t):
         k1, b = 1.2, 0.75
         f = tf[(doc, t)]
         sat = f * (k1 + 1) / (f + k1 * (1 - b + b * dl[doc] / avgdl))
-        odds = (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+        odds = (2 * (n_docs - dfreq[t]) + 1) / (2 * dfreq[t] + 1)
         return sat * odds
 
     expected = {}
