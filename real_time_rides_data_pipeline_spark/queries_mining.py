@@ -277,46 +277,28 @@ def q_bm25_topk(spark, sf_dir):
 _CMS_DEPTH = 4
 _CMS_WIDTH = 1024
 
+#: Shared by the batch key and its streaming-merge twin: the stream's
+#: additive cell merge reconstructs the batch sketch EXACTLY, so both
+#: keys answer to the same exact-count oracle.
+_CMS_ORACLE = """
+   SELECT term, exact_cnt, TRUE AS no_underestimate, TRUE AS within_eps
+   FROM (SELECT t AS term, CAST(count(*) AS BIGINT) AS exact_cnt
+         FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+               FROM documents)
+         GROUP BY t
+         ORDER BY exact_cnt DESC, term ASC
+         LIMIT 10)"""
 
-@register(
-    "q_cms_heavy_hitters",
-    """SELECT term, exact_cnt, TRUE AS no_underestimate, TRUE AS within_eps
-       FROM (SELECT t AS term, CAST(count(*) AS BIGINT) AS exact_cnt
-             FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
-                   FROM documents)
-             GROUP BY t
-             ORDER BY exact_cnt DESC, term ASC
-             LIMIT 10)""",
-    "Distributed count-min sketch (operators/cms.py; depth 4 × width "
-    "1024, seeded xxhash64 rows — same public-primitive build as "
-    "operators/bloom.py): token "
-    "occurrences hash to (row, bucket) cells, ONE map-side-combining "
-    "shuffle aggregates cell counts (the sketch is ≤4096 rows regardless "
-    "of data size — mergeable across shards by cell-wise +). The top-10 "
-    "exact heavy hitters probe it: estimate = min over rows of the cell "
-    "count. Driver-checked columns: the exact counts (vs DuckDB) plus "
-    "two Spark-side attestations — no_underestimate (est ≥ exact, the "
-    "CMS hard guarantee, must ALWAYS hold) and within_eps (est ≤ exact + "
-    "2·N/W, the ε=2/W bound). The estimates themselves stay internal "
-    "(xxhash64 has no DuckDB twin).",
-)
-def q_cms_heavy_hitters(spark, sf_dir):
-    from real_time_rides_data_pipeline_spark.operators.cms import (
-        build_cms,
-        estimate_counts,
-    )
 
-    d = _t(spark, sf_dir, "documents", parallel=True)
-    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("term"))
-    # localCheckpoint: the sketch (≤4096 rows) feeds BOTH the probe join
-    # and the n_total derivation below — without it each consumer re-runs
-    # the scan + tokenization. Every insertion increments exactly one
-    # cell per sketch row, so row 0's cell sum IS the stream length —
-    # n_total costs no pass over the data. Net: 2 fact scans (sketch,
-    # exact counts), down from 3.
-    sketch = build_cms(tok, "term", _CMS_DEPTH, _CMS_WIDTH).localCheckpoint(
-        eager=False
-    )
+def _cms_attest(tok, sketch):
+    """Shared probe/attestation tail for the batch and streaming CMS keys:
+    top-10 exact heavy hitters (from ``tok``) probed against ``sketch``,
+    with the no-underestimate hard guarantee and the ε=2/W bound attested
+    Spark-side. Every insertion increments exactly one cell per sketch
+    row, so row 0's cell sum IS the stream length — n_total costs no pass
+    over the data."""
+    from real_time_rides_data_pipeline_spark.operators.cms import estimate_counts
+
     total = sketch.filter(F.col("row") == 0).agg(F.sum("cnt").alias("n_total"))
     exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(10)
@@ -332,6 +314,106 @@ def q_cms_heavy_hitters(spark, sf_dir):
             <= F.col("exact_cnt") + F.expr(f"(2 * n_total) DIV {_CMS_WIDTH}")
         ).alias("within_eps"),
     )
+
+
+@register(
+    "q_cms_heavy_hitters",
+    _CMS_ORACLE,
+    "Distributed count-min sketch (operators/cms.py; depth 4 × width "
+    "1024, seeded xxhash64 rows — same public-primitive build as "
+    "operators/bloom.py): token "
+    "occurrences hash to (row, bucket) cells, ONE map-side-combining "
+    "shuffle aggregates cell counts (the sketch is ≤4096 rows regardless "
+    "of data size — mergeable across shards by cell-wise +). The top-10 "
+    "exact heavy hitters probe it: estimate = min over rows of the cell "
+    "count. Driver-checked columns: the exact counts (vs DuckDB) plus "
+    "two Spark-side attestations — no_underestimate (est ≥ exact, the "
+    "CMS hard guarantee, must ALWAYS hold) and within_eps (est ≤ exact + "
+    "2·N/W, the ε=2/W bound). The estimates themselves stay internal "
+    "(xxhash64 has no DuckDB twin).",
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.cms import build_cms
+
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+    # localCheckpoint: the sketch (≤4096 rows) feeds BOTH the probe join
+    # and the n_total derivation — without it each consumer re-runs the
+    # scan + tokenization. Net: 2 fact scans (sketch, exact counts).
+    sketch = build_cms(tok, "term", _CMS_DEPTH, _CMS_WIDTH).localCheckpoint(
+        eager=False
+    )
+    return _cms_attest(tok, sketch)
+
+
+@register(
+    "q_stream_cms_merge",
+    _CMS_ORACLE,
+    "STREAMING count-min sketch — the live demonstration of sketch "
+    "MERGEABILITY, the property that makes sketches the 100 TB answer: "
+    "documents replay as a REAL 2-micro-batch stream; each batch builds "
+    "its partial sketch (one map-side-combining aggregate over the "
+    "batch) and foreachBatch folds it into a parquet sketch table by "
+    "CELL-WISE ADDITION (sinks.merge_additive_parquet — batch_id-marked "
+    "idempotent, because an additive accumulator double-counts under "
+    "at-least-once redelivery, and crash-ordered swap). Counts add, so "
+    "the merged sketch is BIT-IDENTICAL to the single-pass batch sketch "
+    "(pinned in pytest) and the key answers to the SAME exact-count "
+    "oracle as q_cms_heavy_hitters. The same shape runs per-shard at "
+    "corpus scale: sketch each shard independently, merge 4096-row "
+    "tables.",
+)
+def q_stream_cms_merge(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.operators.cms import build_cms
+    from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
+    from real_time_rides_data_pipeline_spark.sinks import merge_additive_parquet
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    docs = d.select("doc_id", "text")
+    inp = _replay_input(docs, "cmsstream", sf_dir)  # 2 files → 2 batches
+    run_dir = tempfile.mkdtemp(prefix="cmsstream_run_")
+    state, ckpt = f"{run_dir}/sketch", f"{run_dir}/ckpt"
+    stream = parquet_stream(spark, inp, docs.schema, max_files_per_trigger=1)
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = build_cms(
+            batch_df.select(F.explode(X.tokens(F.col("text"))).alias("term")),
+            "term",
+            _CMS_DEPTH,
+            _CMS_WIDTH,
+        )
+        merge_additive_parquet(
+            batch_df.sparkSession,
+            part,
+            state,
+            keys=("row", "bucket"),
+            sum_cols=("cnt",),
+            batch_id=batch_id,
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    sketch = spark.read.parquet(state)
+    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+    return _cms_attest(tok, sketch)
 
 
 # =========================================================================

@@ -300,6 +300,50 @@ def merge_cdc_parquet(
     _commit(j.select(*out_cols))
 
 
+def merge_additive_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    keys: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+    batch_id: int | None = None,
+) -> None:
+    """Additive MERGE on plain parquet: per key, SUM the accumulator
+    columns instead of replacing them — the merge rule for MERGEABLE
+    SKETCHES (count-min cells, HLL registers as max, counters) and any
+    commutative-monoid state. Identical crash/idempotence machinery as
+    ``merge_cdc_parquet``: the last applied ``batch_id`` is committed
+    atomically with the data (an additive accumulator is NOT replay-safe
+    on its own — an at-least-once redelivery would silently double-count),
+    and the rewrite is a crash-ordered rename-aside swap. One union +
+    map-side-combining aggregate per merge; same Delta-rewrites-only-
+    touched-files caveat at scale as the siblings."""
+    _recover_dir(target_path)
+    prior_marker = _read_batch_marker(target_path)
+    if (
+        batch_id is not None
+        and prior_marker is not None
+        and batch_id <= prior_marker
+    ):
+        return  # at-least-once replay of an already-committed batch
+    if os.path.exists(target_path):
+        merged = (
+            spark.read.parquet(target_path)
+            .unionByName(updates)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        )
+    else:
+        merged = updates
+    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    marker = batch_id if batch_id is not None else prior_marker
+    if marker is not None:
+        with open(os.path.join(tmp, _CDC_BATCH_MARKER), "w") as f:
+            f.write(str(marker))
+    _swap_dir(tmp, target_path)
+
+
 def foreach_batch_merge(
     df: DataFrame,
     target_path: str,
