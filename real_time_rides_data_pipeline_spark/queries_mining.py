@@ -65,6 +65,13 @@ Third wave (same module):
   integers: per-cell observed vs independence-expected (micros) and the
   scaled chi-square-numerator deviation; the categorical×categorical
   sibling of ``q_ks_drift``.
+- ``q_stream_cms_merge`` — the streaming twin of the count-min key:
+  per-micro-batch partial sketches folded through an idempotent
+  additive parquet MERGE (``sinks.merge_additive_parquet``) into a
+  sketch bit-identical to the batch build — live mergeability.
+- ``q_keyset_pagination`` — seek pagination under a total order, with
+  OFFSET confined to a 1-row boundary probe and the page served by a
+  pushable row-tuple predicate + TakeOrdered.
 """
 
 from __future__ import annotations
@@ -874,4 +881,58 @@ def q_chi2_cells(spark, sf_dir):
             ),
             F.expr("observed * n - row_tot * col_tot").alias("dev_scaled"),
         )
+    )
+
+
+# =========================================================================
+# Serving: keyset (seek) pagination
+# =========================================================================
+
+
+@register(
+    "q_keyset_pagination",
+    """WITH b AS (SELECT o_orderdate AS bd, o_orderkey AS bk
+                  FROM orders
+                  ORDER BY o_orderdate, o_orderkey
+                  LIMIT 1 OFFSET 199)
+       SELECT o.o_orderkey, o.o_orderdate,
+              CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents
+       FROM orders o, b
+       WHERE (o.o_orderdate, o.o_orderkey) > (b.bd, b.bk)
+       ORDER BY o.o_orderdate, o.o_orderkey
+       LIMIT 100""",
+    "Keyset (seek) pagination — page 3 of orders under the total order "
+    "(o_orderdate, o_orderkey), page size 100: the last row of page 2 is "
+    "fetched once (LIMIT 1 OFFSET 199 — OFFSET confined to a 1-row "
+    "boundary seek, never to the page itself), broadcast as a scalar, "
+    "and the page is `(date, key) > (boundary)` + TakeOrdered(100). "
+    "This is THE serving pattern OFFSET-pagination anti-patterns into: "
+    "OFFSET n scans-and-discards n rows on every page (page 10⁶ reads "
+    "10⁸ rows), while the keyset predicate does constant work per page "
+    "and — because the row-tuple comparison implies o_orderdate >= "
+    "boundary-date — rides partition pruning on a date-partitioned "
+    "100 TB table. In production the boundary comes free (the previous "
+    "page's last row); the in-plan seek makes the key self-contained.",
+)
+def q_keyset_pagination(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", cents(F.col("o_totalprice")).alias("total_cents")
+    )
+    boundary = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .select(F.col("o_orderdate").alias("bd"), F.col("o_orderkey").alias("bk"))
+        .offset(199)
+        .limit(1)
+    )
+    return (
+        o.crossJoin(F.broadcast(boundary))  # 1-row scalar join
+        .filter(
+            F.struct("o_orderdate", "o_orderkey")
+            > F.struct(F.col("bd").alias("o_orderdate"), F.col("bk").alias("o_orderkey"))
+        )
+        .select("o_orderkey", "o_orderdate", "total_cents")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
     )

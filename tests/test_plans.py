@@ -1011,3 +1011,25 @@ def test_chi2_cells_single_fact_scan_broadcast_reagg(spark):
     plan = _plan(spark, "q_chi2_cells")
     assert plan.count("Scan parquet") == 0, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_keyset_pagination_take_ordered_no_offset_scan(spark):
+    """The page must be TakeOrdered(100) above the keyset filter (never a
+    global sort), and the only nested-loop is the 1-row boundary scalar."""
+    plan = _plan(spark, "q_keyset_pagination")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_pin_group_partitioning_defeats_aqe_coalesce(spark):
+    """The pinned width must survive execution (AQE would coalesce an
+    unpinned tiny shuffle to 1 partition)."""
+    from real_time_rides_data_pipeline_spark.plans.shape import (
+        pin_group_partitioning,
+    )
+
+    df = pin_group_partitioning(
+        spark.range(100).selectExpr("id % 7 AS k", "id AS v"), "k"
+    )
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
