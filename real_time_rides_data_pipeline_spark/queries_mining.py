@@ -72,6 +72,10 @@ Third wave (same module):
 - ``q_keyset_pagination`` — seek pagination under a total order, with
   OFFSET confined to a 1-row boundary probe and the page served by a
   pushable row-tuple predicate + TakeOrdered.
+- ``q_clamped_running_balance`` — the floor-clamped running balance
+  recurrence max(0, b+delta) parallelized via its prefix-sum closed
+  form (two stacked windows, one shuffle); property-tested against the
+  sequential fold.
 """
 
 from __future__ import annotations
@@ -935,4 +939,91 @@ def q_keyset_pagination(spark, sf_dir):
         .select("o_orderkey", "o_orderdate", "total_cents")
         .orderBy("o_orderdate", "o_orderkey")
         .limit(100)
+    )
+
+
+# =========================================================================
+# Stateful-scan algebra: clamped running balance via the prefix identity
+# =========================================================================
+
+
+@register(
+    "q_clamped_running_balance",
+    """WITH t AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT)
+                     ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+         FROM events
+         WHERE event_type IN ('purchase', 'error')
+       ), s1 AS (
+         SELECT user_id, ts, event_id, delta,
+                CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS prefix
+         FROM t
+       ), s2 AS (
+         SELECT user_id, event_id, delta, prefix,
+                min(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS min_prefix
+         FROM s1
+       )
+       SELECT user_id, event_id, delta,
+              prefix - least(min_prefix, 0) AS balance_cents
+       FROM s2""",
+    "Floor-clamped running balance — credits add, debits subtract, the "
+    "balance never goes below zero (wallets, rate-limit token buckets, "
+    "inventory): the recurrence b_i = max(0, b_{i-1} + delta_i) looks "
+    "sequentially dependent (non-associative, not a window aggregate on "
+    "its face), but the ONE-SIDED clamp admits the closed form "
+    "b_i = S_i - min(0, min_{j<=i} S_j) over prefix sums S — so it runs "
+    "as two stacked window aggregates over a SINGLE hash shuffle on "
+    "user_id, fully parallel at any scale (brute-force fold equality is "
+    "property-tested). The TWO-SIDED clamp (floor and cap) has no such "
+    "closed form — that genuinely sequential case is what "
+    "applyInPandasWithState exists for (q_stateful_running). Exact "
+    "integer cents throughout.",
+)
+def q_clamped_running_balance(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    t = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents(F.col("value")))
+        .otherwise(-cents(F.col("value")))
+        .alias("delta"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "delta",
+        F.sum("delta").over(w).alias("prefix"),
+    ).withColumn(
+        "min_prefix",
+        F.min("prefix").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        "delta",
+        (F.col("prefix") - F.least(F.col("min_prefix"), F.lit(0))).alias(
+            "balance_cents"
+        ),
     )

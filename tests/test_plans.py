@@ -1033,3 +1033,12 @@ def test_pin_group_partitioning_defeats_aqe_coalesce(spark):
         spark.range(100).selectExpr("id % 7 AS k", "id AS v"), "k"
     )
     assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_clamped_balance_single_shuffle(spark):
+    """Both stacked windows share the (user_id | ts, event_id) spec — ONE
+    hash exchange, and the event_type filter reaches the scan."""
+    plan = _plan(spark, "q_clamped_running_balance")
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert pushed and "event_type" in pushed[0], pushed

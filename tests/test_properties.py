@@ -907,3 +907,40 @@ def test_pagerank_int_matches_python_reference(spark, n, edge_idx):
     }
     want = _pagerank_int_py(edges, iterations=3, scale=10**9, damping=85)
     assert got == want, (edges, got, want)
+
+
+@settings(**SETTINGS)
+@given(
+    deltas=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=40
+    )
+)
+def test_clamped_balance_prefix_identity_equals_fold(spark, deltas):
+    """The closed form b_i = S_i - min(0, min_{j<=i} S_j) (two stacked
+    windows, q_clamped_running_balance) must equal the sequential fold
+    b_i = max(0, b_{i-1} + delta_i) on arbitrary signed integer deltas —
+    the algebraic identity that makes the one-sided clamp parallel."""
+    from pyspark.sql import Window
+
+    rows = [(1, i, d) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "user_id long, seq long, delta long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = df.withColumn("prefix", F.sum("delta").over(w)).withColumn(
+        "min_prefix", F.min("prefix").over(w)
+    )
+    got = {
+        r["seq"]: r["bal"]
+        for r in s.select(
+            "seq",
+            (F.col("prefix") - F.least(F.col("min_prefix"), F.lit(0))).alias("bal"),
+        ).collect()
+    }
+    b, want = 0, {}
+    for i, d in enumerate(deltas):
+        b = max(0, b + d)
+        want[i] = b
+    assert got == want
