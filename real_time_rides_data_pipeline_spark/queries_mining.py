@@ -76,6 +76,10 @@ Third wave (same module):
   recurrence max(0, b+delta) parallelized via its prefix-sum closed
   form (two stacked windows, one shuffle); property-tested against the
   sequential fold.
+- ``q_stream_late_metrics`` — streaming observability: watermark-drop
+  accounting read from StreamingQueryProgress
+  (numRowsDroppedByWatermark), value-checked against the straggler
+  count the oracle computes in plain SQL.
 """
 
 from __future__ import annotations
@@ -1026,4 +1030,84 @@ def q_clamped_running_balance(spark, sf_dir):
         (F.col("prefix") - F.least(F.col("min_prefix"), F.lit(0))).alias(
             "balance_cents"
         ),
+    )
+
+
+# =========================================================================
+# Streaming observability: watermark-drop accounting from query progress
+# =========================================================================
+
+
+@register(
+    "q_stream_late_metrics",
+    """SELECT CAST(count(*) AS BIGINT) AS n_output,
+              CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+                   AS BIGINT) AS n_dropped_late
+       FROM events WHERE event_id % 20 = 0""",
+    "Streaming OBSERVABILITY: the watermark-drop accounting every "
+    "production stream monitors, read from StreamingQueryProgress "
+    "(stateOperators[].numRowsDroppedByWatermark) rather than inferred "
+    "from output diffs. The q_watermark scenario re-runs (batch 1 "
+    "advances the watermark, batch 2 carries every early event again as "
+    "a straggler stamped 72 h back), and the key emits (rows written, "
+    "rows dropped by watermark) as a 1-row table — the dropped count "
+    "must equal the straggler count EXACTLY, which the oracle computes "
+    "as the early-event count in plain SQL. Complements q_observed_"
+    "metrics (batch df.observe): this is the STREAMING metrics surface, "
+    "and the pattern (progress JSON → metric table → alert join) is how "
+    "late-data SLOs are enforced at any scale.",
+)
+def q_stream_late_metrics(spark, sf_dir):
+    import json
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.operators import stream_dedup
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    work = tempfile.mkdtemp(prefix="latemetrics_")
+    inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    early = ev.filter(F.col("ts") < cutoff)
+    early.coalesce(1).write.parquet(inp)
+    stragglers = early.select(
+        (-F.col("event_id") - 1).alias("event_id"),
+        (F.col("ts") - F.expr("INTERVAL 72 HOURS")).alias("ts"),
+        "user_id",
+        "value",
+    )
+    late_batch = ev.filter(F.col("ts") >= cutoff).unionAll(stragglers)
+    stream = parquet_stream(spark, inp, early.schema, max_files_per_trigger=1)
+    deduped = stream_dedup(stream, keys=("event_id", "ts"), event_time_col="ts")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1 → watermark advances
+            late_batch.coalesce(1).write.mode("append").parquet(inp)
+            q.processAllAvailable()  # batch 2 → stragglers dropped + counted
+            progress = [json.loads(p.json) for p in q.recentProgress]
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    n_dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for so in p.get("stateOperators", [])
+    )
+    n_output = spark.read.parquet(out).count()
+    return spark.createDataFrame(
+        [(n_output, n_dropped)], "n_output long, n_dropped_late long"
     )
