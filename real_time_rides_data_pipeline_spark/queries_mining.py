@@ -916,11 +916,16 @@ def q_chi2_cells(spark, sf_dir):
     "and the page is `(date, key) > (boundary)` + TakeOrdered(100). "
     "This is THE serving pattern OFFSET-pagination anti-patterns into: "
     "OFFSET n scans-and-discards n rows on every page (page 10⁶ reads "
-    "10⁸ rows), while the keyset predicate does constant work per page "
-    "and — because the row-tuple comparison implies o_orderdate >= "
-    "boundary-date — rides partition pruning on a date-partitioned "
-    "100 TB table. In production the boundary comes free (the previous "
-    "page's last row); the in-plan seek makes the key self-contained.",
+    "10⁸ rows), while the keyset predicate does constant work per page. "
+    "The predicate is written DECOMPOSED (date > bd OR (date = bd AND "
+    "key > bk), plus the implied date >= bd conjunct) rather than as a "
+    "struct comparison, because Catalyst does not derive per-field "
+    "bounds from a row-tuple compare. NOTE on pruning: here the "
+    "boundary arrives via a broadcast scalar join, which partition "
+    "pruning does not see; in production the boundary is a LITERAL "
+    "(the previous page's last row, known to the client), and then the "
+    "date >= bd conjunct prunes a date-partitioned 100 TB table at "
+    "plan time. The in-plan seek only makes the key self-contained.",
 )
 def q_keyset_pagination(spark, sf_dir):
     from real_time_rides_data_pipeline_spark.functions.precision import cents
@@ -936,9 +941,17 @@ def q_keyset_pagination(spark, sf_dir):
     )
     return (
         o.crossJoin(F.broadcast(boundary))  # 1-row scalar join
+        # Decomposed keyset predicate with the redundant leading-column
+        # bound — the form that prunes when the boundary is a literal.
         .filter(
-            F.struct("o_orderdate", "o_orderkey")
-            > F.struct(F.col("bd").alias("o_orderdate"), F.col("bk").alias("o_orderkey"))
+            (F.col("o_orderdate") >= F.col("bd"))
+            & (
+                (F.col("o_orderdate") > F.col("bd"))
+                | (
+                    (F.col("o_orderdate") == F.col("bd"))
+                    & (F.col("o_orderkey") > F.col("bk"))
+                )
+            )
         )
         .select("o_orderkey", "o_orderdate", "total_cents")
         .orderBy("o_orderdate", "o_orderkey")
@@ -1015,14 +1028,7 @@ def q_clamped_running_balance(spark, sf_dir):
         "event_id",
         "delta",
         F.sum("delta").over(w).alias("prefix"),
-    ).withColumn(
-        "min_prefix",
-        F.min("prefix").over(
-            Window.partitionBy("user_id")
-            .orderBy("ts", "event_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    ).withColumn("min_prefix", F.min("prefix").over(w))
     return s.select(
         "user_id",
         "event_id",

@@ -217,6 +217,27 @@ def _read_batch_marker(target_path: str) -> int | None:
         return int(f.read().strip())
 
 
+def _commit_with_marker(
+    df: DataFrame,
+    target_path: str,
+    batch_id: int | None,
+    prior_marker: int | None,
+) -> None:
+    """Shared commit for the marker-protocol merge sinks (CDC, additive):
+    write-to-temp, stamp the last-applied batch id INSIDE the directory
+    (one atomic unit with the data), crash-ordered swap. A batch_id-less
+    call (ad-hoc backfill) must CARRY the existing marker forward —
+    dropping it would silently re-arm replay double-counting for the
+    stream that owns this table."""
+    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    marker = batch_id if batch_id is not None else prior_marker
+    if marker is not None:
+        with open(os.path.join(tmp, _CDC_BATCH_MARKER), "w") as f:
+            f.write(str(marker))
+    _swap_dir(tmp, target_path)
+
+
 def merge_cdc_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -261,16 +282,7 @@ def merge_cdc_parquet(
     prior_marker = _read_batch_marker(target_path)
 
     def _commit(df: DataFrame) -> None:
-        tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        # A batch_id-less call (ad-hoc backfill) must CARRY the existing
-        # marker forward — dropping it would silently re-arm replay
-        # double-counting for the stream that owns this table.
-        marker = batch_id if batch_id is not None else prior_marker
-        if marker is not None:
-            with open(os.path.join(tmp, _CDC_BATCH_MARKER), "w") as f:
-                f.write(str(marker))
-        _swap_dir(tmp, target_path)
+        _commit_with_marker(df, target_path, batch_id, prior_marker)
 
     if not os.path.exists(target_path):
         _commit(updates)
@@ -326,22 +338,23 @@ def merge_additive_parquet(
         and batch_id <= prior_marker
     ):
         return  # at-least-once replay of an already-committed batch
+    # The bootstrap path aggregates too: a first batch with duplicate keys
+    # (un-preaggregated increments) must not write multi-row-per-key state
+    # that readers (min-over-cells CMS probes!) and later merges assume
+    # away — and projecting to keys+sum_cols keeps the schema identical
+    # on both paths.
+    base = updates.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])
     if os.path.exists(target_path):
         merged = (
             spark.read.parquet(target_path)
-            .unionByName(updates)
+            .select(*keys, *sum_cols)
+            .unionByName(base)
             .groupBy(*keys)
             .agg(*[F.sum(c).alias(c) for c in sum_cols])
         )
     else:
-        merged = updates
-    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    marker = batch_id if batch_id is not None else prior_marker
-    if marker is not None:
-        with open(os.path.join(tmp, _CDC_BATCH_MARKER), "w") as f:
-            f.write(str(marker))
-    _swap_dir(tmp, target_path)
+        merged = base
+    _commit_with_marker(merged, target_path, batch_id, prior_marker)
 
 
 def foreach_batch_merge(
