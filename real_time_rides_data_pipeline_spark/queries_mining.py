@@ -80,6 +80,10 @@ Third wave (same module):
   accounting read from StreamingQueryProgress
   (numRowsDroppedByWatermark), value-checked against the straggler
   count the oracle computes in plain SQL.
+- ``q_capped_balance_fold`` — the TWO-sided clamp (floor and cap),
+  which has no window closed form: a grouped-map numpy fold per key,
+  pinned against a recursive-CTE oracle — the deliberate counterpart
+  proving where ``q_clamped_running_balance``'s identity stops.
 """
 
 from __future__ import annotations
@@ -1116,4 +1120,99 @@ def q_stream_late_metrics(spark, sf_dir):
     n_output = spark.read.parquet(out).count()
     return spark.createDataFrame(
         [(n_output, n_dropped)], "n_output long, n_dropped_late long"
+    )
+
+
+# =========================================================================
+# Stateful-scan algebra, part 2: the clamp WITHOUT a closed form
+# =========================================================================
+
+_CAP_CENTS = 20_000  # $200 bucket capacity
+
+
+@register(
+    "q_capped_balance_fold",
+    f"""WITH RECURSIVE t AS (
+         SELECT user_id, event_id,
+                CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT)
+                     ELSE -CAST(round(value * 100) AS BIGINT) END AS delta,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM events
+         WHERE event_type IN ('purchase', 'error')
+       ), r AS (
+         SELECT user_id, event_id, rn, delta,
+                least(greatest(delta, 0), {_CAP_CENTS}) AS balance_cents
+         FROM t WHERE rn = 1
+         UNION ALL
+         SELECT t.user_id, t.event_id, t.rn, t.delta,
+                least(greatest(r.balance_cents + t.delta, 0), {_CAP_CENTS})
+         FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+       )
+       SELECT user_id, event_id, delta, balance_cents FROM r""",
+    "TWO-SIDED clamped running balance (floor 0, cap $200 — the token "
+    "bucket / bounded wallet): b_i = min(cap, max(0, b_(i-1) + delta)). "
+    "Unlike the one-sided clamp (q_clamped_running_balance's prefix "
+    "identity) this recurrence has NO window-expressible closed form — "
+    "min and max compose into a genuinely order-dependent fold — so the "
+    "engine runs it as a grouped-map Pandas fold: one hash shuffle "
+    "co-locates each user, an int64 numpy loop folds the (ts, event_id)-"
+    "sorted deltas, keys spread across workers via the pinned "
+    "partitioning (plans.shape.pin_group_partitioning). The oracle is a "
+    "RECURSIVE CTE walking rn -> rn+1 — exponentially slower per step "
+    "but exact, which is the point: the sequential semantics are pinned "
+    "by an engine that executes them a completely different way. Scale: "
+    "per-key state is one int, group fold is O(rows-per-key) — the same "
+    "access pattern applyInPandasWithState uses for the streaming twin "
+    "(q_stateful_running); giant single keys are the documented "
+    "grouped-map hazard.",
+)
+def q_capped_balance_fold(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+    from real_time_rides_data_pipeline_spark.plans.shape import (
+        pin_group_partitioning,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    t = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents(F.col("value")))
+        .otherwise(-cents(F.col("value")))
+        .alias("delta"),
+    )
+
+    cap = _CAP_CENTS
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        deltas = pdf["delta"].to_numpy(dtype="int64")
+        out = np.empty(len(deltas), dtype="int64")
+        b = 0
+        for i, d in enumerate(deltas):
+            b = min(cap, max(0, b + int(d)))
+            out[i] = b
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].astype("int64"),
+                "event_id": pdf["event_id"].astype("int64"),
+                "delta": deltas,
+                "balance_cents": out,
+            }
+        )
+
+    return (
+        pin_group_partitioning(t, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            fold,
+            "user_id long, event_id long, delta long, balance_cents long",
+        )
     )

@@ -109,6 +109,7 @@ def check_priority() -> tuple[str, ...]:
         "q_domain_cap", "q_join_cardinality_estimate", "q_quantile_bins",
         "q_chi2_cells", "q_stream_cms_merge", "q_keyset_pagination",
         "q_clamped_running_balance", "q_stream_late_metrics",
+        "q_capped_balance_fold",
         "q_malformed_filter", "q_struct_star",
     )
 

@@ -944,3 +944,49 @@ def test_clamped_balance_prefix_identity_equals_fold(spark, deltas):
         b = max(0, b + d)
         want[i] = b
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    deltas=st.lists(
+        st.integers(min_value=-30_000, max_value=30_000), min_size=1, max_size=30
+    )
+)
+def test_capped_balance_grouped_fold_equals_python_fold(spark, deltas):
+    """The grouped-map numpy fold behind q_capped_balance_fold must equal
+    the reference sequential fold b = min(cap, max(0, b + d)) on arbitrary
+    signed deltas — including runs that saturate BOTH clamps."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from real_time_rides_data_pipeline_spark.queries_mining import (
+        _CAP_CENTS,
+        q_capped_balance_fold,
+    )
+
+    d = tempfile.mkdtemp(prefix="capfold_")
+    t0 = datetime(2024, 1, 1)
+    # drive through the real key: deltas arrive as purchase/error cents
+    rows = [
+        (
+            i,
+            t0 + timedelta(minutes=i),
+            1,
+            "purchase" if x >= 0 else "error",
+            abs(x) / 100.0,
+        )
+        for i, x in enumerate(deltas)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.parquet(f"{d}/events.parquet")
+    got = {
+        r["event_id"]: r["balance_cents"]
+        for r in q_capped_balance_fold(spark, d).collect()
+    }
+    b, want = 0, {}
+    for i, x in enumerate(deltas):
+        b = min(_CAP_CENTS, max(0, b + x))
+        want[i] = b
+    assert got == want
