@@ -1042,3 +1042,12 @@ def test_clamped_balance_single_shuffle(spark):
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
     assert pushed and "event_type" in pushed[0], pushed
+
+
+def test_capped_fold_plan_shape(spark):
+    """The two-sided clamp runs as grouped-map Pandas over the pinned
+    key-hash width, with the event_type filter pushed to the scan."""
+    plan = _plan(spark, "q_capped_balance_fold")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert pushed and "event_type" in pushed[0], pushed
