@@ -53,50 +53,21 @@ def registry() -> dict[str, QuerySpec]:
 def check_priority() -> tuple[str, ...]:
     """Driver-verification priority: the round driver oracle-checks only the
     FIRST 50 keys of ``__spark_entry__.queries()``. Board state entering
-    round 7 (CORRECTNESS_r01-r06 union): all 164 keys checked at least
-    once; staleness 50@r6 / 43@r5 / 47@r4 / 24@r3; one hash-fail
-    (q_decimal_money — Arrow decimal-precision representation, re-fixed
-    this round to compare exact integer cents) and one key whose operator
-    had a latent bug (q_bloom_decontaminate — might_contain's int32
-    array-literal inference, fixed). Round 7 priority = (a) the two
-    re-fixed keys — these MUST re-check green, (b) four keys upgraded
-    this round from rows-only to value-checked oracles (sketch keys now
-    emit the exact answer cross-checked against DuckDB plus a Spark-side
-    error-bound attestation; q_frame_sample gained a full byte-math
-    oracle), (b2) the twenty never-checked keys registered this round
-    (queries_ops.py plus the MinHash-attestation / Gopher-rules / RRF /
-    Pareto / span-dedup / KS-drift additions — never-checked outranks
-    stale greens), (c) the 24 r3-stale keys — after this window no key's
-    latest check is older than r4 (2+4+20+24 = 50 head slots exactly),
-    (e) the never-checked keys past the window (q_charlm_coverage,
-    q_semdedup, q_url_canon_dedup, q_event_transitions,
-    q_gapfill_interp, q_span_novelty, and the round-7-continuation
-    queries_analytics.py six: q_fk_orphans, q_interval_overlap_join,
-    q_decayed_sum, q_pagerank, q_bpe_pairs, q_null_impute — all locally
-    oracle-green) plus the r4-stale cohort roll to round 8 as the first
-    entries past it. Keys not listed keep registration order
-    afterwards."""
+    round 8 (CORRECTNESS_r01-r07 union): 221 keys registered, 184 checked
+    at least once, ALL 50 round-7 window keys fully green (including the
+    two round-6 re-fixes q_decimal_money and q_bloom_decontaminate);
+    staleness 50@r7 / 48@r6 / 41@r5 / 45@r4; 37 keys registered during
+    round 7 have never been driver-checked (all locally oracle-green in
+    the pytest harness at sf0.01). Round 8 priority = (a) the 37
+    never-checked round-7 keys, in registration order — never-checked
+    outranks stale greens, (b) the 13 oldest r4-stale keys (registration
+    order), filling the window to exactly 50. The remaining 32 r4-stale
+    keys roll past the window as the first entries of the round-9 cohort,
+    followed by the r5-stale cohort. Keys not listed keep registration
+    order afterwards. New round-8 registrations are appended at the END of
+    this tuple's (b2) section as they land so round 9 can promote them."""
     return (
-        # (a) re-fixed this round, must re-check green
-        "q_decimal_money", "q_bloom_decontaminate",
-        # (b) rows-only → value-checked oracle upgrades (round 7)
-        "q_approx_distinct", "q_approx_quantile", "q_hll_shard_merge",
-        "q_frame_sample",
-        # (b2) new in round 7, never driver-checked
-        "q_join_full", "q_jaccard_join_exact", "q_time_weighted_avg",
-        "q_compaction_plan", "q_observed_metrics", "q_python_udtf",
-        "q_sql_params", "q_triangle_count", "q_winsorized_mean",
-        "q_recursive_cte", "q_pipe_sql", "q_xml_parse", "q_curation_e2e",
-        "q_asof_tolerance", "q_minhash_est_jaccard", "q_gopher_rules",
-        "q_rrf_fusion", "q_pareto_frontier", "q_dup_spans", "q_ks_drift",
-        # (c) latest driver check = round 3, registration order
-        "q_percentile_disc", "q_window_range_frame", "q_ntile_first_last",
-        "q_conditional_funcs", "q_bucketed_join", "q_tpch_q4", "q_tpch_q14",
-        "q_unpivot", "q_asof_join", "q_range_join", "q_tpch_q5",
-        "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13",
-        "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
-        "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-        # (e) first past the 50-key window — rolls to round 8
+        # (a) registered in round 7, never driver-checked
         "q_charlm_coverage", "q_semdedup", "q_url_canon_dedup",
         "q_event_transitions", "q_gapfill_interp", "q_span_novelty",
         "q_fk_orphans", "q_interval_overlap_join", "q_decayed_sum",
@@ -110,7 +81,22 @@ def check_priority() -> tuple[str, ...]:
         "q_chi2_cells", "q_stream_cms_merge", "q_keyset_pagination",
         "q_clamped_running_balance", "q_stream_late_metrics",
         "q_capped_balance_fold",
-        "q_malformed_filter", "q_struct_star",
+        # (b) oldest r4-stale keys — 13 slots fill the window to 50
+        "q_malformed_filter", "q_struct_star", "q_derived_duration",
+        "q_rand_column", "q_validity_filter", "q_bool_enrich",
+        "q_point_lookup", "q_window_hourly_agg", "q_agg_count",
+        "q_agg_avg_round", "q_agg_cond_sum", "q_reagg_distinct",
+        "q_count_all",
+        # (c) r4-stale remainder — rolls to round 9 past the 50-key window
+        "q_gold_point_lookup", "q_topn", "q_row_number", "q_join_inner",
+        "q_join_left", "q_join_semi", "q_join_anti", "q_join_multiway",
+        "q_agg_stats", "q_pipeline_e2e", "q_json_extract", "q_asof_latest",
+        "q_minhash_neardup", "q_multimodal_meta", "q_audio_meta",
+        "q_window_sliding", "q_window_session", "q_set_ops", "q_pivot",
+        "q_tpch_q1", "q_merge_upsert", "q_stateful_running",
+        "q_stream_dim_join", "q_stream_stream_join", "q_top2_per_key",
+        "q_array_agg", "q_salted_join", "q_partition_pruned_scan",
+        "q_hash_sample", "q_map_funcs", "q_array_funcs", "q_resize_meta",
     )
 
 
