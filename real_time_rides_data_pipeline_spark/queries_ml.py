@@ -1,0 +1,635 @@
+"""Round 8: model-evaluation / feature-engineering surface.
+
+Same registry contract as queries.py / queries_analytics.py (SURVEY.md
+§2.9 scope — the operations a large-scale training-data pipeline needs
+around model fitting and offline evaluation). Determinism rules
+(SURVEY §7.4) throughout: exact integer cents / counts / scaled ranks,
+floor (`div`) division only on non-negative operands, every ORDER BY
+tied off by a total order, the only compared float-derived columns are
+floor-truncated cosine scores whose pre-truncation doubles are
+bit-identical across engines (the q_cosine_topk precedent).
+
+What this module adds (each a genuinely distinct surface, none
+previously registered):
+
+- ``q_linreg_fit`` — closed-form OLS per group via one-pass exact
+  integer moments: the distributed "fit a trend line over 100 TB"
+  primitive (normal equations, map-side combine; no iteration, no
+  float drift — slope/intercept emitted as exact BIGINT rationals).
+- ``q_auc_roc`` — exact ROC-AUC via the rank-sum (Mann-Whitney U)
+  identity over distinct-score groups with tie handling; the offline
+  binary-classifier eval at corpus scale without a global per-row sort.
+- ``q_confusion_matrix`` — per-class TP/FP/FN + precision/recall/F1 in
+  exact integer ppm from a two-level re-aggregation of the
+  (actual, predicted) contingency table.
+- ``q_score_lift`` — cumulative lift/gains table over equal-width score
+  bands (band assignment is a pure map against a broadcast scalar max;
+  the cumulative window runs over 10 band rows, not N data rows).
+- ``q_rolling_median`` — EXACT rolling median over a 5-row event-time
+  frame per user (collect_list window + sort_array + middle elements;
+  emitted as median*2 so even frames stay integer).
+- ``q_grid_join_radius`` — fixed-radius spatial self-join via grid-cell
+  bucketing (9-cell neighbor expansion on one side, equi-join on cell,
+  exact integer squared distance) — the O(N·density) alternative to the
+  O(N²) distance cross join.
+- ``q_feature_hash`` — the hashing-trick featurizer: tokens bucketed by
+  an md5-derived 60-bit integer mod B, per-bucket corpus stats +
+  dominant term (collision inspection), engine-portable because md5 is.
+- ``q_knn_classify`` — k-NN holdout classification: a small fixed query
+  set broadcast against the train corpus, per-query top-5 by
+  floor-truncated cosine, majority vote with total-order tie-breaks.
+  Scan-once-over-N (scalable in N; the IVF path q_ann_ivf is the
+  large-|Q| answer).
+- ``q_pca_project`` — top-2 principal directions via a DISTRIBUTED
+  gramian (mapInArrow partial X'X per Arrow batch → element-wise sum →
+  64×64 eigh on the driver → components folded back as literals) and
+  the projection of every vector onto them. The classic
+  fit-small/broadcast-big shape for embedding dim-reduction at 100 TB.
+  Eigendecomposition is not SQL-expressible → rows-only driver check;
+  exactness vs numpy PCA is pinned in tests/test_ml.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from real_time_rides_data_pipeline_spark.functions.precision import cents
+from real_time_rides_data_pipeline_spark.functions.vectors import as_double, cosine
+from real_time_rides_data_pipeline_spark.registry import _t, register
+
+_KNUTH = 2654435761
+
+# =========================================================================
+# Closed-form OLS via exact integer moments
+# =========================================================================
+
+
+@register(
+    "q_linreg_fit",
+    """WITH m AS (
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS sx,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+                CAST(sum(CAST(EXTRACT(hour FROM ts) AS BIGINT)
+                         * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS sxx,
+                CAST(sum(CAST(EXTRACT(hour FROM ts) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxy
+         FROM events GROUP BY event_type)
+       SELECT event_type, n,
+              n * sxy - sx * sy AS slope_num,
+              n * sxx - sx * sx AS slope_den,
+              sy * sxx - sx * sxy AS icept_num
+       FROM m""",
+    "Per-group closed-form OLS (cents-value on hour-of-day) from ONE pass "
+    "of exact integer moments (n, Σx, Σy, Σx², Σxy): slope = slope_num/"
+    "slope_den and intercept = icept_num/slope_den as exact BIGINT "
+    "rationals — no float ever appears, so two engines agree bit-for-bit. "
+    "Shape: map-side partial agg into 5 groups; no window, no second pass. "
+    "At 100 TB the moments widen to DECIMAL(38,0) (or x is mean-centered "
+    "per group in a cheap 2-pass) — int64 is exact at every tested SF and "
+    "overflow would fail loudly, never silently.",
+)
+def q_linreg_fit(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    x = F.hour("ts").cast("long")
+    y = cents(F.col("value"))
+    m = (
+        ev.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    return m.select(
+        "event_type",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("slope_den"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias("icept_num"),
+    )
+
+
+# =========================================================================
+# Exact ROC-AUC via the rank-sum identity
+# =========================================================================
+
+
+@register(
+    "q_auc_roc",
+    """WITH s AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS sc,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS p,
+                CAST(count(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT) AS q
+         FROM events GROUP BY sc
+       ), c AS (
+         SELECT p, q,
+                COALESCE(sum(q) OVER (ORDER BY sc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+         FROM s)
+       SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+              CAST(sum(q) AS BIGINT) AS n_neg,
+              CAST(sum(p * (2 * nb + q)) AS BIGINT) AS auc_num2,
+              CAST(2 * sum(p) * sum(q) AS BIGINT) AS auc_den2,
+              CAST(sum(p * (2 * nb + q)) * 1000000
+                   // (2 * sum(p) * sum(q)) AS BIGINT) AS auc_ppm
+       FROM c""",
+    "Exact ROC-AUC (label = purchase, score = cents value) via the Mann-"
+    "Whitney rank-sum identity computed over DISTINCT-SCORE groups: "
+    "2U = Σ_s pos(s)·(2·neg_below(s) + neg(s)) handles ties exactly, and "
+    "auc = U / (P·N) is emitted as an exact num/den pair plus integer ppm. "
+    "Shape: one hash agg compresses N rows to |distinct scores| (bounded "
+    "by the 2-dp value domain, ≤ ~5e6 rows at ANY data size), then the "
+    "cumulative window runs over that bounded set — never a global per-row "
+    "sort. The standard large-scale AUC shape.",
+)
+def q_auc_roc(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pos = (F.col("event_type") == "purchase").cast("long")
+    s = (
+        ev.select(cents(F.col("value")).alias("sc"), pos.alias("is_pos"))
+        .groupBy("sc")
+        .agg(F.sum("is_pos").alias("p"), F.count("*").alias("cnt"))
+        .select("sc", "p", (F.col("cnt") - F.col("p")).alias("q"))
+    )
+    # Single-partition window over DISTINCT SCORES only (bounded domain —
+    # see docstring); never over raw rows.
+    w = Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)
+    c = s.select(
+        "p", "q", F.coalesce(F.sum("q").over(w), F.lit(0)).alias("nb")
+    )
+    agg = c.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("q").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("nb") + F.col("q"))).alias("auc_num2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        (2 * F.col("n_pos") * F.col("n_neg")).alias("auc_den2"),
+        F.expr("(auc_num2 * 1000000) div (2 * n_pos * n_neg)").alias("auc_ppm"),
+    )
+
+
+# =========================================================================
+# Confusion matrix + per-class precision/recall/F1
+# =========================================================================
+
+_CM_PRED_SQL = (
+    "CAST((label + CASE WHEN ((vec_id % 97) * (2654435761 % 97)) % 97 < 10 "
+    "THEN 1 ELSE 0 END) % 10 AS BIGINT)"
+)
+
+
+@register(
+    "q_confusion_matrix",
+    f"""WITH scored AS (
+         SELECT CAST(label AS BIGINT) AS actual, {_CM_PRED_SQL} AS predicted
+         FROM embeddings
+       ), cm AS (
+         SELECT actual, predicted, CAST(count(*) AS BIGINT) AS cnt
+         FROM scored GROUP BY actual, predicted
+       ), act AS (SELECT actual AS cls, CAST(sum(cnt) AS BIGINT) AS act_total
+                  FROM cm GROUP BY actual),
+       prd AS (SELECT predicted AS cls, CAST(sum(cnt) AS BIGINT) AS pred_total
+               FROM cm GROUP BY predicted),
+       tp AS (SELECT actual AS cls, CAST(sum(cnt) AS BIGINT) AS tp
+              FROM cm WHERE actual = predicted GROUP BY actual)
+       SELECT cls,
+              COALESCE(tp.tp, 0) AS tp,
+              COALESCE(prd.pred_total, 0) - COALESCE(tp.tp, 0) AS fp,
+              COALESCE(act.act_total, 0) - COALESCE(tp.tp, 0) AS fn,
+              CASE WHEN COALESCE(prd.pred_total, 0) = 0 THEN NULL
+                   ELSE COALESCE(tp.tp, 0) * 1000000 // prd.pred_total
+              END AS precision_ppm,
+              CASE WHEN COALESCE(act.act_total, 0) = 0 THEN NULL
+                   ELSE COALESCE(tp.tp, 0) * 1000000 // act.act_total
+              END AS recall_ppm,
+              CASE WHEN COALESCE(prd.pred_total, 0) + COALESCE(act.act_total, 0) = 0
+                   THEN NULL
+                   ELSE 2 * COALESCE(tp.tp, 0) * 1000000
+                        // (COALESCE(prd.pred_total, 0) + COALESCE(act.act_total, 0))
+              END AS f1_ppm
+       FROM act FULL JOIN prd USING (cls) LEFT JOIN tp USING (cls)""",
+    "Per-class confusion-matrix metrics from a deterministic synthetic "
+    "predictor (label perturbed on a ~10% modular-hash slice — a stand-in "
+    "for a scored eval table): TP/FP/FN plus precision/recall/F1 in exact "
+    "integer ppm. Shape: ONE contingency aggregation of N rows to ≤ C² "
+    "cells, then all re-aggs and the class full-join run on the tiny cell "
+    "table — N is touched exactly once, the 100 TB eval-table shape.",
+)
+def q_confusion_matrix(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    h = F.pmod(F.pmod(F.col("vec_id"), 97) * F.lit(_KNUTH % 97), F.lit(97))
+    predicted = F.pmod(
+        F.col("label") + F.when(h < 10, 1).otherwise(0), F.lit(10)
+    ).cast("long")
+    cm = (
+        emb.select(F.col("label").cast("long").alias("actual"), predicted.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("cnt"))
+    )
+    act = cm.groupBy(F.col("actual").alias("cls")).agg(F.sum("cnt").alias("act_total"))
+    prd = cm.groupBy(F.col("predicted").alias("cls")).agg(F.sum("cnt").alias("pred_total"))
+    tp = (
+        cm.filter(F.col("actual") == F.col("predicted"))
+        .groupBy(F.col("actual").alias("cls"))
+        .agg(F.sum("cnt").alias("tp"))
+    )
+    j = (
+        act.join(prd, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("pred_total", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fp"),
+            (F.coalesce("act_total", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fn"),
+            F.coalesce("pred_total", F.lit(0)).alias("pt"),
+            F.coalesce("act_total", F.lit(0)).alias("at"),
+        )
+    )
+    return j.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("pt") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(tp * 1000000) div pt"))
+        .alias("precision_ppm"),
+        F.when(F.col("at") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(tp * 1000000) div `at`"))
+        .alias("recall_ppm"),
+        F.when(F.col("pt") + F.col("at") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(2 * tp * 1000000) div (pt + `at`)"))
+        .alias("f1_ppm"),
+    )
+
+
+# =========================================================================
+# Cumulative lift / gains table over equal-width score bands
+# =========================================================================
+
+
+@register(
+    "q_score_lift",
+    """WITH mx AS (SELECT max(CAST(round(value * 100) AS BIGINT)) AS mc FROM events),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                      CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS pp
+               FROM events),
+       b AS (
+         SELECT LEAST(9, CAST(round(value * 100) AS BIGINT) * 10 // (mx.mc + 1)) AS band,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS pos
+         FROM events, mx GROUP BY band
+       ), c AS (
+         SELECT band, n, pos,
+                CAST(sum(n) OVER (ORDER BY band DESC) AS BIGINT) AS cum_n,
+                CAST(sum(pos) OVER (ORDER BY band DESC) AS BIGINT) AS cum_pos
+         FROM b)
+       SELECT band, n, pos, cum_n, cum_pos,
+              CAST(cum_pos * nn * 1000000 // (cum_n * pp) AS BIGINT) AS lift_ppm
+       FROM c, tot""",
+    "Cumulative lift/gains table (the 'target the top score bands' model "
+    "eval): 10 equal-width cents bands, per-band counts, and the running "
+    "lift (cum_pos/cum_n)/(P/N) in exact integer ppm scanning bands from "
+    "best down. Shape: band assignment is a pure map against one broadcast "
+    "scalar (max score), one hash agg to 10 rows, and the cumulative "
+    "window runs over those 10 rows — N rows are scanned once, nothing "
+    "data-proportional is sorted or windowed.",
+)
+def q_score_lift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = cents(F.col("value"))
+    mx = ev.agg(F.max(c).alias("mc"))
+    tot = ev.agg(
+        F.count("*").alias("nn"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("pp"),
+    )
+    pos = (F.col("event_type") == "purchase").cast("long")
+    banded = ev.crossJoin(F.broadcast(mx)).select(
+        F.least(F.lit(9), F.expr("(CAST(round(value*100) AS BIGINT) * 10) div (mc + 1)")).alias("band"),
+        pos.alias("is_pos"),
+    )
+    b = banded.groupBy("band").agg(
+        F.count("*").alias("n"), F.sum("is_pos").alias("pos")
+    )
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = b.select(
+        "band",
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n",
+        "pos",
+        "cum_n",
+        "cum_pos",
+        F.expr("(cum_pos * nn * 1000000) div (cum_n * pp)").alias("lift_ppm"),
+    )
+
+
+# =========================================================================
+# Exact rolling median over a bounded row frame
+# =========================================================================
+
+
+@register(
+    "q_rolling_median",
+    """SELECT event_id, user_id,
+              CAST(count(*) OVER w AS BIGINT) AS n_win,
+              CAST(round(2 * median(CAST(round(value * 100) AS BIGINT)) OVER w)
+                   AS BIGINT) AS median_x2
+       FROM events WHERE event_type = 'purchase'
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    "EXACT rolling median of cents spend over each user's last 5 purchase "
+    "events (event-time order, total-ordered by (ts, event_id)). Emitted "
+    "as median*2 so even frames (mean of the two middle values) stay "
+    "integer-exact. Shape: one shuffle on user_id, per-user sort, and a "
+    "BOUNDED 5-row frame materialized via collect_list+sort_array — state "
+    "per row is O(frame), never O(history); the robust-smoothing primitive "
+    "for per-entity telemetry at scale.",
+)
+def q_rolling_median(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.sort_array(F.collect_list(cents(F.col("value"))).over(w))
+    sized = ev.select(
+        "event_id",
+        "user_id",
+        F.size(arr).cast("long").alias("n_win"),
+        arr.alias("frame"),
+    )
+    n = F.col("n_win")
+    odd = 2 * F.element_at("frame", ((n + 1) / 2).cast("int"))
+    even = F.element_at("frame", (n / 2).cast("int")) + F.element_at(
+        "frame", (n / 2 + 1).cast("int")
+    )
+    return sized.select(
+        "event_id",
+        "user_id",
+        "n_win",
+        F.when(n % 2 == 1, odd).otherwise(even).cast("long").alias("median_x2"),
+    )
+
+
+# =========================================================================
+# Fixed-radius spatial self-join via grid-cell bucketing
+# =========================================================================
+
+_GRID_PTS_SQL = f"""SELECT o_orderkey AS pid,
+           ((o_orderkey % 1009) * ({_KNUTH} % 1009)) % 1009 AS x,
+           ((o_custkey % 1013) * ({_KNUTH} % 1013)) % 1013 AS y
+    FROM orders WHERE o_orderkey % 23 = 0"""
+
+
+@register(
+    "q_grid_join_radius",
+    f"""WITH pts AS ({_GRID_PTS_SQL})
+       SELECT a.pid AS id_a, b.pid AS id_b,
+              (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+       FROM pts a JOIN pts b
+         ON a.pid < b.pid
+        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1024""",
+    "Fixed-radius (r=32) spatial self-join over deterministic planar "
+    "points: Spark buckets points into r-sized grid cells, expands ONE "
+    "side to its 9 neighbor cells, equi-joins on cell, and verifies with "
+    "exact integer squared distance (pairs canonical via id_a < id_b; "
+    "cell width = r guarantees every qualifying pair lands in exactly one "
+    "expanded/native cell combination). O(N·local density) work vs the "
+    "oracle's O(N²) cross join — the geo/embedding blocking shape that "
+    "survives 100 TB; skewed cells are handled by the same salting "
+    "machinery as any hot join key.",
+)
+def q_grid_join_radius(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pts = o.filter(F.col("o_orderkey") % 23 == 0).select(
+        F.col("o_orderkey").alias("pid"),
+        (F.pmod(F.col("o_orderkey"), 1009) * F.lit(_KNUTH % 1009) % 1009).alias("x"),
+        (F.pmod(F.col("o_custkey"), 1013) * F.lit(_KNUTH % 1013) % 1013).alias("y"),
+    )
+    cells = pts.select(
+        "pid", "x", "y",
+        F.expr("x div 32").alias("cx"),
+        F.expr("y div 32").alias("cy"),
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    left = (
+        cells.withColumn("dx", off)
+        .withColumn("dy", off)
+        .select(
+            F.col("pid").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    right = cells.select(
+        F.col("pid").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        left.join(right, ["cx", "cy"])
+        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= 1024))
+        .select("id_a", "id_b", d2.alias("dist2"))
+    )
+
+
+# =========================================================================
+# Hashing-trick featurizer (corpus-level bucket stats)
+# =========================================================================
+
+
+@register(
+    "q_feature_hash",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         FROM documents
+       ), tb AS (
+         SELECT term,
+                ('0x' || substr(md5(term), 1, 15))::BIGINT % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+         FROM tok GROUP BY term
+       )
+       SELECT bucket,
+              CAST(sum(cnt) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_terms,
+              max(docs) AS max_term_docs,
+              first(term ORDER BY cnt DESC, term ASC) AS top_term,
+              max(cnt) AS top_cnt
+       FROM tb GROUP BY bucket""",
+    "Hashing-trick featurizer audit: every token maps to bucket = "
+    "md5-60-bit-int mod 64 (engine-portable — xxhash64/hash are Spark-"
+    "specific), then per-bucket corpus stats: token mass, distinct terms "
+    "(collision count), the dominant term and its count. Shape: tokenize "
+    "(pure map) → (term) hash agg → (bucket) re-agg over the small term "
+    "table; the fixed-width feature space is what makes downstream linear "
+    "models shuffle-free at 100 TB.",
+)
+def q_feature_hash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"), F.lit(64)
+    )
+    tb = tok.groupBy("term").agg(
+        F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("docs")
+    ).select("term", bucket.alias("bucket"), "cnt", "docs")
+    w = Window.partitionBy("bucket").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = tb.withColumn("rk", F.row_number().over(w))
+    stats = tb.groupBy("bucket").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_terms"),
+        F.max("docs").alias("max_term_docs"),
+    )
+    top = ranked.filter(F.col("rk") == 1).select(
+        "bucket", F.col("term").alias("top_term"), F.col("cnt").alias("top_cnt")
+    )
+    return stats.join(top, "bucket")
+
+
+# =========================================================================
+# k-NN holdout classification (broadcast query set, scan-once train side)
+# =========================================================================
+
+_KNN_COS_SQL = (
+    "list_reduce(list_transform(range(len(t.embedding)), "
+    "i -> t.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE), (x,y) -> x+y) "
+    "/ (sqrt(list_reduce(list_transform(t.embedding, x -> x::DOUBLE*x::DOUBLE), (x,y)->x+y)) "
+    "* sqrt(list_reduce(list_transform(q.embedding, x -> x::DOUBLE*x::DOUBLE), (x,y)->x+y)))"
+)
+
+
+@register(
+    "q_knn_classify",
+    f"""WITH pairs AS (
+         SELECT q.vec_id AS qid, t.vec_id AS tid, t.label,
+                CAST(floor(({_KNN_COS_SQL}) * 1000000) AS BIGINT) AS sim_e6
+         FROM embeddings q JOIN embeddings t
+           ON q.vec_id % 20 = 0 AND t.vec_id % 20 <> 0
+       ), top AS (
+         SELECT qid, label FROM (
+           SELECT qid, label,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim_e6 DESC, tid ASC) AS rn
+           FROM pairs) WHERE rn <= 5
+       ), votes AS (
+         SELECT qid, CAST(label AS BIGINT) AS pred_label,
+                CAST(count(*) AS BIGINT) AS votes
+         FROM top GROUP BY qid, label)
+       SELECT qid, pred_label, votes FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY votes DESC, pred_label ASC) AS rk
+         FROM votes) WHERE rk = 1""",
+    "k-NN holdout classification: the 5% query slice (vec_id % 20 = 0) is "
+    "BROADCAST against the train corpus, each train row scores |Q| cosines "
+    "(floor-truncated to integer µ-units — q_cosine_topk's cross-engine-"
+    "stable pattern), per-query top-5 by (sim, tid), majority vote with "
+    "(votes DESC, label ASC) tie-break. Shape: ONE scan of the train side, "
+    "no train-side shuffle before the per-qid top-k — scalable in N for a "
+    "fixed query set; large |Q| routes through the IVF index (q_ann_ivf).",
+)
+def q_knn_classify(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.pmod(F.col("vec_id"), 20) == 0).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
+    )
+    t = emb.filter(F.pmod(F.col("vec_id"), 20) != 0).select(
+        F.col("vec_id").alias("tid"),
+        F.col("label").cast("long").alias("label"),
+        as_double(F.col("embedding")).alias("tv"),
+    )
+    sim_e6 = F.floor(cosine(F.col("tv"), F.col("qv")) * 1000000).cast("long")
+    pairs = t.crossJoin(F.broadcast(q)).select(
+        "qid", "tid", "label", sim_e6.alias("sim_e6")
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("sim_e6").desc(), F.col("tid").asc()
+    )
+    top = pairs.withColumn("rn", F.row_number().over(w_top)).filter(F.col("rn") <= 5)
+    votes = top.groupBy("qid", F.col("label").alias("pred_label")).agg(
+        F.count("*").alias("votes")
+    )
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("pred_label").asc()
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w_vote))
+        .filter(F.col("rk") == 1)
+        .select("qid", "pred_label", "votes")
+    )
+
+
+# =========================================================================
+# PCA via a distributed gramian (rows-only: eigh is not SQL-expressible)
+# =========================================================================
+
+#: Memoized principal components keyed by sf_dir — the fit is a
+#: deterministic pure function of the data (same policy as the k-means
+#: centroid cache: model fitting is index/model PREP, re-used across
+#: invocations within one process).
+_PCA_CACHE: dict[str, tuple[list[float], list[float]]] = {}
+
+
+def _fit_pca_components(emb, sf_dir: str) -> tuple[list[float], list[float]]:
+    comps = _PCA_CACHE.get(sf_dir)
+    if comps is None:
+        from real_time_rides_data_pipeline_spark.operators.pca import fit_top2_gramian
+
+        comps = fit_top2_gramian(emb, vec_col="embedding")
+        _PCA_CACHE[sf_dir] = comps
+    return comps
+
+
+@register(
+    "q_pca_project",
+    None,  # eigendecomposition is not SQL-expressible → rows-only check;
+    # exactness vs numpy PCA is pinned in tests/test_ml.py.
+    "Top-2 principal directions of the (uncentered) embedding matrix via a "
+    "DISTRIBUTED gramian: mapInArrow emits one 64x64 partial X'X per Arrow "
+    "batch (numpy, zero-copy), partials element-wise-sum to ONE bounded "
+    "d² vector, eigh runs on the driver (64x64 — microseconds), and the "
+    "sign-fixed components fold back into the plan as array literals for "
+    "the projection scan. Data crosses the wire as d²·n_batches doubles, "
+    "never as rows — the fit-small/broadcast-big shape that makes "
+    "embedding dim-reduction tractable at 100 TB.",
+)
+def q_pca_project(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v1, v2 = _fit_pca_components(emb, sf_dir)
+    from real_time_rides_data_pipeline_spark.functions.vectors import dot
+
+    lit1 = F.array(*[F.lit(float(x)) for x in v1])
+    lit2 = F.array(*[F.lit(float(x)) for x in v2])
+    xs = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.floor(dot(xs, lit1) * 1000000).cast("long").alias("pc1_e6"),
+        F.floor(dot(xs, lit2) * 1000000).cast("long").alias("pc2_e6"),
+    )

@@ -42,6 +42,7 @@ def registry() -> dict[str, QuerySpec]:
     import real_time_rides_data_pipeline_spark.queries_curate  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_ext  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_mining  # noqa: F401
+    import real_time_rides_data_pipeline_spark.queries_ml  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_olap  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_ops  # noqa: F401
     import real_time_rides_data_pipeline_spark.queries_scale  # noqa: F401
@@ -97,6 +98,11 @@ def check_priority() -> tuple[str, ...]:
         "q_stream_dim_join", "q_stream_stream_join", "q_top2_per_key",
         "q_array_agg", "q_salted_join", "q_partition_pruned_scan",
         "q_hash_sample", "q_map_funcs", "q_array_funcs", "q_resize_meta",
+        # (d) registered in round 8 (queries_ml.py) — never driver-checked;
+        # round 9 MUST promote these to the window head.
+        "q_linreg_fit", "q_auc_roc", "q_confusion_matrix", "q_score_lift",
+        "q_rolling_median", "q_grid_join_radius", "q_feature_hash",
+        "q_knn_classify", "q_pca_project",
     )
 
 

@@ -1,0 +1,185 @@
+"""Tests for the round-8 model-evaluation / feature-engineering surface
+(queries_ml.py + operators/pca.py).
+
+The registry-parametrized smoke + oracle tests in test_oracle.py already
+cover every key at sf0.01; this file pins the claims an oracle can't:
+PCA exactness vs numpy, grid-join completeness vs brute force, AUC's
+closed-form identity on a hand-computable input, and the plan shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_rides_data_pipeline_spark.operators.pca import (
+    fit_top2_gramian,
+    gramian,
+)
+from real_time_rides_data_pipeline_spark.registry import registry
+
+SF = "/root/testdata/sf0.001"
+SPECS = registry()
+
+
+# --- PCA: distributed gramian + driver eigh ≡ numpy on the same data ----
+
+
+def _np_embeddings(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    x = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return ids, x
+
+
+def test_gramian_matches_numpy(spark):
+    _, x = _np_embeddings(spark)
+    g = np.asarray(gramian(spark.read.parquet(f"{SF}/embeddings.parquet")))
+    assert g.shape == (x.shape[1], x.shape[1])
+    # float-add order differs across partitions → allclose, not equality
+    np.testing.assert_allclose(g, x.T @ x, rtol=1e-9, atol=1e-6)
+
+
+def test_pca_components_match_numpy(spark):
+    _, x = _np_embeddings(spark)
+    v1, v2 = fit_top2_gramian(spark.read.parquet(f"{SF}/embeddings.parquet"))
+    evals, evecs = np.linalg.eigh(x.T @ x)
+    # same eigenvector up to sign; sign-fix makes it exactly comparable
+    for got, idx in ((v1, -1), (v2, -2)):
+        ref = evecs[:, idx]
+        ref = -ref if ref[int(np.argmax(np.abs(ref)))] < 0 else ref
+        assert abs(abs(np.dot(got, ref)) - 1.0) < 1e-8
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-8)
+    # orthonormal pair
+    assert abs(np.dot(v1, v2)) < 1e-8
+    assert abs(np.linalg.norm(v1) - 1.0) < 1e-10
+
+
+def test_pca_projection_matches_numpy(spark):
+    ids, x = _np_embeddings(spark)
+    out = {
+        r["vec_id"]: (r["pc1_e6"], r["pc2_e6"])
+        for r in SPECS["q_pca_project"].fn(spark, SF).collect()
+    }
+    v1, v2 = fit_top2_gramian(spark.read.parquet(f"{SF}/embeddings.parquet"))
+    p1 = x @ np.asarray(v1)
+    p2 = x @ np.asarray(v2)
+    for i, vid in enumerate(ids):
+        got1, got2 = out[vid]
+        # floor(1e6·x) can differ by 1 ulp-flip at the boundary; allow ±1
+        assert abs(got1 - np.floor(p1[i] * 1e6)) <= 1
+        assert abs(got2 - np.floor(p2[i] * 1e6)) <= 1
+    # variance along pc1 ≥ variance along pc2 (top eigenvalue first)
+    assert np.sum(p1 * p1) >= np.sum(p2 * p2)
+
+
+# --- grid-radius join ≡ brute force on the fixture -----------------------
+
+
+def test_grid_join_matches_brute_force(spark):
+    df = SPECS["q_grid_join_radius"].fn(spark, SF)
+    got = {(r["id_a"], r["id_b"]): r["dist2"] for r in df.collect()}
+    pts = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderkey") % 23 == 0)
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    K = 2654435761
+    coords = [
+        (
+            r["o_orderkey"],
+            (r["o_orderkey"] % 1009) * (K % 1009) % 1009,
+            (r["o_custkey"] % 1013) * (K % 1013) % 1013,
+        )
+        for r in pts
+    ]
+    want = {}
+    for i in range(len(coords)):
+        for j in range(i + 1, len(coords)):
+            a, b = coords[i], coords[j]
+            d2 = (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+            if d2 <= 1024:
+                key = (min(a[0], b[0]), max(a[0], b[0]))
+                want[key] = d2
+    assert got == want  # complete AND duplicate-free
+
+
+# --- AUC: rank-sum identity on a hand-computable input -------------------
+
+
+def test_auc_identity_hand_case(spark, tmp_path):
+    """scores [1,2,3,4], labels [0,0,1,1] → AUC = 1; add a tie pair
+    (score 5 for one pos and one neg) → U = 2*2 + ... verify exactly."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(["2026-01-01"] * 6),
+            "user_id": [1] * 6,
+            "event_type": ["view", "view", "purchase", "purchase",
+                           "purchase", "view"],
+            "value": [0.01, 0.02, 0.03, 0.04, 0.05, 0.05],
+            "props": ["{}"] * 6,
+        }
+    )
+    d = tmp_path / "sf_auc"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "events.parquet"))
+    row = SPECS["q_auc_roc"].fn(spark, str(d)).collect()[0]
+    # pos scores {3,4,5}, neg {1,2,5}: U = 2 + 2 + 2.5 = 6.5 → 2U = 13
+    assert row["n_pos"] == 3 and row["n_neg"] == 3
+    assert row["auc_num2"] == 13 and row["auc_den2"] == 18
+    assert row["auc_ppm"] == 13 * 1000000 // 18
+
+
+# --- linreg: closed form on a perfectly linear input ---------------------
+
+
+def test_linreg_exact_line(spark, tmp_path):
+    """y = 200·x + 300 cents exactly → slope_num/slope_den == 200 and
+    icept_num/slope_den == 300 as exact rationals."""
+    import pandas as pd
+
+    xs = [0, 1, 2, 3, 4, 5]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime([f"2026-01-01 {h:02d}:00:00" for h in xs]),
+            "user_id": [1] * 6,
+            "event_type": ["click"] * 6,
+            "value": [(200 * h + 300) / 100.0 for h in xs],
+            "props": ["{}"] * 6,
+        }
+    )
+    d = tmp_path / "sf_lr"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "events.parquet"))
+    row = SPECS["q_linreg_fit"].fn(spark, str(d)).collect()[0]
+    assert row["slope_num"] == 200 * row["slope_den"]
+    assert row["icept_num"] == 300 * row["slope_den"]
+
+
+# --- plan shapes ----------------------------------------------------------
+
+
+def test_knn_broadcasts_query_side(spark):
+    plan = SPECS["q_knn_classify"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_grid_join_is_equi_join_not_cartesian(spark):
+    plan = SPECS["q_grid_join_radius"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_rolling_median_single_shuffle_on_user(spark):
+    plan = SPECS["q_rolling_median"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
