@@ -40,6 +40,11 @@ previously registered):
   floor-truncated cosine, majority vote with total-order tie-breaks.
   Scan-once-over-N (scalable in N; the IVF path q_ann_ivf is the
   large-|Q| answer).
+- ``q_target_encode`` — smoothed (m-estimate) target encoding of a
+  categorical feature in exact integer ppm — the category featurizer.
+- ``q_calibration_bins`` — reliability table (mean predicted score vs
+  realized rate per decile bin, exact ppm) — the ECE-style calibration
+  eval next to ``q_auc_roc``'s ranking eval.
 - ``q_pca_project`` — top-2 principal directions via a DISTRIBUTED
   gramian (mapInArrow partial X'X per Arrow batch → element-wise sum →
   64×64 eigh on the driver → components folded back as literals) and
@@ -501,17 +506,18 @@ def q_feature_hash(spark, sf_dir):
     tb = tok.groupBy("term").agg(
         F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("docs")
     ).select("term", bucket.alias("bucket"), "cnt", "docs")
-    w = Window.partitionBy("bucket").orderBy(F.col("cnt").desc(), F.col("term").asc())
-    ranked = tb.withColumn("rk", F.row_number().over(w))
-    stats = tb.groupBy("bucket").agg(
+    # Single-pass bucket rollup: the (cnt DESC, term ASC) dominant term is a
+    # min_by on the (-cnt, term) struct — no window, no second term-table
+    # scan, one tiny 64-row result.
+    return tb.groupBy("bucket").agg(
         F.sum("cnt").alias("n_tokens"),
         F.count("*").alias("n_terms"),
         F.max("docs").alias("max_term_docs"),
+        F.min_by("term", F.struct((-F.col("cnt")).alias("nc"), "term")).alias(
+            "top_term"
+        ),
+        F.max("cnt").alias("top_cnt"),
     )
-    top = ranked.filter(F.col("rk") == 1).select(
-        "bucket", F.col("term").alias("top_term"), F.col("cnt").alias("top_cnt")
-    )
-    return stats.join(top, "bucket")
 
 
 # =========================================================================
@@ -583,6 +589,108 @@ def q_knn_classify(spark, sf_dir):
         votes.withColumn("rk", F.row_number().over(w_vote))
         .filter(F.col("rk") == 1)
         .select("qid", "pred_label", "votes")
+    )
+
+
+# =========================================================================
+# Smoothed target encoding (m-estimate)
+# =========================================================================
+
+
+@register(
+    "q_target_encode",
+    """WITH tot AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_all,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                    AS pos_all
+         FROM events
+       ), g AS (
+         SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                    AS pos
+         FROM events GROUP BY hour_of_day)
+       SELECT hour_of_day, n, pos,
+              CAST(pos_all * 1000000 // n_all AS BIGINT) AS prior_ppm,
+              CAST((pos * 1000000 + 100 * (pos_all * 1000000 // n_all))
+                   // (n + 100) AS BIGINT) AS enc_ppm
+       FROM g, tot""",
+    "Smoothed (m-estimate, m=100) target encoding of a categorical feature "
+    "(hour-of-day → purchase rate): enc = (pos + m·prior)/(n + m) in exact "
+    "integer ppm, the leakage-free-ish category featurizer for GBDT/linear "
+    "models over categorical keys with long-tail cardinality. Shape: one "
+    "map-side-combined agg to |category| rows + ONE broadcast scalar row — "
+    "category cardinality, not data size, bounds everything downstream; the "
+    "smoothing makes rare categories shrink to the prior instead of "
+    "memorizing noise.",
+)
+def q_target_encode(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pos = (F.col("event_type") == "purchase").cast("long")
+    tot = ev.agg(
+        F.count("*").alias("n_all"), F.sum(pos).alias("pos_all")
+    )
+    g = (
+        ev.select(F.hour("ts").cast("long").alias("hour_of_day"), pos.alias("p"))
+        .groupBy("hour_of_day")
+        .agg(F.count("*").alias("n"), F.sum("p").alias("pos"))
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "hour_of_day",
+        "n",
+        "pos",
+        F.expr("(pos_all * 1000000) div n_all").alias("prior_ppm"),
+        F.expr(
+            "(pos * 1000000 + 100 * ((pos_all * 1000000) div n_all))"
+            " div (n + 100)"
+        ).alias("enc_ppm"),
+    )
+
+
+# =========================================================================
+# Calibration / reliability table
+# =========================================================================
+
+
+@register(
+    "q_calibration_bins",
+    """WITH mx AS (SELECT max(CAST(round(value * 100) AS BIGINT)) AS mc FROM events),
+       s AS (
+         SELECT CAST(round(value * 100) AS BIGINT) * 1000000 // (mx.mc + 1)
+                    AS score_ppm,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+         FROM events, mx)
+       SELECT score_ppm * 10 // 1000000 AS bin,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(pos) AS BIGINT) AS pos,
+              CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm,
+              CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm
+       FROM s GROUP BY bin""",
+    "Calibration (reliability) table: normalize the score to ppm of the "
+    "observed max, decile-bin it, and compare mean predicted score vs "
+    "realized positive rate per bin — all exact integer ppm (a well-"
+    "calibrated scorer has mean_score_ppm ≈ pos_rate_ppm per bin). Shape: "
+    "one broadcast scalar (max), one pure-map bin assignment, one hash agg "
+    "to 10 rows — N is scanned once; the ECE-style eval at any scale.",
+)
+def q_calibration_bins(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(cents(F.col("value"))).alias("mc"))
+    pos = (F.col("event_type") == "purchase").cast("long")
+    s = ev.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "(CAST(round(value*100) AS BIGINT) * 1000000) div (mc + 1)"
+        ).alias("score_ppm"),
+        pos.alias("pos"),
+    )
+    return (
+        s.groupBy(F.expr("(score_ppm * 10) div 1000000").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pos").alias("pos"),
+            F.expr("sum(score_ppm) div count(*)").alias("mean_score_ppm"),
+            F.expr("(sum(pos) * 1000000) div count(*)").alias("pos_rate_ppm"),
+        )
     )
 
 

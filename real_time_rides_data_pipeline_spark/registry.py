@@ -102,7 +102,8 @@ def check_priority() -> tuple[str, ...]:
         # round 9 MUST promote these to the window head.
         "q_linreg_fit", "q_auc_roc", "q_confusion_matrix", "q_score_lift",
         "q_rolling_median", "q_grid_join_radius", "q_feature_hash",
-        "q_knn_classify", "q_pca_project",
+        "q_knn_classify", "q_pca_project", "q_target_encode",
+        "q_calibration_bins",
     )
 
 

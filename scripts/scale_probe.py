@@ -50,7 +50,24 @@ KEYS = [
     "q_domain_cap",          # per-source WindowGroupLimit top-K
     "q_cogroup_asof",        # per-user pandas cogroup (group count grows)
     "q_join_cardinality_estimate",  # two count-aggs + keys-sized join
+    # round-8 model-eval family. Deliberately NOT probed:
+    # q_grid_join_radius (key-offset replication grows point DENSITY in a
+    # fixed area, so the OUTPUT is quadratic by construction — the 100 TB
+    # scenario is more area at constant density, i.e. linear) and
+    # q_knn_classify (|Q| grows with the data under replication, but the
+    # operator's contract is a FIXED broadcast query set; large |Q| routes
+    # through IVF).
+    "q_linreg_fit",          # one-pass integer moments (events)
+    "q_auc_roc",             # distinct-score compression + bounded window
+    "q_rolling_median",      # per-user 5-row frame (user count grows)
+    "q_feature_hash",        # tokenize + term agg + 64-bucket rollup
+    "q_pca_project",         # mapInArrow gramian + literal projection
 ]
+
+#: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
+_KEY_FILTER = os.environ.get("SCALE_PROBE_KEYS")
+if _KEY_FILTER:
+    KEYS = [k for k in KEYS if k in set(_KEY_FILTER.split(","))]
 
 
 def _replicate(spark, factor: int) -> str:
@@ -63,7 +80,7 @@ def _replicate(spark, factor: int) -> str:
     from real_time_rides_data_pipeline_spark.sources import load_fixture
 
     for t in TABLES:
-        if t not in ("events", "lineitem", "documents") or factor == 1:
+        if t not in ("events", "lineitem", "documents", "embeddings") or factor == 1:
             # untouched dims: link, don't copy
             os.symlink(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
             continue
@@ -93,6 +110,13 @@ def _replicate(spark, factor: int) -> str:
                     "l_orderkey"
                 ),
                 *[c for c in df.columns if c != "l_orderkey"],
+            )
+        elif t == "embeddings":
+            # vec_id offset grows the corpus; vectors unchanged (PCA's
+            # gramian/projection cost is per-row, not per-distinct-vector)
+            x = x.select(
+                (F.col("vec_id") + F.col("__r") * 1_000_000).alias("vec_id"),
+                "embedding", "label",
             )
         else:  # documents
             x = x.select(
