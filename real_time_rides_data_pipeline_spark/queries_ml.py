@@ -40,6 +40,13 @@ previously registered):
   floor-truncated cosine, majority vote with total-order tie-breaks.
   Scan-once-over-N (scalable in N; the IVF path q_ann_ivf is the
   large-|Q| answer).
+- ``q_retrieval_mrr`` — MRR@10 retrieval eval over the kNN holdout
+  (first same-label neighbor rank, reciprocal rank in exact ppm).
+- ``q_ldiversity`` — l-diversity privacy audit (distinct sensitive
+  values per quasi-identifier group) — the other half of the
+  ``q_kanon_suppress`` release gate.
+- ``q_dedup_report`` — per-source dedup-rate observability report
+  (duplicate fraction in ppm, bytes reclaimed) over the exact-dup corpus.
 - ``q_target_encode`` — smoothed (m-estimate) target encoding of a
   categorical feature in exact integer ppm — the category featurizer.
 - ``q_calibration_bins`` — reliability table (mean predicted score vs
@@ -589,6 +596,176 @@ def q_knn_classify(spark, sf_dir):
         votes.withColumn("rk", F.row_number().over(w_vote))
         .filter(F.col("rk") == 1)
         .select("qid", "pred_label", "votes")
+    )
+
+
+# =========================================================================
+# Retrieval eval: MRR@10 over the kNN holdout
+# =========================================================================
+
+
+@register(
+    "q_retrieval_mrr",
+    f"""WITH pairs AS (
+         SELECT q.vec_id AS qid, t.vec_id AS tid,
+                q.label AS qlabel, t.label AS tlabel,
+                CAST(floor(({_KNN_COS_SQL}) * 1000000) AS BIGINT) AS sim_e6
+         FROM embeddings q JOIN embeddings t
+           ON q.vec_id % 20 = 0 AND t.vec_id % 20 <> 0
+       ), ranked AS (
+         SELECT qid, qlabel, tlabel,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim_e6 DESC, tid ASC) AS rn
+         FROM pairs
+       ), hits AS (
+         SELECT qid, CAST(min(rn) AS BIGINT) AS first_rel_rank
+         FROM ranked WHERE rn <= 10 AND tlabel = qlabel GROUP BY qid
+       )
+       SELECT q.vec_id AS qid,
+              h.first_rel_rank,
+              CAST(COALESCE(1000000 // h.first_rel_rank, 0) AS BIGINT)
+                  AS rr_ppm
+       FROM embeddings q LEFT JOIN hits h ON h.qid = q.vec_id
+       WHERE q.vec_id % 20 = 0""",
+    "Retrieval-quality eval: MRR@10 over the kNN holdout — for each query "
+    "vector, the rank of the first same-label neighbor in the top-10 by "
+    "floor-truncated cosine (NULL + rr=0 when no relevant hit lands in 10), "
+    "reciprocal rank in exact integer ppm. Shape: same broadcast-Q/scan-"
+    "once-train contract as q_knn_classify; the per-query window is over "
+    "k=10 candidate rows. Mean/summary is a trivial re-agg the caller owns.",
+)
+def q_retrieval_mrr(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.vectors import cosine as _cos
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.pmod(F.col("vec_id"), 20) == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    t = emb.filter(F.pmod(F.col("vec_id"), 20) != 0).select(
+        F.col("vec_id").alias("tid"),
+        F.col("label").alias("tlabel"),
+        as_double(F.col("embedding")).alias("tv"),
+    )
+    sim_e6 = F.floor(_cos(F.col("tv"), F.col("qv")) * 1000000).cast("long")
+    pairs = t.crossJoin(F.broadcast(q)).select(
+        "qid", "qlabel", "tid", "tlabel", sim_e6.alias("sim_e6")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim_e6").desc(), F.col("tid").asc())
+    hits = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 10) & (F.col("tlabel") == F.col("qlabel")))
+        .groupBy("qid")
+        .agg(F.min("rn").cast("long").alias("first_rel_rank"))
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "first_rel_rank",
+            F.coalesce(
+                F.expr("1000000 div first_rel_rank"), F.lit(0)
+            ).cast("long").alias("rr_ppm"),
+        )
+    )
+
+
+# =========================================================================
+# l-diversity privacy audit (complement of q_kanon_suppress)
+# =========================================================================
+
+
+@register(
+    "q_ldiversity",
+    """WITH g AS (
+         SELECT c_nationkey, c_mktsegment,
+                CAST(count(*) AS BIGINT) AS group_n,
+                CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)
+                                    // 100000) AS BIGINT) AS l_distinct
+         FROM customer GROUP BY c_nationkey, c_mktsegment)
+       SELECT c_nationkey, c_mktsegment, group_n, l_distinct,
+              l_distinct < 3 AS violates_l3
+       FROM g""",
+    "l-diversity audit (l=3) over the (nation, segment) quasi-identifier "
+    "groups: the number of DISTINCT sensitive values (account-balance "
+    "band, 1000-currency-unit buckets in exact cents) per group — a group "
+    "can be k-anonymous (q_kanon_suppress) yet leak its sensitive "
+    "attribute when every member shares one value; this is the other half "
+    "of the privacy gate before a training-data release. Shape: one "
+    "grouped count-distinct (two-level partial agg), |QI domain| output "
+    "rows.",
+)
+def q_ldiversity(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    band = F.expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("group_n"),
+        F.countDistinct(band).alias("l_distinct"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_n",
+        "l_distinct",
+        (F.col("l_distinct") < 3).alias("violates_l3"),
+    )
+
+
+# =========================================================================
+# Dedup-rate curation report
+# =========================================================================
+
+
+@register(
+    "q_dedup_report",
+    """WITH corpus AS (
+         SELECT doc_id, source, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, source, text
+         FROM documents WHERE doc_id % 5 = 0
+       ), per_text AS (
+         SELECT source, text, CAST(count(*) AS BIGINT) AS copies,
+                CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+         FROM corpus GROUP BY source, text)
+       SELECT source,
+              CAST(sum(copies) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_distinct,
+              CAST(sum(copies) - count(*) AS BIGINT) AS dup_docs,
+              CAST((sum(copies) - count(*)) * 1000000 // sum(copies) AS BIGINT)
+                  AS dup_ppm,
+              CAST(sum((copies - 1) * bytes) AS BIGINT) AS bytes_saved
+       FROM per_text GROUP BY source""",
+    "Curation observability: per-source dedup-rate report over the exact-"
+    "dup corpus (q_exact_dedup's fixture with source retained) — document "
+    "counts, distinct texts, duplicate fraction in exact ppm, and bytes "
+    "reclaimed by keep-one dedup. Shape: one (source, text) hash agg (at "
+    "100 TB: on xxhash64(text), 8-byte shuffle keys) + a tiny per-source "
+    "re-agg — the report every dedup pipeline emits before/after gating.",
+)
+def q_dedup_report(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "source", "text"
+    )
+    corpus = d.unionAll(
+        d.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    per_text = (
+        corpus.groupBy("source", "text")
+        .agg(F.count("*").alias("copies"))
+        .withColumn("bytes", F.octet_length("text").cast("long"))
+    )
+    return per_text.groupBy("source").agg(
+        F.sum("copies").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        (F.sum("copies") - F.count("*")).alias("dup_docs"),
+        F.expr(
+            "((sum(copies) - count(*)) * 1000000) div sum(copies)"
+        ).alias("dup_ppm"),
+        F.sum((F.col("copies") - 1) * F.col("bytes")).alias("bytes_saved"),
     )
 
 

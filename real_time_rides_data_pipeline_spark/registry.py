@@ -103,7 +103,8 @@ def check_priority() -> tuple[str, ...]:
         "q_linreg_fit", "q_auc_roc", "q_confusion_matrix", "q_score_lift",
         "q_rolling_median", "q_grid_join_radius", "q_feature_hash",
         "q_knn_classify", "q_pca_project", "q_target_encode",
-        "q_calibration_bins",
+        "q_calibration_bins", "q_retrieval_mrr", "q_ldiversity",
+        "q_dedup_report",
     )
 
 
