@@ -316,20 +316,24 @@ def q_confusion_matrix(spark, sf_dir):
     "data-proportional is sorted or windowed.",
 )
 def q_score_lift(spark, sf_dir):
+    # ONE scan: compress N rows to the bounded distinct-cents domain first
+    # (the q_auc_roc shape); max/totals are then windows over the compressed
+    # tables (≤ score-domain rows / 10 band rows), never a second scan.
     ev = _t(spark, sf_dir, "events")
-    c = cents(F.col("value"))
-    mx = ev.agg(F.max(c).alias("mc"))
-    tot = ev.agg(
-        F.count("*").alias("nn"),
-        F.sum((F.col("event_type") == "purchase").cast("long")).alias("pp"),
-    )
     pos = (F.col("event_type") == "purchase").cast("long")
-    banded = ev.crossJoin(F.broadcast(mx)).select(
-        F.least(F.lit(9), F.expr("(CAST(round(value*100) AS BIGINT) * 10) div (mc + 1)")).alias("band"),
-        pos.alias("is_pos"),
+    sc = (
+        ev.select(cents(F.col("value")).alias("sc"), pos.alias("p"))
+        .groupBy("sc")
+        .agg(F.count("*").alias("n"), F.sum("p").alias("pos"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    banded = sc.withColumn("mc", F.max("sc").over(w_all)).select(
+        F.least(F.lit(9).cast("long"), F.expr("(sc * 10) div (mc + 1)")).alias("band"),
+        "n",
+        "pos",
     )
     b = banded.groupBy("band").agg(
-        F.count("*").alias("n"), F.sum("is_pos").alias("pos")
+        F.sum("n").alias("n"), F.sum("pos").alias("pos")
     )
     w = Window.orderBy(F.col("band").desc()).rowsBetween(
         Window.unboundedPreceding, 0
@@ -340,8 +344,10 @@ def q_score_lift(spark, sf_dir):
         "pos",
         F.sum("n").over(w).alias("cum_n"),
         F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("n").over(w_all).alias("nn"),
+        F.sum("pos").over(w_all).alias("pp"),
     )
-    return cum.crossJoin(F.broadcast(tot)).select(
+    return cum.select(
         "band",
         "n",
         "pos",
@@ -802,17 +808,24 @@ def q_dedup_report(spark, sf_dir):
     "memorizing noise.",
 )
 def q_target_encode(spark, sf_dir):
+    # ONE scan: the global prior is a whole-frame window over the |category|
+    # rows (24 here), not a second pass over the fact table.
     ev = _t(spark, sf_dir, "events")
     pos = (F.col("event_type") == "purchase").cast("long")
-    tot = ev.agg(
-        F.count("*").alias("n_all"), F.sum(pos).alias("pos_all")
-    )
     g = (
         ev.select(F.hour("ts").cast("long").alias("hour_of_day"), pos.alias("p"))
         .groupBy("hour_of_day")
         .agg(F.count("*").alias("n"), F.sum("p").alias("pos"))
     )
-    return g.crossJoin(F.broadcast(tot)).select(
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g = g.select(
+        "hour_of_day",
+        "n",
+        "pos",
+        F.sum("n").over(w_all).alias("n_all"),
+        F.sum("pos").over(w_all).alias("pos_all"),
+    )
+    return g.select(
         "hour_of_day",
         "n",
         "pos",
@@ -851,22 +864,26 @@ def q_target_encode(spark, sf_dir):
     "to 10 rows — N is scanned once; the ECE-style eval at any scale.",
 )
 def q_calibration_bins(spark, sf_dir):
+    # ONE scan via distinct-cents compression (q_auc_roc shape); downstream
+    # aggregates are weighted by the per-score counts.
     ev = _t(spark, sf_dir, "events")
-    mx = ev.agg(F.max(cents(F.col("value"))).alias("mc"))
     pos = (F.col("event_type") == "purchase").cast("long")
-    s = ev.crossJoin(F.broadcast(mx)).select(
-        F.expr(
-            "(CAST(round(value*100) AS BIGINT) * 1000000) div (mc + 1)"
-        ).alias("score_ppm"),
-        pos.alias("pos"),
+    sc = (
+        ev.select(cents(F.col("value")).alias("c"), pos.alias("p"))
+        .groupBy("c")
+        .agg(F.count("*").alias("n"), F.sum("p").alias("pos"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s = sc.withColumn("mc", F.max("c").over(w_all)).select(
+        F.expr("(c * 1000000) div (mc + 1)").alias("score_ppm"), "n", "pos"
     )
     return (
         s.groupBy(F.expr("(score_ppm * 10) div 1000000").alias("bin"))
         .agg(
-            F.count("*").alias("n"),
+            F.sum("n").alias("n"),
             F.sum("pos").alias("pos"),
-            F.expr("sum(score_ppm) div count(*)").alias("mean_score_ppm"),
-            F.expr("(sum(pos) * 1000000) div count(*)").alias("pos_rate_ppm"),
+            F.expr("sum(score_ppm * n) div sum(n)").alias("mean_score_ppm"),
+            F.expr("(sum(pos) * 1000000) div sum(n)").alias("pos_rate_ppm"),
         )
     )
 

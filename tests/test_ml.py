@@ -180,6 +180,17 @@ def test_grid_join_is_equi_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
+@pytest.mark.parametrize(
+    "key", ["q_score_lift", "q_calibration_bins", "q_target_encode", "q_linreg_fit", "q_auc_roc"]
+)
+def test_scalar_stat_keys_scan_events_once(spark, key):
+    """The lift/calibration/encoding/OLS/AUC keys derive max/totals from
+    windows over DOMAIN-COMPRESSED tables — the fact table is scanned
+    exactly once (no scalar-subquery second pass)."""
+    plan = SPECS[key].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+
+
 def test_rolling_median_single_shuffle_on_user(spark):
     plan = SPECS["q_rolling_median"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") == 1
