@@ -40,6 +40,9 @@ previously registered):
   floor-truncated cosine, majority vote with total-order tie-breaks.
   Scan-once-over-N (scalable in N; the IVF path q_ann_ivf is the
   large-|Q| answer).
+- ``q_bpe_train`` — full iterative BPE tokenizer training (4 merge
+  rounds, one bounded driver argmax per round, JVM-fold merge rewrite)
+  — operators/bpe.py; pinned against a pure-python reference.
 - ``q_retrieval_mrr`` — MRR@10 retrieval eval over the kNN holdout
   (first same-label neighbor rank, reciprocal rank in exact ppm).
 - ``q_ldiversity`` — l-diversity privacy audit (distinct sensitive
@@ -602,6 +605,44 @@ def q_knn_classify(spark, sf_dir):
         votes.withColumn("rk", F.row_number().over(w_vote))
         .filter(F.col("rk") == 1)
         .select("qid", "pred_label", "votes")
+    )
+
+
+# =========================================================================
+# BPE tokenizer training (iterative fit loop)
+# =========================================================================
+
+
+@register(
+    "q_bpe_train",
+    None,  # iterative argmax loop is not SQL-expressible → rows-only;
+    # exact equality with a pure-python BPE reference is pinned in
+    # tests/test_ml.py.
+    "Full BPE tokenizer training (Sennrich et al. 2016), 4 merge rounds "
+    "over the weighted distinct-word table: per round ONE distributed "
+    "pair-frequency aggregation + a single-row driver argmax, with the "
+    "chosen merge folded back into the next round's plan as literals and "
+    "applied as a pure-JVM greedy left-to-right array fold "
+    "(operators/bpe.py — no Python in the rewrite path, all-integer "
+    "frequencies). Complements q_bpe_pairs (one counting round). Scale: "
+    "each round's cost is driven by the DISTINCT-WORD table, not corpus "
+    "size; at 100 TB the word table is checkpointed once and each round "
+    "is a bounded agg — the fit-small/broadcast-big loop, same contract "
+    "as the k-means and PCA fits.",
+)
+def q_bpe_train(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.bpe import train_bpe
+
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    words = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = train_bpe(words, n_merges=4)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, freq long"
     )
 
 

@@ -167,6 +167,67 @@ def test_linreg_exact_line(spark, tmp_path):
     assert row["icept_num"] == 300 * row["slope_den"]
 
 
+# --- BPE training ≡ pure-python reference --------------------------------
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int):
+    """Reference BPE (Sennrich et al.): overlap-counted pair stats,
+    (freq DESC, pair ASC) argmax, greedy left-to-right merge."""
+    segs = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, n_merges + 1):
+        freq: dict[tuple[str, str], int] = {}
+        for w, seg in segs.items():
+            for i in range(len(seg) - 1):
+                p = (seg[i], seg[i + 1])
+                freq[p] = freq.get(p, 0) + word_counts[w]
+        if not freq:
+            break
+        (l, r), f = min(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, l + r, f))
+        for w, seg in segs.items():
+            out, i = [], 0
+            while i < len(seg):
+                if i + 1 < len(seg) and seg[i] == l and seg[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    rows = SPECS["q_bpe_train"].fn(spark, SF).collect()
+    got = [(r["step"], r["left"], r["right"], r["merged"], r["freq"]) for r in rows]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    counts: dict[str, int] = {}
+    for r in docs:
+        for w in r["text"].strip().split():
+            counts[w] = counts.get(w, 0) + 1
+    assert got == _py_bpe(counts, 4)
+    assert len(got) == 4 and all(f > 0 for *_, f in got)
+
+
+def test_bpe_greedy_merge_fold(spark):
+    """The JVM fold handles the overlap case exactly like reference BPE:
+    merging (a,a) in 'aaaa' → [aa, aa]; in 'aaa' → [aa, a]."""
+    from real_time_rides_data_pipeline_spark.operators.bpe import (
+        chars_of,
+        merge_pair,
+    )
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("a",)], "word string")
+    out = {
+        r["word"]: r["m"]
+        for r in df.select(
+            "word", merge_pair(chars_of("word"), "a", "a").alias("m")
+        ).collect()
+    }
+    assert out == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"], "a": ["a"]}
+
+
 # --- plan shapes ----------------------------------------------------------
 
 
