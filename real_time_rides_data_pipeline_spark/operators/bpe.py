@@ -26,10 +26,15 @@ from pyspark.sql import functions as F
 
 
 def chars_of(col_name: str) -> Column:
-    """Initial segmentation: one single-character token per position."""
+    """Initial segmentation: one single-character token per position.
+
+    Guarded for the empty string: sequence(1, 0) is DESCENDING [1, 0] in
+    Spark, which would fabricate two ''-tokens (and a phantom ('','')
+    adjacent pair) instead of an empty segmentation."""
     return F.expr(
-        f"transform(sequence(1, length({col_name})), "
-        f"i -> substr({col_name}, i, 1))"
+        f"CASE WHEN length({col_name}) = 0 THEN array()\n"
+        f"     ELSE transform(sequence(1, length({col_name})), "
+        f"i -> substr({col_name}, i, 1)) END"
     )
 
 
@@ -79,20 +84,35 @@ def train_bpe(
     single argmax row; the merge is folded back as literals for the next
     round's plan.
     """
-    seg = words.select(F.col("n"), chars_of("word").alias("seg"))
-    merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, n_merges + 1):
-        best = (
-            seg.select("n", F.explode(adjacent_pairs(F.col("seg"))).alias("p"))
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("n").alias("freq"))
-            .orderBy(F.col("freq").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .collect()  # bounded: exactly one argmax row per round
-        )
-        if not best:
-            break
-        l, r, freq = best[0]["l"], best[0]["r"], int(best[0]["freq"])
-        merges.append((step, l, r, l + r, freq))
-        seg = seg.select("n", merge_pair(F.col("seg"), l, r).alias("seg"))
-    return merges
+    # Persist the weighted word table: without it every round's argmax
+    # re-scans and re-tokenizes the corpus AND re-applies all prior merge
+    # folds from scratch (O(M²) work, M corpus scans) — persisting words
+    # implements the "word table is checkpointed once" scale contract.
+    # Round k still re-applies k-1 folds to the CACHED word table; with
+    # M ≲ tens that is cheap, and a per-round localCheckpoint of `seg`
+    # is the documented escape hatch for vocabulary-sized M.
+    words = words.persist()
+    try:
+        seg = words.select(F.col("n"), chars_of("word").alias("seg"))
+        merges: list[tuple[int, str, str, str, int]] = []
+        for step in range(1, n_merges + 1):
+            best = (
+                seg.select(
+                    "n", F.explode(adjacent_pairs(F.col("seg"))).alias("p")
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("n").alias("freq"))
+                .orderBy(
+                    F.col("freq").desc(), F.col("l").asc(), F.col("r").asc()
+                )
+                .limit(1)
+                .collect()  # bounded: exactly one argmax row per round
+            )
+            if not best:
+                break
+            l, r, freq = best[0]["l"], best[0]["r"], int(best[0]["freq"])
+            merges.append((step, l, r, l + r, freq))
+            seg = seg.select("n", merge_pair(F.col("seg"), l, r).alias("seg"))
+        return merges
+    finally:
+        words.unpersist()

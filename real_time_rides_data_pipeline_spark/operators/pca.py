@@ -31,13 +31,18 @@ from pyspark.sql import functions as F
 def gramian(df: DataFrame, vec_col: str = "embedding") -> "list[list[float]]":
     """Exact (up to float-add order) d×d gramian X'X of the vector column.
 
-    One mapInArrow pass emits a flattened partial per Arrow batch; the
-    partials are exploded to (pos, val) and hash-aggregated — d² ×
-    n_batches tiny rows, a constant-size shuffle at any data scale.
+    One mapInArrow pass emits a flattened partial per PARTITION (batches
+    accumulate locally first); the partials are exploded to (pos, val) and
+    hash-aggregated — d² × n_partitions tiny rows, bounded by cluster
+    width rather than data size.
     """
     import numpy as np
 
     def _partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # Accumulate across ALL of the partition's batches and emit ONE
+        # partial — the shuffle is then d²·n_partitions rows (truly bounded),
+        # not d²·n_batches (which grows linearly with data).
+        acc = None
         for batch in batches:
             col = batch.column(vec_col)
             if len(col) == 0:
@@ -46,8 +51,10 @@ def gramian(df: DataFrame, vec_col: str = "embedding") -> "list[list[float]]":
             flat = col.flatten().to_numpy(zero_copy_only=False)
             x = flat.astype(np.float64, copy=False).reshape(len(col), -1)
             g = x.T @ x
+            acc = g if acc is None else acc + g
+        if acc is not None:
             yield pa.RecordBatch.from_pydict(
-                {"gram": pa.array([g.ravel().tolist()], pa.list_(pa.float64()))}
+                {"gram": pa.array([acc.ravel().tolist()], pa.list_(pa.float64()))}
             )
 
     parts = df.select(vec_col).mapInArrow(_partials, "gram array<double>")

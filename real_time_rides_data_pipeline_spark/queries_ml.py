@@ -154,6 +154,11 @@ def q_linreg_fit(spark, sf_dir):
               CAST(sum(p * (2 * nb + q)) * 1000000
                    // (2 * sum(p) * sum(q)) AS BIGINT) AS auc_ppm
        FROM c""",
+    # DuckDB's sums widen to HUGEINT, so the oracle is exact at any SF; the
+    # Spark side widens the ppm arithmetic to DECIMAL(38,0) (quotient ≤ 1e6
+    # always fits the BIGINT result). The num2/den2 ATTESTATION columns are
+    # BIGINT-exact to ~3e9 rows per class — far past any fixture — and fail
+    # loudly (ANSI overflow), never silently, beyond that.
     "Exact ROC-AUC (label = purchase, score = cents value) via the Mann-"
     "Whitney rank-sum identity computed over DISTINCT-SCORE groups: "
     "2U = Σ_s pos(s)·(2·neg_below(s) + neg(s)) handles ties exactly, and "
@@ -188,7 +193,13 @@ def q_auc_roc(spark, sf_dir):
         "n_neg",
         "auc_num2",
         (2 * F.col("n_pos") * F.col("n_neg")).alias("auc_den2"),
-        F.expr("(auc_num2 * 1000000) div (2 * n_pos * n_neg)").alias("auc_ppm"),
+        # DECIMAL(38,0) operands: the num*1e6 product would wrap int64 past
+        # ~7.6e6 events; the integral quotient is ≤ 1e6 so the BIGINT result
+        # of `div` is always exact.
+        F.expr(
+            "(CAST(auc_num2 AS DECIMAL(38,0)) * 1000000)"
+            " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+        ).alias("auc_ppm"),
     )
 
 
@@ -356,7 +367,12 @@ def q_score_lift(spark, sf_dir):
         "pos",
         "cum_n",
         "cum_pos",
-        F.expr("(cum_pos * nn * 1000000) div (cum_n * pp)").alias("lift_ppm"),
+        # DECIMAL(38,0): cum_pos·nn·1e6 wraps int64 past ~7.6e6 events; the
+        # quotient (lift in ppm) stays far inside BIGINT.
+        F.expr(
+            "(CAST(cum_pos AS DECIMAL(38,0)) * nn * 1000000)"
+            " div (CAST(cum_n AS DECIMAL(38,0)) * pp)"
+        ).alias("lift_ppm"),
     )
 
 
@@ -548,6 +564,32 @@ _KNN_COS_SQL = (
 )
 
 
+def _knn_pairs(emb):
+    """Shared holdout-pair construction for q_knn_classify / q_retrieval_mrr:
+    the 5% query slice (vec_id % 20 = 0) broadcast against the train rest,
+    cosine floor-truncated to integer µ-units, (sim DESC, tid ASC) is the
+    downstream ranking total order. One definition so the classifier and its
+    retrieval eval can never drift apart."""
+    q = emb.filter(F.pmod(F.col("vec_id"), 20) == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").cast("long").alias("qlabel"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    t = emb.filter(F.pmod(F.col("vec_id"), 20) != 0).select(
+        F.col("vec_id").alias("tid"),
+        F.col("label").cast("long").alias("tlabel"),
+        as_double(F.col("embedding")).alias("tv"),
+    )
+    sim_e6 = F.floor(cosine(F.col("tv"), F.col("qv")) * 1000000).cast("long")
+    pairs = t.crossJoin(F.broadcast(q)).select(
+        "qid", "qlabel", "tid", "tlabel", sim_e6.alias("sim_e6")
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("sim_e6").desc(), F.col("tid").asc()
+    )
+    return q, pairs, w_top
+
+
 @register(
     "q_knn_classify",
     f"""WITH pairs AS (
@@ -579,23 +621,9 @@ _KNN_COS_SQL = (
 )
 def q_knn_classify(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.pmod(F.col("vec_id"), 20) == 0).select(
-        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
-    )
-    t = emb.filter(F.pmod(F.col("vec_id"), 20) != 0).select(
-        F.col("vec_id").alias("tid"),
-        F.col("label").cast("long").alias("label"),
-        as_double(F.col("embedding")).alias("tv"),
-    )
-    sim_e6 = F.floor(cosine(F.col("tv"), F.col("qv")) * 1000000).cast("long")
-    pairs = t.crossJoin(F.broadcast(q)).select(
-        "qid", "tid", "label", sim_e6.alias("sim_e6")
-    )
-    w_top = Window.partitionBy("qid").orderBy(
-        F.col("sim_e6").desc(), F.col("tid").asc()
-    )
+    _, pairs, w_top = _knn_pairs(emb)
     top = pairs.withColumn("rn", F.row_number().over(w_top)).filter(F.col("rn") <= 5)
-    votes = top.groupBy("qid", F.col("label").alias("pred_label")).agg(
+    votes = top.groupBy("qid", F.col("tlabel").alias("pred_label")).agg(
         F.count("*").alias("votes")
     )
     w_vote = Window.partitionBy("qid").orderBy(
@@ -682,26 +710,10 @@ def q_bpe_train(spark, sf_dir):
     "k=10 candidate rows. Mean/summary is a trivial re-agg the caller owns.",
 )
 def q_retrieval_mrr(spark, sf_dir):
-    from real_time_rides_data_pipeline_spark.functions.vectors import cosine as _cos
-
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.pmod(F.col("vec_id"), 20) == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        as_double(F.col("embedding")).alias("qv"),
-    )
-    t = emb.filter(F.pmod(F.col("vec_id"), 20) != 0).select(
-        F.col("vec_id").alias("tid"),
-        F.col("label").alias("tlabel"),
-        as_double(F.col("embedding")).alias("tv"),
-    )
-    sim_e6 = F.floor(_cos(F.col("tv"), F.col("qv")) * 1000000).cast("long")
-    pairs = t.crossJoin(F.broadcast(q)).select(
-        "qid", "qlabel", "tid", "tlabel", sim_e6.alias("sim_e6")
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("sim_e6").desc(), F.col("tid").asc())
+    q, pairs, w_top = _knn_pairs(emb)
     hits = (
-        pairs.withColumn("rn", F.row_number().over(w))
+        pairs.withColumn("rn", F.row_number().over(w_top))
         .filter((F.col("rn") <= 10) & (F.col("tlabel") == F.col("qlabel")))
         .groupBy("qid")
         .agg(F.min("rn").cast("long").alias("first_rel_rank"))
@@ -729,8 +741,9 @@ def q_retrieval_mrr(spark, sf_dir):
     """WITH g AS (
          SELECT c_nationkey, c_mktsegment,
                 CAST(count(*) AS BIGINT) AS group_n,
-                CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)
-                                    // 100000) AS BIGINT) AS l_distinct
+                CAST(count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT)
+                                     + 100000) // 100000) AS BIGINT)
+                    AS l_distinct
          FROM customer GROUP BY c_nationkey, c_mktsegment)
        SELECT c_nationkey, c_mktsegment, group_n, l_distinct,
               l_distinct < 3 AS violates_l3
@@ -746,7 +759,10 @@ def q_retrieval_mrr(spark, sf_dir):
 )
 def q_ldiversity(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
-    band = F.expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000")
+    # +100000 shifts TPC-H's acctbal floor (-999.99 → cents ≥ -99999) into
+    # positive territory before the truncating div: without it the
+    # (-1000, 1000) range collapses into ONE band and l_distinct undercounts.
+    band = F.expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000")
     g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count("*").alias("group_n"),
         F.countDistinct(band).alias("l_distinct"),
@@ -955,12 +971,12 @@ def _fit_pca_components(emb, sf_dir: str) -> tuple[list[float], list[float]]:
     None,  # eigendecomposition is not SQL-expressible → rows-only check;
     # exactness vs numpy PCA is pinned in tests/test_ml.py.
     "Top-2 principal directions of the (uncentered) embedding matrix via a "
-    "DISTRIBUTED gramian: mapInArrow emits one 64x64 partial X'X per Arrow "
-    "batch (numpy, zero-copy), partials element-wise-sum to ONE bounded "
-    "d² vector, eigh runs on the driver (64x64 — microseconds), and the "
-    "sign-fixed components fold back into the plan as array literals for "
-    "the projection scan. Data crosses the wire as d²·n_batches doubles, "
-    "never as rows — the fit-small/broadcast-big shape that makes "
+    "DISTRIBUTED gramian: mapInArrow accumulates one 64x64 partial X'X per "
+    "PARTITION (numpy, zero-copy batches), partials element-wise-sum to ONE "
+    "bounded d² vector, eigh runs on the driver (64x64 — microseconds), and "
+    "the sign-fixed components fold back into the plan as array literals "
+    "for the projection scan. Data crosses the wire as d²·n_partitions "
+    "doubles, never as rows — the fit-small/broadcast-big shape that makes "
     "embedding dim-reduction tractable at 100 TB.",
 )
 def q_pca_project(spark, sf_dir):

@@ -32,7 +32,10 @@ import sys
 import time
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WORK = "/tmp/scale_probe"
+# v2: replication schema changed (embeddings now key-offset replicated) —
+# versioning the work dir invalidates stale replica dirs from older rounds,
+# which the early-return reuse would otherwise silently feed to new keys.
+WORK = "/tmp/scale_probe/v2"
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -62,6 +65,8 @@ KEYS = [
     "q_rolling_median",      # per-user 5-row frame (user count grows)
     "q_feature_hash",        # tokenize + term agg + 64-bucket rollup
     "q_pca_project",         # mapInArrow gramian + literal projection
+    "q_dedup_report",        # (source, text) agg + per-source rollup
+    "q_bpe_train",           # 4-round fit loop over the distinct-word table
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
@@ -146,6 +151,14 @@ def main() -> None:
         for key in KEYS:
             best = None
             for _ in range(2):  # min-of-2, noop sink — bench.py protocol.
+                # Clear memoized model fits so EVERY rep pays the fit (the
+                # bench deliberately reuses fitted models as index prep, but
+                # the scale probe measures the whole operator — min-of-2
+                # over a warm cache would silently exclude the fit).
+                from real_time_rides_data_pipeline_spark import queries_ext, queries_ml
+
+                queries_ml._PCA_CACHE.clear()
+                queries_ext._CENTROID_CACHE.clear()
                 # NOT .count(): Catalyst eliminates a unique-key left join
                 # (and its whole subtree) under count(), which silently
                 # un-measures e.g. q_dup_spans' aggregate branch.
