@@ -40,6 +40,10 @@ previously registered):
   floor-truncated cosine, majority vote with total-order tie-breaks.
   Scan-once-over-N (scalable in N; the IVF path q_ann_ivf is the
   large-|Q| answer).
+- ``q_stream_linreg`` — STREAMING OLS: per-micro-batch moment partials
+  folded through the idempotent additive parquet MERGE into a stats
+  table whose solved fit is bit-identical to the batch fit (same
+  oracle) — continuously-updated model fitting without refit scans.
 - ``q_bpe_train`` — full iterative BPE tokenizer training (4 merge
   rounds, one bounded driver argmax per round, JVM-fold merge rewrite)
   — operators/bpe.py; pinned against a pure-python reference.
@@ -80,9 +84,7 @@ _KNUTH = 2654435761
 # =========================================================================
 
 
-@register(
-    "q_linreg_fit",
-    """WITH m AS (
+_LINREG_ORACLE = """WITH m AS (
          SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS sx,
@@ -96,7 +98,12 @@ _KNUTH = 2654435761
               n * sxy - sx * sy AS slope_num,
               n * sxx - sx * sx AS slope_den,
               sy * sxx - sx * sxy AS icept_num
-       FROM m""",
+       FROM m"""
+
+
+@register(
+    "q_linreg_fit",
+    _LINREG_ORACLE,
     "Per-group closed-form OLS (cents-value on hour-of-day) from ONE pass "
     "of exact integer moments (n, Σx, Σy, Σx², Σxy): slope = slope_num/"
     "slope_den and intercept = icept_num/slope_den as exact BIGINT "
@@ -107,10 +114,16 @@ _KNUTH = 2654435761
     "overflow would fail loudly, never silently.",
 )
 def q_linreg_fit(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    return _linreg_solve(_linreg_moments(_t(spark, sf_dir, "events")))
+
+
+def _linreg_moments(ev):
+    """Per-group OLS sufficient statistics (n, Σx, Σy, Σx², Σxy) — exact
+    BIGINTs, and ADDITIVE: partials from disjoint row sets merge by cell-wise
+    sum, which is what makes the streaming twin (q_stream_linreg) exact."""
     x = F.hour("ts").cast("long")
     y = cents(F.col("value"))
-    m = (
+    return (
         ev.select("event_type", x.alias("x"), y.alias("y"))
         .groupBy("event_type")
         .agg(
@@ -121,6 +134,10 @@ def q_linreg_fit(spark, sf_dir):
             F.sum(F.col("x") * F.col("y")).alias("sxy"),
         )
     )
+
+
+def _linreg_solve(m):
+    """Closed-form slope/intercept as exact BIGINT rationals from moments."""
     return m.select(
         "event_type",
         "n",
@@ -128,6 +145,65 @@ def q_linreg_fit(spark, sf_dir):
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("slope_den"),
         (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias("icept_num"),
     )
+
+
+@register(
+    "q_stream_linreg",
+    _LINREG_ORACLE,
+    "STREAMING model fitting via mergeable sufficient statistics — the "
+    "live demonstration that q_linreg_fit's moments are ADDITIVE: events "
+    "replay as a REAL 2-micro-batch stream, each batch aggregates its "
+    "per-group moment PARTIALS (n, Σx, Σy, Σx², Σxy — one map-side-"
+    "combining agg over the batch), and foreachBatch folds them into a "
+    "parquet stats table by cell-wise addition "
+    "(sinks.merge_additive_parquet — batch_id-marked idempotent under "
+    "at-least-once redelivery, crash-ordered swap). Integer moments add "
+    "exactly, so the merged fit is BIT-IDENTICAL to the batch fit and "
+    "answers to the SAME oracle. At 100 TB this is per-shard/per-day "
+    "moment tables merged into a continuously-updated model — no refit "
+    "scan.",
+)
+def q_stream_linreg(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
+    from real_time_rides_data_pipeline_spark.sinks import merge_additive_parquet
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    inp = _replay_input(ev, "linregstream", sf_dir)  # 2 files → 2 batches
+    run_dir = tempfile.mkdtemp(prefix="linregstream_run_")
+    state, ckpt = f"{run_dir}/moments", f"{run_dir}/ckpt"
+    stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_additive_parquet(
+            batch_df.sparkSession,
+            _linreg_moments(batch_df),
+            state,
+            keys=("event_type",),
+            sum_cols=("n", "sx", "sy", "sxx", "sxy"),
+            batch_id=batch_id,
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return _linreg_solve(spark.read.parquet(state))
 
 
 # =========================================================================
