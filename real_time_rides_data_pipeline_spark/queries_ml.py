@@ -646,17 +646,26 @@ def _knn_pairs(emb):
     cosine floor-truncated to integer µ-units, (sim DESC, tid ASC) is the
     downstream ranking total order. One definition so the classifier and its
     retrieval eval can never drift apart."""
+    from real_time_rides_data_pipeline_spark.functions.vectors import dot, norm
+
+    # Per-ROW norms precomputed once (|T| + |Q| reductions), so each of the
+    # |T|·|Q| pairs pays a single dot product. The arithmetic shape
+    # dot / (tn * qn) is IDENTICAL to cosine()'s dot/(norm·norm) — same
+    # inputs, same op order — so the floor-truncated µ-units stay bitwise
+    # equal to the DuckDB oracle (the q_cosine_topk determinism argument).
     q = emb.filter(F.pmod(F.col("vec_id"), 20) == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").cast("long").alias("qlabel"),
         as_double(F.col("embedding")).alias("qv"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     t = emb.filter(F.pmod(F.col("vec_id"), 20) != 0).select(
         F.col("vec_id").alias("tid"),
         F.col("label").cast("long").alias("tlabel"),
         as_double(F.col("embedding")).alias("tv"),
-    )
-    sim_e6 = F.floor(cosine(F.col("tv"), F.col("qv")) * 1000000).cast("long")
+    ).withColumn("tn", norm(F.col("tv")))
+    sim_e6 = F.floor(
+        dot(F.col("tv"), F.col("qv")) / (F.col("tn") * F.col("qn")) * 1000000
+    ).cast("long")
     pairs = t.crossJoin(F.broadcast(q)).select(
         "qid", "qlabel", "tid", "tlabel", sim_e6.alias("sim_e6")
     )

@@ -67,6 +67,7 @@ KEYS = [
     "q_pca_project",         # mapInArrow gramian + literal projection
     "q_dedup_report",        # (source, text) agg + per-source rollup
     "q_bpe_train",           # 4-round fit loop over the distinct-word table
+    "q_stream_linreg",       # 2-batch stream, additive moment merge
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
