@@ -1028,3 +1028,53 @@ def q_degree_dist(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# =========================================================================
+# OHLC time bars (round 8)
+# =========================================================================
+
+
+@register(
+    "q_ohlc_bars",
+    """SELECT event_type,
+              date_trunc('hour', ts) AS bar,
+              CAST(count(*) AS BIGINT) AS volume,
+              CAST(first(round(value * 100) ORDER BY ts, event_id) AS BIGINT)
+                  AS open_cents,
+              CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS high_cents,
+              CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS low_cents,
+              CAST(last(round(value * 100) ORDER BY ts, event_id) AS BIGINT)
+                  AS close_cents
+       FROM events GROUP BY event_type, bar""",
+    "OHLC downsampling — the canonical time-series bar compaction: per "
+    "(series, hour) the first/last value in event-time order (total-"
+    "ordered by (ts, event_id)) plus high/low/volume, all exact cents. "
+    "Shape: ONE hash aggregate with min_by/max_by struct ordering — no "
+    "window, no per-bar sort; at 100 TB each 3600x compaction step is a "
+    "single map-side-combining agg keyed by (series, bar), the standard "
+    "telemetry rollup ladder (hour → day → month reuses the same shape "
+    "because first/last compose through it).",
+)
+def q_ohlc_bars(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = cents(F.col("value"))
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bar"),
+            c.alias("c"),
+            order.alias("o"),
+        )
+        .groupBy("event_type", "bar")
+        .agg(
+            F.count("*").alias("volume"),
+            F.min_by("c", "o").alias("open_cents"),
+            F.max("c").alias("high_cents"),
+            F.min("c").alias("low_cents"),
+            F.max_by("c", "o").alias("close_cents"),
+        )
+    )

@@ -49,6 +49,8 @@ previously registered):
   — operators/bpe.py; pinned against a pure-python reference.
 - ``q_retrieval_mrr`` — MRR@10 retrieval eval over the kNN holdout
   (first same-label neighbor rank, reciprocal rank in exact ppm).
+- ``q_rfm_segments`` — RFM quintile segmentation via the scale-safe
+  global ntile (range-partitioned rank, no single-partition sort).
 - ``q_ldiversity`` — l-diversity privacy audit (distinct sensitive
   values per quasi-identifier group) — the other half of the
   ``q_kanon_suppress`` release gate.
@@ -813,6 +815,68 @@ def q_retrieval_mrr(spark, sf_dir):
                 F.expr("1000000 div first_rel_rank"), F.lit(0)
             ).cast("long").alias("rr_ppm"),
         )
+    )
+
+
+# =========================================================================
+# RFM customer segmentation
+# =========================================================================
+
+
+@register(
+    "q_rfm_segments",
+    """WITH per_user AS (
+         SELECT user_id,
+                max(ts) AS last_ts,
+                CAST(count(*) AS BIGINT) AS frequency,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS monetary_cents
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+       SELECT user_id, frequency, monetary_cents,
+              CAST(ntile(5) OVER (ORDER BY last_ts, user_id) AS BIGINT)
+                  AS r_score,
+              CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT)
+                  AS f_score,
+              CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT)
+                  AS m_score,
+              CAST(ntile(5) OVER (ORDER BY last_ts, user_id) AS BIGINT) * 100
+              + CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) * 10
+              + CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT)
+                  AS segment
+       FROM per_user""",
+    "RFM customer segmentation: per-user recency/frequency/monetary over "
+    "purchases, each quintile-scored 1-5 (later/more = higher) and combined "
+    "into the classic 3-digit segment code. The quintiles are GLOBAL "
+    "ntiles, computed scale-safe via operators.topk.global_ntile (TeraSort-"
+    "style range-partitioned rank + closed-form bucket arithmetic — bit-"
+    "identical to SQL NTILE, no single-partition sort); the per-user "
+    "rollup is one hash agg, and the three rank passes run over the "
+    "|users| aggregate, never the event table.",
+)
+def q_rfm_segments(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.topk import global_ntile
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        F.sum(cents(F.col("value"))).alias("monetary_cents"),
+    )
+    d = global_ntile(per_user, 5, ["last_ts", "user_id"], out_col="r_score")
+    d = global_ntile(d, 5, ["frequency", "user_id"], out_col="f_score")
+    d = global_ntile(d, 5, ["monetary_cents", "user_id"], out_col="m_score")
+    return d.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        (
+            F.col("r_score").cast("long") * 100
+            + F.col("f_score").cast("long") * 10
+            + F.col("m_score").cast("long")
+        ).alias("segment"),
     )
 
 
