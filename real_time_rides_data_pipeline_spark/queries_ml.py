@@ -76,7 +76,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from real_time_rides_data_pipeline_spark.functions.precision import cents
-from real_time_rides_data_pipeline_spark.functions.vectors import as_double, cosine
+from real_time_rides_data_pipeline_spark.functions.vectors import as_double
 from real_time_rides_data_pipeline_spark.registry import _t, register
 
 _KNUTH = 2654435761

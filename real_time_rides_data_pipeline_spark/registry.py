@@ -98,8 +98,9 @@ def check_priority() -> tuple[str, ...]:
         "q_stream_dim_join", "q_stream_stream_join", "q_top2_per_key",
         "q_array_agg", "q_salted_join", "q_partition_pruned_scan",
         "q_hash_sample", "q_map_funcs", "q_array_funcs", "q_resize_meta",
-        # (d) registered in round 8 (queries_ml.py) — never driver-checked;
-        # round 9 MUST promote these to the window head.
+        # (d) registered in round 8 (queries_ml.py, plus q_ohlc_bars in
+        # queries_analytics.py) — never driver-checked; round 9 MUST promote
+        # these to the window head.
         "q_linreg_fit", "q_auc_roc", "q_confusion_matrix", "q_score_lift",
         "q_rolling_median", "q_grid_join_radius", "q_feature_hash",
         "q_knn_classify", "q_pca_project", "q_target_encode",

@@ -68,6 +68,8 @@ KEYS = [
     "q_dedup_report",        # (source, text) agg + per-source rollup
     "q_bpe_train",           # 4-round fit loop over the distinct-word table
     "q_stream_linreg",       # 2-batch stream, additive moment merge
+    "q_ohlc_bars",           # one min_by/max_by hash agg per (series, bar)
+    "q_rfm_segments",        # per-user agg + 3 range-partitioned ntiles
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
