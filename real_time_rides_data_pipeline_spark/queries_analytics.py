@@ -1035,9 +1035,7 @@ def q_degree_dist(spark, sf_dir):
 # =========================================================================
 
 
-@register(
-    "q_ohlc_bars",
-    """SELECT event_type,
+_OHLC_ORACLE = """SELECT event_type,
               date_trunc('hour', ts) AS bar,
               CAST(count(*) AS BIGINT) AS volume,
               CAST(first(round(value * 100) ORDER BY ts, event_id) AS BIGINT)
@@ -1048,7 +1046,12 @@ def q_degree_dist(spark, sf_dir):
                   AS low_cents,
               CAST(last(round(value * 100) ORDER BY ts, event_id) AS BIGINT)
                   AS close_cents
-       FROM events GROUP BY event_type, bar""",
+       FROM events GROUP BY event_type, bar"""
+
+
+@register(
+    "q_ohlc_bars",
+    _OHLC_ORACLE,
     "OHLC downsampling — the canonical time-series bar compaction: per "
     "(series, hour) the first/last value in event-time order (total-"
     "ordered by (ts, event_id)) plus high/low/volume, all exact cents. "
@@ -1077,4 +1080,101 @@ def q_ohlc_bars(spark, sf_dir):
             F.min("c").alias("low_cents"),
             F.max_by("c", "o").alias("close_cents"),
         )
+    )
+
+
+@register(
+    "q_stream_ohlc",
+    _OHLC_ORACLE,
+    "STREAMING OHLC — the live demonstration that DISTRIBUTIVE aggregates "
+    "beyond sums stream through a keyed fold: events replay as a REAL "
+    "2-micro-batch stream; each batch computes per-(series, bar) partials "
+    "(volume as sum, high/low as max/min, open/close as min/max over the "
+    "lexicographic (ts, event_id, cents) ordering struct — argmin/argmax "
+    "as a monoid), and foreachBatch folds them through "
+    "sinks.merge_distributive_parquet (batch_id-idempotent, crash-ordered "
+    "swap). Extrema and argmin/argmax merge exactly, so the folded bars "
+    "are BIT-IDENTICAL to the batch bars and answer to q_ohlc_bars' "
+    "oracle. At 100 TB this is the incremental bar-builder: per-window "
+    "partials stream in, closed bars never rescan.",
+)
+def q_stream_ohlc(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
+    from real_time_rides_data_pipeline_spark.sinks import (
+        merge_distributive_parquet,
+    )
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    inp = _replay_input(ev, "ohlcstream", sf_dir)  # 2 files → 2 batches
+    run_dir = tempfile.mkdtemp(prefix="ohlcstream_run_")
+    state, ckpt = f"{run_dir}/bars", f"{run_dir}/ckpt"
+    stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
+
+    def partials(batch_df):
+        c = cents(F.col("value"))
+        okey = F.struct(F.col("ts"), F.col("event_id"), c.alias("c"))
+        return (
+            batch_df.select(
+                "event_type",
+                F.date_trunc("hour", F.col("ts")).alias("bar"),
+                c.alias("c"),
+                okey.alias("okey"),
+            )
+            .groupBy("event_type", "bar")
+            .agg(
+                F.count("*").alias("volume"),
+                F.min("okey").alias("okey"),
+                F.max("c").alias("high_cents"),
+                F.min("c").alias("low_cents"),
+                F.max("okey").alias("ckey"),
+            )
+        )
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_distributive_parquet(
+            batch_df.sparkSession,
+            partials(batch_df),
+            state,
+            keys=("event_type", "bar"),
+            agg_spec={
+                "volume": "sum",
+                "okey": "min",
+                "high_cents": "max",
+                "low_cents": "min",
+                "ckey": "max",
+            },
+            batch_id=batch_id,
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    bars = spark.read.parquet(state)
+    return bars.select(
+        "event_type",
+        "bar",
+        "volume",
+        F.col("okey.c").alias("open_cents"),
+        "high_cents",
+        "low_cents",
+        F.col("ckey.c").alias("close_cents"),
     )

@@ -106,7 +106,7 @@ def check_priority() -> tuple[str, ...]:
         "q_knn_classify", "q_pca_project", "q_target_encode",
         "q_calibration_bins", "q_retrieval_mrr", "q_ldiversity",
         "q_dedup_report", "q_bpe_train", "q_stream_linreg",
-        "q_ohlc_bars", "q_rfm_segments",
+        "q_ohlc_bars", "q_rfm_segments", "q_stream_ohlc",
     )
 
 

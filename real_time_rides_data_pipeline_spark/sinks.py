@@ -357,6 +357,59 @@ def merge_additive_parquet(
     _commit_with_marker(merged, target_path, batch_id, prior_marker)
 
 
+#: merge rules for merge_distributive_parquet — every distributive
+#: aggregate (Gray et al., the data-cube taxonomy) folds through one of
+#: these; struct columns order lexicographically, so argmin/argmax state
+#: travels as min/max over an ordering-key struct.
+_DISTRIBUTIVE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def merge_distributive_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    keys: tuple[str, ...],
+    agg_spec: dict[str, str],
+    batch_id: int | None = None,
+) -> None:
+    """Keyed MERGE folding DISTRIBUTIVE aggregates on plain parquet: per
+    key, each state column merges by its own monoid — ``sum`` (counters,
+    moments, sketch cells), ``min``/``max`` (extrema; argmin/argmax via a
+    lexicographic ordering-key struct, which is how streaming OHLC carries
+    open/close). Generalizes ``merge_additive_parquet`` (the sum-only
+    special case) with the identical idempotence machinery: batch_id
+    committed atomically with the data (replayed batches are skipped — a
+    fold is not replay-safe on its own) and a crash-ordered rename-aside
+    swap. One union + map-side-combining aggregate per merge."""
+    unknown = {v for v in agg_spec.values()} - set(_DISTRIBUTIVE_FNS)
+    if unknown:
+        raise ValueError(f"non-distributive merge fns: {sorted(unknown)}")
+    _recover_dir(target_path)
+    prior_marker = _read_batch_marker(target_path)
+    if (
+        batch_id is not None
+        and prior_marker is not None
+        and batch_id <= prior_marker
+    ):
+        return  # at-least-once replay of an already-committed batch
+    cols = list(agg_spec)
+    aggs = [_DISTRIBUTIVE_FNS[fn](c).alias(c) for c, fn in agg_spec.items()]
+    # Bootstrap aggregates too: first-batch duplicate keys must fold the
+    # same way later merges do, and the projection pins one schema.
+    base = updates.groupBy(*keys).agg(*aggs)
+    if os.path.exists(target_path):
+        merged = (
+            spark.read.parquet(target_path)
+            .select(*keys, *cols)
+            .unionByName(base)
+            .groupBy(*keys)
+            .agg(*aggs)
+        )
+    else:
+        merged = base
+    _commit_with_marker(merged, target_path, batch_id, prior_marker)
+
+
 def foreach_batch_merge(
     df: DataFrame,
     target_path: str,

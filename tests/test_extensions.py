@@ -764,3 +764,32 @@ def test_additive_merge_reconstructs_batch_sketch_and_is_idempotent(spark):
         for r in spark.read.parquet(state).collect()
     }
     assert replayed == whole
+
+
+def test_distributive_merge_folds_minmax_and_is_idempotent(spark, tmp_path):
+    """merge_distributive_parquet: sum/min/max columns fold across batches
+    exactly; a replayed batch_id is a no-op; non-distributive fns refuse."""
+    import pytest as _pytest
+
+    from real_time_rides_data_pipeline_spark.sinks import (
+        merge_distributive_parquet,
+    )
+
+    path = str(tmp_path / "state")
+    spec = {"n": "sum", "lo": "min", "hi": "max"}
+    b1 = spark.createDataFrame(
+        [("a", 1, 5, 5), ("a", 1, 9, 9), ("b", 1, 2, 2)], "k string, n long, lo long, hi long"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 1, 1, 1), ("b", 1, 7, 7)], "k string, n long, lo long, hi long"
+    )
+    merge_distributive_parquet(spark, b1, path, keys=("k",), agg_spec=spec, batch_id=0)
+    merge_distributive_parquet(spark, b2, path, keys=("k",), agg_spec=spec, batch_id=1)
+    # replay of batch 1 must not double-fold
+    merge_distributive_parquet(spark, b2, path, keys=("k",), agg_spec=spec, batch_id=1)
+    got = {r["k"]: (r["n"], r["lo"], r["hi"]) for r in spark.read.parquet(path).collect()}
+    assert got == {"a": (3, 1, 9), "b": (2, 2, 7)}
+    with _pytest.raises(ValueError, match="non-distributive"):
+        merge_distributive_parquet(
+            spark, b1, path, keys=("k",), agg_spec={"n": "avg"}, batch_id=2
+        )
