@@ -1178,3 +1178,80 @@ def q_stream_ohlc(spark, sf_dir):
         "low_cents",
         F.col("ckey.c").alias("close_cents"),
     )
+
+
+# =========================================================================
+# Kafka wire-frame parse (offline twin of the broker read)
+# =========================================================================
+
+
+@register(
+    "q_kafka_frame_parse",
+    """SELECT event_id,
+              CAST(user_id AS BIGINT) AS key_user,
+              'rides_stream' AS topic,
+              CAST(user_id % 6 AS INT) AS partition,
+              CAST(row_number() OVER (PARTITION BY user_id % 6
+                                      ORDER BY ts, event_id) - 1 AS BIGINT)
+                  AS koffset,
+              event_type,
+              CAST(round(value * 100) AS BIGINT) AS value_cents
+       FROM events""",
+    "Kafka WIRE-FRAME parse, broker-free: events are first encoded into "
+    "the exact frame schema a Kafka read produces (key/value as BINARY "
+    "JSON/UTF-8, topic, partition = key-hash mod 6 — the reference topic's "
+    "partition count — and per-partition monotone offsets), then decoded "
+    "the way the Bronze layer must: value bytes → string → from_json → "
+    "typed columns, key bytes → string → id, frame metadata carried "
+    "through as lineage. The ORACLE pins the decoded values straight from "
+    "the source table, so the whole encode→decode round trip must be "
+    "lossless (timestamps, doubles, nested JSON props). This is the "
+    "remaining testable half of the src_kafka contract (sources/kafka.py "
+    "holds the connector options; no broker/jar exists in this container); "
+    "per-partition offset assignment is the only sort, keyed by the 6 "
+    "partitions exactly as a broker log would be.",
+)
+def q_kafka_frame_parse(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    # --- encode: the frame a kafka source would deliver -------------------
+    w_off = Window.partitionBy(F.pmod(F.col("user_id"), F.lit(6))).orderBy(
+        "ts", "event_id"
+    )
+    frames = ev.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+        ).cast("binary").alias("value"),
+        F.lit("rides_stream").alias("topic"),
+        F.pmod(F.col("user_id"), F.lit(6)).cast("int").alias("partition"),
+        (F.row_number().over(w_off) - 1).cast("long").alias("koffset"),
+    )
+    # --- decode: what Bronze must do with those bytes ---------------------
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    parsed = frames.select(
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("d"),
+        F.col("key").cast("string").cast("long").alias("key_user"),
+        "topic",
+        "partition",
+        "koffset",
+    )
+    return parsed.select(
+        F.col("d.event_id").alias("event_id"),
+        "key_user",
+        "topic",
+        "partition",
+        "koffset",
+        F.col("d.event_type").alias("event_type"),
+        cents(F.col("d.value")).alias("value_cents"),
+    )
