@@ -1194,6 +1194,7 @@ def q_stream_ohlc(spark, sf_dir):
               CAST(row_number() OVER (PARTITION BY user_id % 6
                                       ORDER BY ts, event_id) - 1 AS BIGINT)
                   AS koffset,
+              ts,
               event_type,
               CAST(round(value * 100) AS BIGINT) AS value_cents
        FROM events""",
@@ -1219,10 +1220,16 @@ def q_kafka_frame_parse(spark, sf_dir):
     w_off = Window.partitionBy(F.pmod(F.col("user_id"), F.lit(6))).orderBy(
         "ts", "event_id"
     )
+    # Microsecond timestampFormat on BOTH legs: Spark's default to_json
+    # format is millisecond-precision, which would silently truncate event
+    # times — the oracle compares the decoded ts against the source column,
+    # so any loss fails the hash.
+    ts_fmt = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
     frames = ev.select(
         F.col("user_id").cast("string").cast("binary").alias("key"),
         F.to_json(
-            F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+            ts_fmt,
         ).cast("binary").alias("value"),
         F.lit("rides_stream").alias("topic"),
         F.pmod(F.col("user_id"), F.lit(6)).cast("int").alias("partition"),
@@ -1240,7 +1247,9 @@ def q_kafka_frame_parse(spark, sf_dir):
         ]
     )
     parsed = frames.select(
-        F.from_json(F.col("value").cast("string"), payload_schema).alias("d"),
+        F.from_json(
+            F.col("value").cast("string"), payload_schema, ts_fmt
+        ).alias("d"),
         F.col("key").cast("string").cast("long").alias("key_user"),
         "topic",
         "partition",
@@ -1252,6 +1261,7 @@ def q_kafka_frame_parse(spark, sf_dir):
         "topic",
         "partition",
         "koffset",
+        F.col("d.ts").alias("ts"),
         F.col("d.event_type").alias("event_type"),
         cents(F.col("d.value")).alias("value_cents"),
     )
