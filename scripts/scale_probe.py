@@ -70,6 +70,8 @@ KEYS = [
     "q_stream_linreg",       # 2-batch stream, additive moment merge
     "q_ohlc_bars",           # one min_by/max_by hash agg per (series, bar)
     "q_rfm_segments",        # per-user agg + 3 range-partitioned ntiles
+    "q_stream_ohlc",         # 2-batch stream, distributive min/max merge
+    "q_kafka_frame_parse",   # encode/decode round trip + offset windows
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
