@@ -255,3 +255,21 @@ def test_scalar_stat_keys_scan_events_once(spark, key):
 def test_rolling_median_single_shuffle_on_user(spark):
     plan = SPECS["q_rolling_median"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_ohlc_single_scan_single_shuffle(spark):
+    plan = SPECS["q_ohlc_bars"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_rfm_ntiles_are_range_partitioned(spark):
+    """RFM's three quintile passes must come from global_ntile's two-phase
+    rank: each pass windows per __pid run (hashpartitioning(__pid) — the
+    range shuffle itself is behind the eager localCheckpoint), and the only
+    SinglePartition exchanges feed the P-row offset aggregates, never a
+    data-sized window."""
+    plan = SPECS["q_rfm_segments"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(__pid") >= 3
