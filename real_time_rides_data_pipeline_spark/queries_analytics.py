@@ -1265,3 +1265,54 @@ def q_kafka_frame_parse(spark, sf_dir):
         F.col("d.event_type").alias("event_type"),
         cents(F.col("d.value")).alias("value_cents"),
     )
+
+
+# =========================================================================
+# Funnel time-to-convert (round 8)
+# =========================================================================
+
+
+@register(
+    "q_time_to_convert",
+    """WITH s AS (
+         SELECT user_id, min(ts) AS signup_ts
+         FROM events WHERE event_type = 'signup' GROUP BY user_id
+       ), p AS (
+         SELECT e.user_id, min(e.ts) AS purchase_ts
+         FROM events e JOIN s ON e.user_id = s.user_id
+                              AND e.ts >= s.signup_ts
+         WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+       SELECT user_id, signup_ts, purchase_ts,
+              CAST(date_diff('microseconds', signup_ts, purchase_ts)
+                   AS BIGINT) AS delta_us
+       FROM s JOIN p USING (user_id)""",
+    "Funnel time-to-convert: per user, the first signup and the first "
+    "purchase AT OR AFTER it, with the conversion latency in exact integer "
+    "microseconds — the duration companion to q_funnel_steps' step counts. "
+    "Shape: two event-type-filtered min-aggregates (pushed predicates, "
+    "map-side combine) and one equi-join on user_id — per-user state is "
+    "two timestamps, never an event list; downstream latency percentiles "
+    "are a |converted users|-sized re-agg the caller owns.",
+)
+def q_time_to_convert(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return s.join(p, "user_id").select(
+        "user_id",
+        "signup_ts",
+        "purchase_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")).alias(
+            "delta_us"
+        ),
+    )
