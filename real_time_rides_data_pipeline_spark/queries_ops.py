@@ -1006,3 +1006,83 @@ def q_ks_drift(spark, sf_dir):
     return ks_two_sample(ev, "v", "is_a").withColumnRenamed(
         "d_at", "d_at_cents"
     )
+
+
+# =========================================================================
+# CSV corrupt-record audit (round 8)
+# =========================================================================
+
+
+@register(
+    "q_csv_corrupt_records",
+    """WITH lines AS (
+         SELECT CASE WHEN event_id % 37 = 0 THEN 'corrupt' ELSE event_type END
+                    AS kind,
+                CASE WHEN event_id % 37 = 0 THEN NULL
+                     ELSE CAST(round(value * 100) AS BIGINT) END AS c
+         FROM events)
+       SELECT kind,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(c) AS BIGINT) AS sum_cents
+       FROM lines GROUP BY kind""",
+    "Malformed-CSV ingest audit — the PERMISSIVE _corrupt_record machinery "
+    "(the CSV twin of q_malformed_filter's JSON path): events are first "
+    "serialized to CSV text with every 37th row deterministically mangled "
+    "(a non-numeric id field), read back with an explicit schema + "
+    "columnNameOfCorruptRecord, and audited per kind — good rows keep "
+    "their exact cents sum, corrupt rows land in the quarantine count with "
+    "NULL typed fields. The ORACLE derives the same report straight from "
+    "the source rows, so the serialize → corrupt → permissive-parse → "
+    "quarantine path must be lossless for good rows and total for bad "
+    "ones. Scale: pure map encode, pure map parse, one hash agg; the "
+    "corrupt-record column costs nothing on clean rows.",
+)
+def q_csv_corrupt_records(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 37 == 0,
+        F.concat_ws(",", F.lit("not_a_number"), F.col("event_type")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("event_id"),
+            F.unix_micros("ts"),
+            F.col("user_id"),
+            F.col("event_type"),
+            cents(F.col("value")),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="csv_corrupt_") + "/events_csv"
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = spark.read.csv(
+        path,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    # Quarantine predicate: _corrupt_record OR a NULL required key — Spark's
+    # CSV PERMISSIVE mode nulls a field whose token fails type conversion
+    # without always populating the corrupt column (verified live: the
+    # short mangled rows arrive with all-null typed fields and a null
+    # _corrupt_record), so a robust audit checks the natural key too.
+    kind = F.when(
+        F.col("_corrupt_record").isNotNull() | F.col("event_id").isNull(),
+        F.lit("corrupt"),
+    ).otherwise(F.col("event_type"))
+    return parsed.select(kind.alias("kind"), "c").groupBy("kind").agg(
+        F.count("*").alias("n_rows"), F.sum("c").alias("sum_cents")
+    )

@@ -108,6 +108,7 @@ def check_priority() -> tuple[str, ...]:
         "q_dedup_report", "q_bpe_train", "q_stream_linreg",
         "q_ohlc_bars", "q_rfm_segments", "q_stream_ohlc",
         "q_kafka_frame_parse", "q_time_to_convert",
+        "q_csv_corrupt_records",
     )
 
 

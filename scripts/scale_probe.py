@@ -72,6 +72,7 @@ KEYS = [
     "q_rfm_segments",        # per-user agg + 3 range-partitioned ntiles
     "q_stream_ohlc",         # 2-batch stream, distributive min/max merge
     "q_kafka_frame_parse",   # encode/decode round trip + offset windows
+    "q_time_to_convert",     # two filtered min-aggs + one user equi-join
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
