@@ -65,8 +65,8 @@ def check_priority() -> tuple[str, ...]:
     order), filling the window to exactly 50. The remaining 32 r4-stale
     keys roll past the window as the first entries of the round-9 cohort,
     followed by the r5-stale cohort. Keys not listed keep registration
-    order afterwards. New round-8 registrations are appended at the END of
-    this tuple's (b2) section as they land so round 9 can promote them."""
+    order afterwards. New round-8 registrations are appended to section (d)
+    at the END of this tuple as they land so round 9 can promote them."""
     return (
         # (a) registered in round 7, never driver-checked
         "q_charlm_coverage", "q_semdedup", "q_url_canon_dedup",
@@ -98,9 +98,11 @@ def check_priority() -> tuple[str, ...]:
         "q_stream_dim_join", "q_stream_stream_join", "q_top2_per_key",
         "q_array_agg", "q_salted_join", "q_partition_pruned_scan",
         "q_hash_sample", "q_map_funcs", "q_array_funcs", "q_resize_meta",
-        # (d) registered in round 8 (queries_ml.py, plus q_ohlc_bars in
-        # queries_analytics.py) — never driver-checked; round 9 MUST promote
-        # these to the window head.
+        # (d) registered in round 8 (queries_ml.py; q_ohlc_bars,
+        # q_stream_ohlc, q_kafka_frame_parse, q_time_to_convert in
+        # queries_analytics.py; q_csv_corrupt_records in queries_ops.py) —
+        # never driver-checked; round 9 MUST promote these to the window
+        # head.
         "q_linreg_fit", "q_auc_roc", "q_confusion_matrix", "q_score_lift",
         "q_rolling_median", "q_grid_join_radius", "q_feature_hash",
         "q_knn_classify", "q_pca_project", "q_target_encode",

@@ -329,32 +329,18 @@ def merge_additive_parquet(
     on its own — an at-least-once redelivery would silently double-count),
     and the rewrite is a crash-ordered rename-aside swap. One union +
     map-side-combining aggregate per merge; same Delta-rewrites-only-
-    touched-files caveat at scale as the siblings."""
-    _recover_dir(target_path)
-    prior_marker = _read_batch_marker(target_path)
-    if (
-        batch_id is not None
-        and prior_marker is not None
-        and batch_id <= prior_marker
-    ):
-        return  # at-least-once replay of an already-committed batch
-    # The bootstrap path aggregates too: a first batch with duplicate keys
-    # (un-preaggregated increments) must not write multi-row-per-key state
-    # that readers (min-over-cells CMS probes!) and later merges assume
-    # away — and projecting to keys+sum_cols keeps the schema identical
-    # on both paths.
-    base = updates.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])
-    if os.path.exists(target_path):
-        merged = (
-            spark.read.parquet(target_path)
-            .select(*keys, *sum_cols)
-            .unionByName(base)
-            .groupBy(*keys)
-            .agg(*[F.sum(c).alias(c) for c in sum_cols])
-        )
-    else:
-        merged = base
-    _commit_with_marker(merged, target_path, batch_id, prior_marker)
+    touched-files caveat at scale as the siblings.
+
+    Sum-only special case of ``merge_distributive_parquet`` — delegates so
+    the recover/marker/bootstrap/commit machinery exists exactly once."""
+    merge_distributive_parquet(
+        spark,
+        updates,
+        target_path,
+        keys,
+        {c: "sum" for c in sum_cols},
+        batch_id=batch_id,
+    )
 
 
 #: merge rules for merge_distributive_parquet — every distributive
