@@ -73,6 +73,15 @@ KEYS = [
     "q_stream_ohlc",         # 2-batch stream, distributive min/max merge
     "q_kafka_frame_parse",   # encode/decode round trip + offset windows
     "q_time_to_convert",     # two filtered min-aggs + one user equi-join
+    "q_confusion_matrix",    # contingency agg + tiny re-aggs (embeddings)
+    "q_score_lift",          # distinct-cents compression + 10-band window
+    "q_target_encode",       # category agg + whole-frame prior window
+    "q_calibration_bins",    # distinct-cents compression + 10-bin agg
+    # q_retrieval_mrr: excluded for the same reason as q_knn_classify —
+    # |Q| grows with the replicated corpus, but the operator's contract is
+    # a FIXED broadcast query set.
+    "q_ldiversity",          # grouped count-distinct over customer
+    "q_csv_corrupt_records", # text encode + PERMISSIVE parse + hash agg
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
