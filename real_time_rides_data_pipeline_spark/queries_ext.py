@@ -25,6 +25,7 @@ from real_time_rides_data_pipeline_spark.operators import multimodal as MM
 from real_time_rides_data_pipeline_spark.operators import similarity as SIM
 from real_time_rides_data_pipeline_spark.operators import textdedup as TD
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.session import scoped_writer_session
 
 # =========================================================================
 # JSON extraction / as-of (SURVEY §2.9 q_json_extract, q_asof_latest)
@@ -1091,28 +1092,25 @@ def q_stateful_running(spark, sf_dir):
     inp = _replay_input(ev, "stateful", sf_dir)  # 2 files → 2 micro-batches
     run_dir = tempfile.mkdtemp(prefix="stateful_run_")
     out, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
-    stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
     # Stateful shuffle width is frozen into the checkpoint at first batch;
     # size it to the state, not the session default: each state partition
     # costs a state-store (RocksDB) instance load per micro-batch, but too
     # few partitions serialize the Arrow/pandas fold. Sweep at sf0.1 on 32
     # cores: 2→16.1s, 4→10.4s, 8→7.9s, 16→7.2s, 32→8.4s — 16 is the knee.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
-        q = (
-            foreach_batch_merge(
-                running_user_stats(stream), out, ckpt, keys=("user_id",)
-            )
-            .outputMode("update")
-            .start()
+    # Pinned on a per-WRITER session clone, never the shared session conf.
+    writer = scoped_writer_session(spark, shuffle_partitions=16)
+    stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
+    q = (
+        foreach_batch_merge(
+            running_user_stats(stream), out, ckpt, keys=("user_id",)
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.stop()
     return spark.read.parquet(out)
 
 
@@ -1177,26 +1175,22 @@ def q_watermark(spark, sf_dir):
         "value",
     )
     late_batch = ev.filter(F.col("ts") >= cutoff).unionAll(stragglers)
-    stream = parquet_stream(spark, inp, early.schema, max_files_per_trigger=1)
+    writer = scoped_writer_session(spark, shuffle_partitions=4)
+    stream = parquet_stream(writer, inp, early.schema, max_files_per_trigger=1)
     deduped = stream_dedup(stream, keys=("event_id", "ts"), event_time_col="ts")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
     try:
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()  # batch 1 → watermark advances
-            late_batch.coalesce(1).write.mode("append").parquet(inp)
-            q.processAllAvailable()  # batch 2 → stragglers dropped
-        finally:
-            q.stop()
+        q.processAllAvailable()  # batch 1 → watermark advances
+        late_batch.coalesce(1).write.mode("append").parquet(inp)
+        q.processAllAvailable()  # batch 2 → stragglers dropped
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.stop()
     return spark.read.parquet(out)
 
 
@@ -1227,7 +1221,8 @@ def q_output_complete(spark, sf_dir):
         "event_id", "ts", "user_id", "event_type", "value"
     )
     inp = _replay_input(ev, "complete", sf_dir)  # 2 files → 2 micro-batches
-    stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
+    writer = scoped_writer_session(spark, shuffle_partitions=4)
+    stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
     agg = hourly_driver_agg(
         stream.withColumn("is_suspicious", F.col("event_type") == "error"),
         ts_col="ts",
@@ -1236,22 +1231,18 @@ def q_output_complete(spark, sf_dir):
         fare_col="value",
     ).withColumnRenamed("user_id", "driver_id")
     name = f"complete_out_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
     try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+        q.stop()
+    # Memory sink registers its view in the session that STARTED the query.
+    return writer.table(name)
 
 
 from real_time_rides_data_pipeline_spark.streaming.stateful import HAVE_TWS
@@ -1318,6 +1309,10 @@ def q_stream_stream_join(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
     inp = _replay_input(ev, "ssjoin", sf_dir)
+    # Symmetric-hash join state is per-partition PER SIDE — width pinned on
+    # a per-writer session clone (sweep rationale below), not the shared
+    # session conf.
+    writer = scoped_writer_session(spark, shuffle_partitions=8)
 
     def side(tag: str, typ: str):
         # Watermark BEFORE the type filter: the join's global watermark is
@@ -1325,7 +1320,7 @@ def q_stream_stream_join(spark, sf_dir):
         # in a batch would otherwise drag it behind (harmless for this
         # inner single-batch key; essential for outer joins and multi-batch
         # replays — pinned in tests/test_streaming.py).
-        s = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=2)
+        s = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=2)
         return (
             s.withWatermark("ts", "10 minutes")
             .filter(F.col("event_type") == typ)
@@ -1349,25 +1344,20 @@ def q_stream_stream_join(spark, sf_dir):
         F.col("click_user").alias("user_id"),
     )
     name = f"ssjoin_out_{uuid.uuid4().hex[:8]}"
-    # Symmetric-hash join state is per-partition PER SIDE: width 8 (sweep:
-    # 4→3.7s, 8→4.2s, 16→3.9s, 32→5.7s at sf0.1) keeps 2×8 state-store
-    # instances instead of 2×32 for a few thousand buffered rows.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # Width 8 (sweep: 4→3.7s, 8→4.2s, 16→3.9s, 32→5.7s at sf0.1) keeps 2×8
+    # state-store instances instead of 2×32 for a few thousand buffered
+    # rows.
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
     try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+        q.stop()
+    return writer.table(name)
 
 
 @register(
@@ -1438,9 +1428,10 @@ def q_stream_stream_join_outer(spark, sf_dir):
             if fname.endswith(".parquet"):
                 _shutil.copy(f"{stage}/{sub}/{fname}", f"{work}/{sub}/{fname}")
     schema = clicks_b.schema
+    writer = scoped_writer_session(spark, shuffle_partitions=8)
 
     def side(tag: str, path: str):
-        s = parquet_stream(spark, path, schema, max_files_per_trigger=1)
+        s = parquet_stream(writer, path, schema, max_files_per_trigger=1)
         return s.withWatermark("ts", "10 minutes").select(
             F.col("event_id").alias(f"{tag}_id"),
             F.col("user_id").alias(f"{tag}_user"),
@@ -1463,43 +1454,38 @@ def q_stream_stream_join_outer(spark, sf_dir):
         )
     )
     name = f"ssjout_out_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
     try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .start()
+        q.processAllAvailable()
+        # Sentinel flush via the shared helper (streaming/replay.py,
+        # append_sentinel_file): the epoch-micros timezone hazard and
+        # the atomic pyarrow-write+rename discipline — both first hit
+        # here — live in its docstring now.
+        from real_time_rides_data_pipeline_spark.streaming.replay import (
+            append_sentinel_file,
         )
-        try:
-            q.processAllAvailable()
-            # Sentinel flush via the shared helper (streaming/replay.py,
-            # append_sentinel_file): the epoch-micros timezone hazard and
-            # the atomic pyarrow-write+rename discipline — both first hit
-            # here — live in its docstring now.
-            from real_time_rides_data_pipeline_spark.streaming.replay import (
-                append_sentinel_file,
-            )
 
-            for hours, uid in ((1, -1), (2, -2)):
-                for path in (cdir, vdir):
-                    append_sentinel_file(
-                        path,
-                        schema,
-                        "ts",
-                        max_us + hours * 3_600_000_000,
-                        {"event_id": -1, "user_id": uid},
-                        tag=str(hours),
-                    )
-                q.processAllAvailable()
-        finally:
-            q.stop()
+        for hours, uid in ((1, -1), (2, -2)):
+            for path in (cdir, vdir):
+                append_sentinel_file(
+                    path,
+                    schema,
+                    "ts",
+                    max_us + hours * 3_600_000_000,
+                    {"event_id": -1, "user_id": uid},
+                    tag=str(hours),
+                )
+            q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.stop()
     # Sentinel rows (negative user ids) are dropped from the sink table —
     # a batch filter, safely pushable here.
-    return spark.table(name).filter(F.col("user_id") >= 0)
+    return writer.table(name).filter(F.col("user_id") >= 0)
 
 
 @register(
@@ -1625,23 +1611,19 @@ def q_tws_top_values(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="tws_")
     inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     ev.repartition(2).write.parquet(inp)  # 2 files → 2 micro-batches
-    stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            foreach_batch_merge(
-                running_top_values(stream), out, ckpt, keys=("user_id",)
-            )
-            .outputMode("update")
-            .start()
+    writer = scoped_writer_session(spark, shuffle_partitions=8)
+    stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
+    q = (
+        foreach_batch_merge(
+            running_top_values(stream), out, ckpt, keys=("user_id",)
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.stop()
     return spark.read.parquet(out)
 
 

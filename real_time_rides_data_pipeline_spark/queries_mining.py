@@ -92,6 +92,7 @@ from pyspark.sql import functions as F
 
 from real_time_rides_data_pipeline_spark.functions import text as X
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.session import scoped_writer_session
 
 # =========================================================================
 # Dataset-mix health: exact rational Gini impurity
@@ -395,7 +396,8 @@ def q_stream_cms_merge(spark, sf_dir):
     inp = _replay_input(docs, "cmsstream", sf_dir)  # 2 files → 2 batches
     run_dir = tempfile.mkdtemp(prefix="cmsstream_run_")
     state, ckpt = f"{run_dir}/sketch", f"{run_dir}/ckpt"
-    stream = parquet_stream(spark, inp, docs.schema, max_files_per_trigger=1)
+    writer = scoped_writer_session(spark, shuffle_partitions=8)
+    stream = parquet_stream(writer, inp, docs.schema, max_files_per_trigger=1)
 
     def fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -415,21 +417,16 @@ def q_stream_cms_merge(spark, sf_dir):
             batch_id=batch_id,
         )
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
     try:
-        q = (
-            stream.writeStream.foreachBatch(fold)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.stop()
     sketch = spark.read.parquet(state)
     tok = d.select(F.explode(X.tokens(F.col("text"))).alias("term"))
     return _cms_attest(tok, sketch)
@@ -647,7 +644,8 @@ def q_stream_session(spark, sf_dir):
     _copy_in("early", inp)
 
     schema = ev.schema
-    stream = parquet_stream(spark, inp, schema, max_files_per_trigger=1)
+    writer = scoped_writer_session(spark, shuffle_partitions=8)
+    stream = parquet_stream(writer, inp, schema, max_files_per_trigger=1)
     sessions = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -660,38 +658,33 @@ def q_stream_session(spark, sf_dir):
         )
     )
     name = f"sesstream_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
     try:
-        q = (
-            sessions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()  # batch 1: sessions open, state held
-            _copy_in("late", inp)  # staged file-copy, no Spark write
-            q.processAllAvailable()  # batch 2: straddling sessions merge
-            # Sentinel flush (batch N's eviction uses the watermark
-            # computed at the END of batch N-1, hence two appends; the
-            # epoch-micros/atomic-rename hazards live in the shared
-            # helper's docstring).
-            for hours, uid in ((72, -1), (73, -2)):
-                append_sentinel_file(
-                    inp,
-                    schema,
-                    "ts",
-                    max_us + hours * 3_600_000_000,
-                    {"user_id": uid, "event_id": -1},
-                    tag=str(hours),
-                )
-                q.processAllAvailable()
-        finally:
-            q.stop()
+        q.processAllAvailable()  # batch 1: sessions open, state held
+        _copy_in("late", inp)  # staged file-copy, no Spark write
+        q.processAllAvailable()  # batch 2: straddling sessions merge
+        # Sentinel flush (batch N's eviction uses the watermark
+        # computed at the END of batch N-1, hence two appends; the
+        # epoch-micros/atomic-rename hazards live in the shared
+        # helper's docstring).
+        for hours, uid in ((72, -1), (73, -2)):
+            append_sentinel_file(
+                inp,
+                schema,
+                "ts",
+                max_us + hours * 3_600_000_000,
+                {"user_id": uid, "event_id": -1},
+                tag=str(hours),
+            )
+            q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name).filter(F.col("user_id") >= 0)
+        q.stop()
+    return writer.table(name).filter(F.col("user_id") >= 0)
 
 
 # =========================================================================
@@ -1091,27 +1084,23 @@ def q_stream_late_metrics(spark, sf_dir):
         "value",
     )
     late_batch = ev.filter(F.col("ts") >= cutoff).unionAll(stragglers)
-    stream = parquet_stream(spark, inp, early.schema, max_files_per_trigger=1)
+    writer = scoped_writer_session(spark, shuffle_partitions=4)
+    stream = parquet_stream(writer, inp, early.schema, max_files_per_trigger=1)
     deduped = stream_dedup(stream, keys=("event_id", "ts"), event_time_col="ts")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
     try:
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()  # batch 1 → watermark advances
-            late_batch.coalesce(1).write.mode("append").parquet(inp)
-            q.processAllAvailable()  # batch 2 → stragglers dropped + counted
-            progress = [json.loads(p.json) for p in q.recentProgress]
-        finally:
-            q.stop()
+        q.processAllAvailable()  # batch 1 → watermark advances
+        late_batch.coalesce(1).write.mode("append").parquet(inp)
+        q.processAllAvailable()  # batch 2 → stragglers dropped + counted
+        progress = [json.loads(p.json) for p in q.recentProgress]
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.stop()
     n_dropped = sum(
         so.get("numRowsDroppedByWatermark", 0)
         for p in progress

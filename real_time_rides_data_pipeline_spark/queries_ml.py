@@ -78,6 +78,7 @@ from pyspark.sql import functions as F
 from real_time_rides_data_pipeline_spark.functions.precision import cents
 from real_time_rides_data_pipeline_spark.functions.vectors import as_double
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.session import scoped_writer_session
 
 _KNUTH = 2654435761
 
@@ -176,7 +177,8 @@ def q_stream_linreg(spark, sf_dir):
     inp = _replay_input(ev, "linregstream", sf_dir)  # 2 files → 2 batches
     run_dir = tempfile.mkdtemp(prefix="linregstream_run_")
     state, ckpt = f"{run_dir}/moments", f"{run_dir}/ckpt"
-    stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
+    writer = scoped_writer_session(spark, shuffle_partitions=8)
+    stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
 
     def fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -190,21 +192,16 @@ def q_stream_linreg(spark, sf_dir):
             batch_id=batch_id,
         )
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
     try:
-        q = (
-            stream.writeStream.foreachBatch(fold)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.stop()
     return _linreg_solve(spark.read.parquet(state))
 
 

@@ -111,3 +111,49 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+#: Determinism/layout confs a per-writer session clone must carry over from
+#: its parent: oracle-grade timestamp semantics plus the scan/AQE knobs that
+#: shape plans. RUNTIME confs only — static confs (codegen cache, state-store
+#: provider, memory) live on the shared SparkContext and the clone inherits
+#: them; setting one on a session raises CANNOT_MODIFY_STATIC_CONFIG.
+#: shuffle.partitions is deliberately NOT here — pinning it per writer is
+#: the clone's whole purpose.
+_WRITER_CONF_KEYS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.files.maxPartitionBytes",
+)
+
+
+def scoped_writer_session(
+    spark: SparkSession, shuffle_partitions: int
+) -> SparkSession:
+    """A session CLONE (shared SparkContext + catalog, isolated SQLConf)
+    for one stream writer, with the stateful-shuffle width pinned on the
+    clone only.
+
+    Streaming state width (``spark.sql.shuffle.partitions`` at first batch,
+    frozen into the checkpoint) must be sized to the STATE, not the
+    session's fact-table default — but mutating the shared session's conf
+    around ``start()`` leaks the override to every concurrent query in the
+    window between set and restore. ``newSession()`` gives this writer its
+    own SQLConf; determinism-critical parent confs are copied explicitly
+    because a fresh SessionState starts from SparkConf defaults, not the
+    parent's runtime ``conf.set`` values (a driver-owned vanilla session
+    sets e.g. ``nanosAsLong`` at runtime via ``load_fixture``)."""
+    clone = spark.newSession()
+    for key in _WRITER_CONF_KEYS:
+        try:
+            value = spark.conf.get(key)
+        except Exception:  # no value and no default — leave unset
+            continue
+        if value is not None:
+            clone.conf.set(key, value)
+    clone.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return clone

@@ -357,6 +357,7 @@ def merge_distributive_parquet(
     keys: tuple[str, ...],
     agg_spec: dict[str, str],
     batch_id: int | None = None,
+    num_partitions: int | None = None,
 ) -> None:
     """Keyed MERGE folding DISTRIBUTIVE aggregates on plain parquet: per
     key, each state column merges by its own monoid — ``sum`` (counters,
@@ -366,7 +367,16 @@ def merge_distributive_parquet(
     special case) with the identical idempotence machinery: batch_id
     committed atomically with the data (replayed batches are skipped — a
     fold is not replay-safe on its own) and a crash-ordered rename-aside
-    swap. One union + map-side-combining aggregate per merge."""
+    swap. One union + map-side-combining aggregate per merge.
+
+    ``num_partitions`` caps the committed state's file count for THIS
+    writer via ``coalesce`` on the aggregated result — applied AFTER the
+    fold so partial aggregation still combines map-side at full input
+    parallelism and the only data moved post-cap is |keys|-sized. Per-
+    writer layout control: never a session ``spark.sql.shuffle.partitions``
+    mutation a concurrent query would observe, and never a raw-row
+    repartition ahead of the agg (which would shuffle the whole batch
+    uncombined)."""
     unknown = {v for v in agg_spec.values()} - set(_DISTRIBUTIVE_FNS)
     if unknown:
         raise ValueError(f"non-distributive merge fns: {sorted(unknown)}")
@@ -393,6 +403,8 @@ def merge_distributive_parquet(
         )
     else:
         merged = base
+    if num_partitions is not None:
+        merged = merged.coalesce(num_partitions)
     _commit_with_marker(merged, target_path, batch_id, prior_marker)
 
 
