@@ -528,17 +528,17 @@ _GRID_PTS_SQL = f"""SELECT o_orderkey AS pid,
     "survives 100 TB; skewed cells are handled by the same salting "
     "machinery as any hot join key.",
 )
-def q_grid_join_radius(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    pts = o.filter(F.col("o_orderkey") % 23 == 0).select(
-        F.col("o_orderkey").alias("pid"),
-        (F.pmod(F.col("o_orderkey"), 1009) * F.lit(_KNUTH % 1009) % 1009).alias("x"),
-        (F.pmod(F.col("o_custkey"), 1013) * F.lit(_KNUTH % 1013) % 1013).alias("y"),
-    )
+def _grid_radius_pairs(pts, radius: int = 32):
+    """The grid-join core over a (pid, x, y) frame: r-sized cells, 9-cell
+    neighbor expansion on the left side, equi-join on cell, exact integer
+    squared-distance verify, pairs canonical via id_a < id_b. Shared by
+    the registered query and the area-growing scale probe
+    (scripts/grid_area_probe.py) so the probe measures the production
+    plan, not a transcription of it."""
     cells = pts.select(
         "pid", "x", "y",
-        F.expr("x div 32").alias("cx"),
-        F.expr("y div 32").alias("cy"),
+        F.expr(f"x div {radius}").alias("cx"),
+        F.expr(f"y div {radius}").alias("cy"),
     )
     off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
     left = (
@@ -564,9 +564,19 @@ def q_grid_join_radius(spark, sf_dir):
     ) * (F.col("ya") - F.col("yb"))
     return (
         left.join(right, ["cx", "cy"])
-        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= 1024))
+        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= radius * radius))
         .select("id_a", "id_b", d2.alias("dist2"))
     )
+
+
+def q_grid_join_radius(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pts = o.filter(F.col("o_orderkey") % 23 == 0).select(
+        F.col("o_orderkey").alias("pid"),
+        (F.pmod(F.col("o_orderkey"), 1009) * F.lit(_KNUTH % 1009) % 1009).alias("x"),
+        (F.pmod(F.col("o_custkey"), 1013) * F.lit(_KNUTH % 1013) % 1013).alias("y"),
+    )
+    return _grid_radius_pairs(pts)
 
 
 # =========================================================================
