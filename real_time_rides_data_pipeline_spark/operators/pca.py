@@ -47,9 +47,29 @@ def gramian(df: DataFrame, vec_col: str = "embedding") -> "list[list[float]]":
             col = batch.column(vec_col)
             if len(col) == 0:
                 continue
-            # equal-length lists, no nulls → flatten+reshape is zero-copy
+            # Contract: non-null, equal-width vectors — then flatten+reshape
+            # is zero-copy. A null row would silently DROP values in
+            # flatten() and a ragged width would surface only as an opaque
+            # reshape error (or worse, a plausible-but-wrong gramian if the
+            # drop count happens to divide the width), so violations fail
+            # loudly here with the real cause.
+            if col.null_count:
+                raise ValueError(
+                    f"gramian: {col.null_count} null vector(s) in "
+                    f"'{vec_col}' — drop or impute nulls before the fit"
+                )
             flat = col.flatten().to_numpy(zero_copy_only=False)
+            if len(flat) % len(col):
+                raise ValueError(
+                    f"gramian: ragged '{vec_col}' widths (batch of "
+                    f"{len(col)} rows holds {len(flat)} values)"
+                )
             x = flat.astype(np.float64, copy=False).reshape(len(col), -1)
+            if acc is not None and x.shape[1] != acc.shape[0]:
+                raise ValueError(
+                    f"gramian: '{vec_col}' width changed {acc.shape[0]} → "
+                    f"{x.shape[1]} across batches"
+                )
             g = x.T @ x
             acc = g if acc is None else acc + g
         if acc is not None:
@@ -65,6 +85,9 @@ def gramian(df: DataFrame, vec_col: str = "embedding") -> "list[list[float]]":
         .collect()  # bounded: exactly d² rows regardless of data size
     )
     vals = {r["pos"]: r["s"] for r in summed}
+    if not vals:
+        # Would otherwise surface downstream as an eigh on a 0×0 matrix.
+        raise ValueError(f"gramian: no vectors in '{vec_col}' (empty input)")
     d = int(len(vals) ** 0.5)
     assert d * d == len(vals), f"gramian size {len(vals)} is not a square"
     return [[vals[i * d + j] for j in range(d)] for i in range(d)]

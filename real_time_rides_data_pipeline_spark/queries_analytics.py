@@ -1226,10 +1226,10 @@ def q_stream_ohlc(spark, sf_dir):
 @register(
     "q_kafka_frame_parse",
     """SELECT event_id,
-              CAST(user_id AS BIGINT) AS key_user,
+              CAST(event_id AS BIGINT) AS key_id,
               'rides_stream' AS topic,
-              CAST(user_id % 6 AS INT) AS partition,
-              CAST(row_number() OVER (PARTITION BY user_id % 6
+              CAST(event_id % 6 AS INT) AS partition,
+              CAST(row_number() OVER (PARTITION BY event_id % 6
                                       ORDER BY ts, event_id) - 1 AS BIGINT)
                   AS koffset,
               ts,
@@ -1237,25 +1237,30 @@ def q_stream_ohlc(spark, sf_dir):
               CAST(round(value * 100) AS BIGINT) AS value_cents
        FROM events""",
     "Kafka WIRE-FRAME parse, broker-free: events are first encoded into "
-    "the exact frame schema a Kafka read produces (key/value as BINARY "
-    "JSON/UTF-8, topic, partition = key-hash mod 6 — the reference topic's "
-    "partition count — and per-partition monotone offsets), then decoded "
-    "the way the Bronze layer must: value bytes → string → from_json → "
-    "typed columns, key bytes → string → id, frame metadata carried "
-    "through as lineage. The ORACLE pins the decoded values straight from "
-    "the source table, so the whole encode→decode round trip must be "
-    "lossless (timestamps, doubles, nested JSON props). This is the "
-    "remaining testable half of the src_kafka contract (sources/kafka.py "
-    "holds the connector options; no broker/jar exists in this container); "
-    "per-partition offset assignment is the only sort, keyed by the 6 "
-    "partitions exactly as a broker log would be.",
+    "the frame schema a Kafka read produces (key/value as BINARY "
+    "JSON/UTF-8, topic, partition, per-partition monotone offsets), then "
+    "decoded the way the Bronze layer must: value bytes → string → "
+    "from_json → typed columns, key bytes → string → id, frame metadata "
+    "carried through as lineage. Keying mirrors the reference producer's "
+    "ride_id key (kafka_rides_producer.py:84-96; event_id is ride_id's "
+    "fixture analogue); partition = event_id mod 6 is a DETERMINISTIC "
+    "stand-in for the broker's murmur2 key-hash partitioner over the "
+    "reference topic's 6 partitions — same key→partition stability "
+    "contract, reproducible across engines for the oracle. The ORACLE "
+    "pins the decoded values straight from the source table, so the whole "
+    "encode→decode round trip must be lossless (timestamps, doubles, "
+    "nested JSON props). This is the remaining testable half of the "
+    "src_kafka contract (sources/kafka.py holds the connector options; no "
+    "broker/jar exists in this container); per-partition offset "
+    "assignment is the only sort, keyed by the 6 partitions exactly as a "
+    "broker log would be.",
 )
 def q_kafka_frame_parse(spark, sf_dir):
     from pyspark.sql import types as T
 
     ev = _t(spark, sf_dir, "events")
     # --- encode: the frame a kafka source would deliver -------------------
-    w_off = Window.partitionBy(F.pmod(F.col("user_id"), F.lit(6))).orderBy(
+    w_off = Window.partitionBy(F.pmod(F.col("event_id"), F.lit(6))).orderBy(
         "ts", "event_id"
     )
     # Microsecond timestampFormat on BOTH legs: Spark's default to_json
@@ -1264,13 +1269,13 @@ def q_kafka_frame_parse(spark, sf_dir):
     # so any loss fails the hash.
     ts_fmt = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
     frames = ev.select(
-        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.col("event_id").cast("string").cast("binary").alias("key"),
         F.to_json(
             F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
             ts_fmt,
         ).cast("binary").alias("value"),
         F.lit("rides_stream").alias("topic"),
-        F.pmod(F.col("user_id"), F.lit(6)).cast("int").alias("partition"),
+        F.pmod(F.col("event_id"), F.lit(6)).cast("int").alias("partition"),
         (F.row_number().over(w_off) - 1).cast("long").alias("koffset"),
     )
     # --- decode: what Bronze must do with those bytes ---------------------
@@ -1288,14 +1293,14 @@ def q_kafka_frame_parse(spark, sf_dir):
         F.from_json(
             F.col("value").cast("string"), payload_schema, ts_fmt
         ).alias("d"),
-        F.col("key").cast("string").cast("long").alias("key_user"),
+        F.col("key").cast("string").cast("long").alias("key_id"),
         "topic",
         "partition",
         "koffset",
     )
     return parsed.select(
         F.col("d.event_id").alias("event_id"),
-        "key_user",
+        "key_id",
         "topic",
         "partition",
         "koffset",

@@ -793,3 +793,67 @@ def test_distributive_merge_folds_minmax_and_is_idempotent(spark, tmp_path):
         merge_distributive_parquet(
             spark, b1, path, keys=("k",), agg_spec={"n": "avg"}, batch_id=2
         )
+
+
+def test_distributive_merge_folds_struct_ordering_keys(spark, tmp_path):
+    """Struct-valued min/max columns — the argmin/argmax carrier
+    q_stream_ohlc depends on — must fold LEXICOGRAPHICALLY across batches
+    and survive the parquet state read-back (struct column round trip),
+    with the num_partitions writer cap applied. Pins the exact shape the
+    streaming OHLC key uses: struct(o BIGINT, c BIGINT), min = argmin
+    carrier (open), max = argmax carrier (close)."""
+    from real_time_rides_data_pipeline_spark.sinks import (
+        merge_distributive_parquet,
+    )
+
+    path = str(tmp_path / "state")
+    spec = {"okey": "min", "ckey": "max", "volume": "sum"}
+    schema = (
+        "k string, okey struct<o: bigint, c: bigint>, "
+        "ckey struct<o: bigint, c: bigint>, volume long"
+    )
+    # batch 1: key a sees orders 10 and 30; batch 2 brings an EARLIER order
+    # (o=5) and a LATER one (o=40) — the fold must move open to c=500 and
+    # close to c=400, reading the batch-1 structs back from parquet state.
+    # Equal-o tie inside batch 2 for key b pins the lexicographic second
+    # field: (7, 100) < (7, 200).
+    b1 = spark.createDataFrame(
+        [
+            ("a", (10, 1000), (30, 3000), 2),
+            ("b", (7, 200), (7, 200), 1),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            ("a", (5, 500), (40, 400), 2),
+            ("b", (7, 100), (7, 100), 1),
+        ],
+        schema,
+    )
+    for i, b in enumerate((b1, b2)):
+        merge_distributive_parquet(
+            spark, b, path, keys=("k",), agg_spec=spec, batch_id=i,
+            num_partitions=2,
+        )
+    # replay of batch 1 (stale id) must be a no-op on struct state too
+    merge_distributive_parquet(
+        spark, b1, path, keys=("k",), agg_spec=spec, batch_id=0,
+        num_partitions=2,
+    )
+    got = {
+        r["k"]: (
+            (r["okey"]["o"], r["okey"]["c"]),
+            (r["ckey"]["o"], r["ckey"]["c"]),
+            r["volume"],
+        )
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        "a": ((5, 500), (40, 400), 4),
+        "b": ((7, 100), (7, 200), 2),
+    }
+    import glob
+
+    n_files = len(glob.glob(f"{path}/part-*"))
+    assert n_files <= 2, f"num_partitions=2 cap violated: {n_files} files"

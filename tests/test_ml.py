@@ -273,3 +273,27 @@ def test_rfm_ntiles_are_range_partitioned(spark):
     data-sized window."""
     plan = SPECS["q_rfm_segments"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("hashpartitioning(__pid") >= 3
+
+
+def test_gramian_contract_violations_fail_loudly(spark):
+    """ADVICE r8: a null embedding row used to DROP values inside Arrow
+    flatten() and surface as an opaque numpy reshape error (or a wrong
+    gramian when the drop count divided the width); an empty input reached
+    eigh as a 0x0 matrix. Both must fail with the real cause named."""
+    import pytest as _pytest
+
+    good = spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0, 4.0],)], "embedding array<double>"
+    )
+    with_null = good.unionAll(
+        spark.createDataFrame([(None,)], "embedding array<double>")
+    )
+    with _pytest.raises(Exception, match="null vector"):
+        gramian(with_null)
+    with _pytest.raises(ValueError, match="empty input"):
+        gramian(good.filter("embedding[0] > 99"))
+    ragged = good.unionAll(
+        spark.createDataFrame([([5.0, 6.0, 7.0],)], "embedding array<double>")
+    )
+    with _pytest.raises(Exception, match="ragged|width changed"):
+        gramian(ragged.coalesce(1))
