@@ -105,6 +105,7 @@ def check_priority() -> tuple[str, ...]:
         "q_cume_dist_nth", "q_collated_group", "q_try_arithmetic",
         # (d) registered in round 9 — never driver-checked; round 10 MUST
         # promote these to the window head.
+        "q_simhash_est_hamming",
     )
 
 
