@@ -276,17 +276,23 @@ def q_simhash_est_hamming(spark, sf_dir):
     def prefix(k):  # keep n - (n*k) div 4 tokens (k quarters dropped)
         return F.expr(f"slice(w, 1, n - (n * {k}) div 4)")
 
-    per_doc = base.select(
+    # Full-tokens signature PROJECTED ONCE and reused by all four hamming
+    # columns — CollapseProject declines to inline a non-cheap alias that
+    # is referenced more than once, so this stages 8 signature
+    # evaluations down to 5 (measured 2026-08-15 at the 64x probe
+    # factor: 32.9 → 25.7 s, slope 0.79 → 0.65).
+    staged = base.withColumn("s0", sig(F.col("w")))
+    per_doc = staged.select(
         F.size(F.array_distinct("w")).alias("u"),
         *[
             F.size(F.array_distinct(prefix(k))).alias(f"i{k}")
             for k in (1, 2, 3)
         ],
         *[
-            V.hamming64(sig(F.col("w")), sig(prefix(k))).alias(f"h{k}")
+            V.hamming64(F.col("s0"), sig(prefix(k))).alias(f"h{k}")
             for k in (1, 2, 3)
         ],
-        V.hamming64(sig(F.col("w")), sig(F.reverse(F.col("w")))).alias(
+        V.hamming64(F.col("s0"), sig(F.reverse(F.col("w")))).alias(
             "h_ord"
         ),
     )

@@ -68,6 +68,22 @@ previously registered):
   fit-small/broadcast-big shape for embedding dim-reduction at 100 TB.
   Eigendecomposition is not SQL-expressible → rows-only driver check;
   exactness vs numpy PCA is pinned in tests/test_ml.py.
+
+Round 9 completes the eval family:
+
+- ``q_ndcg_at10`` — graded-ranking retrieval eval (NDCG@10) over the
+  shared kNN holdout, discount weights as a literal scaled-integer
+  table (log2 is irrational; the floor table is the portable contract).
+- ``q_pr_auc`` — step-wise average precision over the distinct-score
+  domain, the imbalanced-class companion to q_auc_roc.
+- ``q_brier_score`` — calibration-sensitive MSE of max-normalized ppm
+  scores vs outcomes, exact 1e-12 units.
+- ``q_cohens_kappa`` — chance-corrected agreement as an exact rational
+  over the q_confusion_matrix contingency table, sign-explicit ppm.
+- ``q_group_kfold`` — leakage-free-by-construction user-level CV fold
+  assignment (portable md5 bucketing) + per-fold balance report.
+- ``q_tscv_splits`` — expanding-window time-series CV boundaries and
+  train/valid counts from a single banding scan + 5-row histogram.
 """
 
 from __future__ import annotations
@@ -1148,4 +1164,420 @@ def q_pca_project(spark, sf_dir):
         "vec_id",
         F.floor(dot(xs, lit1) * 1000000).cast("long").alias("pc1_e6"),
         F.floor(dot(xs, lit2) * 1000000).cast("long").alias("pc2_e6"),
+    )
+
+
+# =========================================================================
+# Round 9: eval-family completion — NDCG@10, PR-AUC, Brier, Cohen's kappa,
+# group-k-fold assignment, time-series CV splits
+# =========================================================================
+
+#: floor(1e6 / log2(rank+1)) for ranks 1..10 — the NDCG discount as exact
+#: integer weights, identical literals in both legs (log2 itself is
+#: irrational, so the scaled-floor TABLE is the engine-portable contract).
+_NDCG_W = [1000000, 630929, 500000, 430676, 386852, 356207, 333333,
+           315464, 301029, 289064]
+_NDCG_CUM = [sum(_NDCG_W[: i + 1]) for i in range(10)]
+
+
+@register(
+    "q_ndcg_at10",
+    f"""WITH pairs AS (
+         SELECT q.vec_id AS qid, t.vec_id AS tid,
+                CASE WHEN t.label = q.label THEN 1 ELSE 0 END AS rel,
+                CAST(floor(({_KNN_COS_SQL}) * 1000000) AS BIGINT) AS sim_e6
+         FROM embeddings q JOIN embeddings t
+           ON q.vec_id % 20 = 0 AND t.vec_id % 20 <> 0
+       ), ranked AS (
+         SELECT qid, rel,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim_e6 DESC, tid ASC) AS rn
+         FROM pairs
+       ), per_q AS (
+         SELECT qid,
+                CAST(sum(CASE WHEN rn <= 10
+                              THEN rel * ({_NDCG_W})[rn] ELSE 0 END)
+                     AS BIGINT) AS dcg_e6,
+                CAST(least(sum(rel), 10) AS BIGINT) AS n_rel
+         FROM ranked GROUP BY qid)
+       SELECT qid, dcg_e6, n_rel,
+              CAST(CASE WHEN n_rel = 0 THEN 0
+                        ELSE ({_NDCG_CUM})[n_rel] END AS BIGINT) AS idcg_e6,
+              CAST(CASE WHEN n_rel = 0 THEN 0
+                        ELSE dcg_e6 * 1000000 // (({_NDCG_CUM})[n_rel]) END
+                   AS BIGINT) AS ndcg_ppm
+       FROM per_q""",
+    "NDCG@10 retrieval eval over the kNN holdout — the graded-ranking "
+    "companion to q_retrieval_mrr's first-hit metric, sharing _knn_pairs "
+    "so the eval can never drift from the classifier. Binary relevance "
+    "(same label), discount weights floor(1e6/log2(rank+1)) as a LITERAL "
+    "integer table in both legs (log2 is irrational; the scaled-floor "
+    "table IS the portable contract), ideal DCG from the prefix-sum table "
+    "at min(|relevant in train|, 10), ndcg in exact integer ppm (0 when "
+    "no relevant item exists). Shape: the broadcast-Q pair scan feeds ONE "
+    "per-query aggregate — rank window over k candidates, no second "
+    "pass; dcg*1e6 ≤ 4.6e12 keeps everything in BIGINT.",
+)
+def q_ndcg_at10(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q, pairs, w_top = _knn_pairs(emb)
+    rel = (F.col("tlabel") == F.col("qlabel")).cast("long")
+    ranked = pairs.withColumn("rn", F.row_number().over(w_top)).withColumn(
+        "rel", rel
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    cum_arr = F.array(*[F.lit(c) for c in _NDCG_CUM])
+    per_q = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                F.col("rn") <= 10,
+                F.col("rel") * F.element_at(w_arr, F.col("rn").cast("int")),
+            ).otherwise(0)
+        ).alias("dcg_e6"),
+        F.least(F.sum("rel"), F.lit(10)).cast("long").alias("n_rel"),
+    )
+    idcg = F.when(F.col("n_rel") == 0, 0).otherwise(
+        F.element_at(cum_arr, F.col("n_rel").cast("int"))
+    ).cast("long")
+    return per_q.select(
+        "qid",
+        "dcg_e6",
+        "n_rel",
+        idcg.alias("idcg_e6"),
+        F.when(F.col("n_rel") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "dcg_e6 * 1000000 div "
+                f"element_at(array({','.join(str(c) for c in _NDCG_CUM)}),"
+                " cast(n_rel as int))"
+            )
+        )
+        .alias("ndcg_ppm"),
+    )
+
+
+@register(
+    "q_pr_auc",
+    """WITH s AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS sc,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS p,
+                CAST(count(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT) AS q
+         FROM events GROUP BY sc
+       ), c AS (
+         SELECT p,
+                sum(p) OVER (ORDER BY sc DESC) AS tp,
+                sum(p + q) OVER (ORDER BY sc DESC) AS preds
+         FROM s)
+       SELECT CAST((SELECT sum(p) FROM s) AS BIGINT) AS n_pos,
+              CAST((SELECT sum(q) FROM s) AS BIGINT) AS n_neg,
+              CAST(sum(p * (tp * 1000000 // preds)) AS BIGINT) AS ap_num,
+              CAST(sum(p * (tp * 1000000 // preds))
+                   // (SELECT sum(p) FROM s) AS BIGINT) AS ap_ppm
+       FROM c""",
+    "PR-AUC as step-wise AVERAGE PRECISION — the imbalanced-class "
+    "companion to q_auc_roc's ROC ranking eval (same label/score "
+    "convention: purchase vs cents value): AP = Σ_k ΔR_k·P_k over "
+    "distinct-score thresholds descending, computed as exact integers "
+    "with the precision floor-truncated to ppm per threshold BEFORE the "
+    "recall-weighted sum (the floor placement IS the metric's portable "
+    "definition — both engines evaluate the identical expression). "
+    "Shape: the same distinct-score domain compression as the AUC key "
+    "(N rows → ≤ |2-dp value domain| groups, bounded at any data size), "
+    "one cumulative window over that bounded set, one 1-row combine — "
+    "never a global per-row sort. tp·1e6 and the ap_num sum stay ≤ "
+    "n·1e6, BIGINT-exact to ~9e12 events per class.",
+)
+def q_pr_auc(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pos = (F.col("event_type") == "purchase").cast("long")
+    s = (
+        ev.select(cents(F.col("value")).alias("sc"), pos.alias("is_pos"))
+        .groupBy("sc")
+        .agg(F.sum("is_pos").alias("p"), F.count("*").alias("cnt"))
+        .select("sc", "p", (F.col("cnt") - F.col("p")).alias("q"))
+    )
+    # Single-partition window over DISTINCT SCORES only (bounded domain —
+    # the q_auc_roc argument); never over raw rows.
+    w = Window.orderBy(F.col("sc").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = s.select(
+        "p",
+        F.sum("p").over(w).alias("tp"),
+        F.sum(F.col("p") + F.col("q")).over(w).alias("preds"),
+    )
+    agg = c.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum(
+            F.col("p") * F.expr("tp * 1000000 div preds")
+        ).alias("ap_num"),
+    )
+    n_neg = s.agg(F.sum("q").alias("n_neg"))
+    return agg.crossJoin(F.broadcast(n_neg)).select(
+        "n_pos",
+        "n_neg",
+        "ap_num",
+        F.expr("ap_num div n_pos").alias("ap_ppm"),
+    )
+
+
+@register(
+    "q_brier_score",
+    """WITH m AS (SELECT max(CAST(round(value * 100) AS BIGINT)) AS max_sc
+                  FROM events),
+       d AS (
+         SELECT (CAST(round(value * 100) AS BIGINT) * 1000000 // max_sc)
+                - CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END
+                    AS err
+         FROM events, m)
+       SELECT CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(err * err) AS BIGINT) AS brier_num,
+              CAST(sum(err * err) // count(*) AS BIGINT) AS brier_e12
+       FROM d""",
+    "Brier score — the CALIBRATION-sensitive eval completing the trio "
+    "with q_auc_roc (ranking) and q_calibration_bins (reliability "
+    "table); same label/score convention (purchase vs cents value). The "
+    "predicted probability is the score max-normalized to exact ppm "
+    "(p̂ = sc·1e6 div max_sc, max broadcast as a 1-row scalar), the "
+    "outcome is 0/1e6, and the score is the mean squared error in 1e-12 "
+    "units — every step integer, both engines bit-equal. Shape: one "
+    "1-row max agg broadcast into a single scan + 1-row combine; no "
+    "window, no join on data rows. Per-row err² ≤ 1e12 ⇒ the sum is "
+    "BIGINT-exact to ~9e6 events (fixture-safe ×14); past that the sum "
+    "widens to DECIMAL(38,0) the same way q_auc_roc documents — ANSI "
+    "overflow fails loudly, never silently.",
+)
+def q_brier_score(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.max(cents(F.col("value"))).alias("max_sc"))
+    err = (
+        F.expr("sc * 1000000 div max_sc")
+        - F.when(F.col("event_type") == "purchase", 1000000).otherwise(0)
+    )
+    d = (
+        ev.select(
+            cents(F.col("value")).alias("sc"), "event_type"
+        )
+        .crossJoin(F.broadcast(m))
+        .select(err.alias("err"))
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("err") * F.col("err")).alias("brier_num"),
+    ).select(
+        "n_events",
+        "brier_num",
+        F.expr("brier_num div n_events").alias("brier_e12"),
+    )
+
+
+@register(
+    "q_cohens_kappa",
+    f"""WITH scored AS (
+         SELECT CAST(label AS BIGINT) AS actual, {_CM_PRED_SQL} AS predicted
+         FROM embeddings
+       ), cm AS (
+         SELECT actual, predicted, CAST(count(*) AS BIGINT) AS cnt
+         FROM scored GROUP BY actual, predicted
+       ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                         CAST(sum(cnt) FILTER (WHERE actual = predicted)
+                              AS BIGINT) AS diag
+                  FROM cm),
+       pe AS (SELECT CAST(sum(a.r * p.c) AS BIGINT) AS pe_num
+              FROM (SELECT actual AS cls, sum(cnt) AS r FROM cm
+                    GROUP BY actual) a
+              JOIN (SELECT predicted AS cls, sum(cnt) AS c FROM cm
+                    GROUP BY predicted) p USING (cls))
+       SELECT n, diag, pe_num,
+              CAST(n * diag - pe_num AS BIGINT) AS kappa_num,
+              CAST(n * n - pe_num AS BIGINT) AS kappa_den,
+              CAST(CASE WHEN n * diag >= pe_num
+                        THEN (n * diag - pe_num) * 1000000 // (n * n - pe_num)
+                        ELSE -((pe_num - n * diag) * 1000000 // (n * n - pe_num))
+                   END AS BIGINT) AS kappa_ppm
+       FROM tot, pe""",
+    "Cohen's kappa — chance-corrected agreement between the synthetic "
+    "predictor and the true label (the single-number summary next to "
+    "q_confusion_matrix's per-class table, same _CM_PRED_SQL predictor "
+    "so the two evals describe one contingency table): kappa = "
+    "(po−pe)/(1−pe) computed entirely in counts as the exact rational "
+    "(n·diag − Σ r_c·c_c) / (n² − Σ r_c·c_c), emitted as num/den plus "
+    "ppm truncated TOWARD ZERO explicitly on both legs (kappa can be "
+    "negative, and floor-vs-truncate differs between engines on "
+    "negatives — the CASE makes the convention the contract). Shape: "
+    "one contingency agg of N rows to ≤ C² cells; every re-agg and the "
+    "class join run on the tiny cell table.",
+)
+def q_cohens_kappa(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    h = F.pmod(F.pmod(F.col("vec_id"), 97) * F.lit(_KNUTH % 97), F.lit(97))
+    predicted = F.pmod(
+        F.col("label") + F.when(h < 10, 1).otherwise(0), F.lit(10)
+    ).cast("long")
+    cm = (
+        emb.select(
+            F.col("label").cast("long").alias("actual"),
+            predicted.alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = cm.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.when(F.col("actual") == F.col("predicted"), F.col("cnt"))
+            .otherwise(0)
+        ).alias("diag"),
+    )
+    a = cm.groupBy(F.col("actual").alias("cls")).agg(F.sum("cnt").alias("r"))
+    p = cm.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("cnt").alias("c")
+    )
+    pe = a.join(p, "cls").agg(
+        F.sum(F.col("r") * F.col("c")).alias("pe_num")
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "diag",
+        "pe_num",
+        (F.col("n") * F.col("diag") - F.col("pe_num")).alias("kappa_num"),
+        (F.col("n") * F.col("n") - F.col("pe_num")).alias("kappa_den"),
+        F.when(
+            F.col("n") * F.col("diag") >= F.col("pe_num"),
+            F.expr("(n * diag - pe_num) * 1000000 div (n * n - pe_num)"),
+        )
+        .otherwise(
+            -F.expr("(pe_num - n * diag) * 1000000 div (n * n - pe_num)")
+        )
+        .cast("long")
+        .alias("kappa_ppm"),
+    )
+
+
+@register(
+    "q_group_kfold",
+    """WITH assigned AS (
+         SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 5 AS fold,
+                user_id,
+                CAST(round(value * 100) AS BIGINT) AS c
+         FROM events)
+       SELECT CAST(fold AS BIGINT) AS fold,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(c) AS BIGINT) AS sum_cents
+       FROM assigned GROUP BY fold ORDER BY fold""",
+    "GROUP k-fold assignment + balance report — the leakage-free CV "
+    "split every user-level model eval needs: the fold is a function of "
+    "user_id ALONE (md5-derived 60-bit integer mod 5 — md5 because it is "
+    "engine-portable where xxhash64/hash are Spark-specific, the "
+    "q_feature_hash precedent), so no user's events can ever straddle "
+    "train and validation — leakage-freedom holds by construction, not "
+    "by audit. The report shows what the modeler checks before trusting "
+    "a split: user/event/mass balance per fold. Shape: pure map fold "
+    "assignment + one 5-group aggregate (count-distinct re-shuffles "
+    "user_id once); at 100 TB the md5 cost is scan-side and the group "
+    "count is a constant 5.",
+)
+def q_group_kfold(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    fold = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(5),
+    ).cast("long")
+    return (
+        ev.select(
+            fold.alias("fold"),
+            "user_id",
+            cents(F.col("value")).alias("c"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("sum_cents"),
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
+    "q_tscv_splits",
+    """WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1
+                  FROM events),
+       s AS (SELECT k,
+                    t0 + ((t1 - t0) * k) // 5 AS lo,
+                    CASE WHEN k = 4 THEN t1 + 1
+                         ELSE t0 + ((t1 - t0) * (k + 1)) // 5 END AS hi
+             FROM b, generate_series(1, 4) AS g(k))
+       SELECT CAST(s.k AS BIGINT) AS split_id,
+              CAST(s.lo AS BIGINT) AS train_end_us,
+              CAST(count(*) FILTER (WHERE epoch_us(ts) < s.lo) AS BIGINT)
+                  AS n_train,
+              CAST(count(*) FILTER (WHERE epoch_us(ts) >= s.lo
+                                      AND epoch_us(ts) < s.hi) AS BIGINT)
+                  AS n_valid
+       FROM events CROSS JOIN s GROUP BY s.k, s.lo ORDER BY split_id""",
+    "Expanding-window TIME-SERIES cross-validation splits — the "
+    "leakage-free eval protocol for anything with a clock (forecasting, "
+    "churn, the OLS keys): four boundaries at exact integer-µs fifths of "
+    "the observed span; split k trains on everything before boundary k "
+    "and validates on [b_k, b_k+1). The ORACLE counts by cross-joining "
+    "events with the 4 splits; the Spark plan is the scale shape — each "
+    "event is banded ONCE (band = #boundaries ≤ ts, computed against the "
+    "broadcast 1-row bounds), the ≤5-row band histogram is the only "
+    "shuffle output, and train/valid counts per split are cumulative "
+    "sums over that tiny table. N is touched exactly once regardless of "
+    "the split count.",
+)
+def q_tscv_splits(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("t0"),
+        F.unix_micros(F.max("ts")).alias("t1"),
+    )
+    # band(e) = number of boundaries b_k <= ts  (k = 1..4) — definitionally
+    # consistent with the oracle's lo/hi windows, no clamp edge cases.
+    band = sum(
+        (
+            F.unix_micros(F.col("ts"))
+            >= F.col("t0") + F.expr(f"((t1 - t0) * {k}) div 5")
+        ).cast("long")
+        for k in (1, 2, 3, 4)
+    )
+    hist = (
+        ev.select("ts")
+        .crossJoin(F.broadcast(b))
+        .select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    splits = spark.range(1, 5).select(F.col("id").alias("split_id"))
+    per_split = (
+        splits.crossJoin(F.broadcast(hist))
+        .groupBy("split_id")
+        .agg(
+            F.sum(
+                F.when(F.col("band") < F.col("split_id"), F.col("cnt"))
+                .otherwise(0)
+            ).alias("n_train"),
+            F.sum(
+                F.when(F.col("band") == F.col("split_id"), F.col("cnt"))
+                .otherwise(0)
+            ).alias("n_valid"),
+        )
+    )
+    return (
+        per_split.crossJoin(F.broadcast(b))
+        .select(
+            "split_id",
+            (
+                F.col("t0") + F.expr("((t1 - t0) * split_id) div 5")
+            ).alias("train_end_us"),
+            "n_train",
+            "n_valid",
+        )
+        .orderBy("split_id")
     )

@@ -105,7 +105,9 @@ def check_priority() -> tuple[str, ...]:
         "q_cume_dist_nth", "q_collated_group", "q_try_arithmetic",
         # (d) registered in round 9 — never driver-checked; round 10 MUST
         # promote these to the window head.
-        "q_simhash_est_hamming",
+        "q_simhash_est_hamming", "q_ndcg_at10", "q_pr_auc",
+        "q_brier_score", "q_cohens_kappa", "q_group_kfold",
+        "q_tscv_splits",
     )
 
 

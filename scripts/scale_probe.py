@@ -82,6 +82,15 @@ KEYS = [
     # a FIXED broadcast query set.
     "q_ldiversity",          # grouped count-distinct over customer
     "q_csv_corrupt_records", # text encode + PERMISSIVE parse + hash agg
+    # round-9 additions
+    "q_simhash_est_hamming", # scan-side signature lambdas + 1-row agg
+    "q_pr_auc",              # distinct-score compression + bounded window
+    "q_brier_score",         # broadcast max + single scan + 1-row agg
+    "q_cohens_kappa",        # contingency agg + tiny-cell re-aggs
+    "q_group_kfold",         # md5 fold map + 5-group agg (count-distinct)
+    "q_tscv_splits",         # banding scan vs broadcast bounds + 5-row hist
+    # q_ndcg_at10: excluded like q_retrieval_mrr/q_knn_classify — fixed
+    # broadcast query-set contract; |Q| grows under replication.
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
