@@ -31,6 +31,18 @@ registered):
 - ``q_null_impute`` — per-group mean imputation of a derived-missing
   measure (error events carry no trusted value) with a global-mean
   fallback, all in exact integer cents.
+
+Round 9 adds the warehouse/product-analytics staples:
+
+- ``q_scd2_intervals`` — SCD type-2 validity intervals from an event log
+  (gaps-and-islands: change-marker + cumulative-sum window, per-run agg,
+  lead() stitching over the runs table).
+- ``q_funnel_paths`` — top-20 first-five-event user paths (rank window
+  capped at 5, deterministic sort_array assembly, alphabet-bounded path
+  domain, TakeOrderedAndProject).
+- ``q_retention_cohorts`` — weekly cohort retention matrix with exact
+  ppm retention vs week-0 (distinct (user, week) compression, broadcast
+  week-0 join).
 """
 
 from __future__ import annotations
@@ -1358,4 +1370,190 @@ def q_time_to_convert(spark, sf_dir):
         (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")).alias(
             "delta_us"
         ),
+    )
+
+
+# =========================================================================
+# Round 9: warehouse/product-analytics completion — SCD2 intervals,
+# user path mining, cohort retention
+# =========================================================================
+
+
+@register(
+    "q_scd2_intervals",
+    """WITH marked AS (
+         SELECT user_id, event_type, ts, event_id,
+                CASE WHEN event_type IS DISTINCT FROM
+                          lag(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                     THEN 1 ELSE 0 END AS chg
+         FROM events
+       ), runs AS (
+         SELECT user_id, event_type, ts,
+                sum(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS grp
+         FROM marked
+       ), islands AS (
+         SELECT user_id, event_type, grp,
+                min(ts) AS valid_from,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM runs GROUP BY user_id, event_type, grp)
+       SELECT user_id, event_type, valid_from,
+              lead(valid_from) OVER (PARTITION BY user_id
+                                     ORDER BY grp) AS valid_to,
+              n_events,
+              (lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+               IS NULL) AS is_current
+       FROM islands""",
+    "SCD TYPE-2 interval derivation — the gaps-and-islands transform that "
+    "turns an event log into a slowly-changing-dimension history: per "
+    "user, maximal runs of consecutive equal attribute values (event_type "
+    "as the tracked attribute, total-ordered by (ts, event_id)) become "
+    "validity intervals [valid_from, valid_to) with the open current row "
+    "flagged — the standard way a 100 TB warehouse materializes "
+    "point-in-time join dimensions from CDC/event feeds. Shape: one "
+    "change-marker + cumulative-sum window pass over user partitions "
+    "(single shuffle on user_id), then the per-run aggregate and the "
+    "lead() stitching run over the RUNS table, which is bounded by the "
+    "change count, not the event count.",
+)
+def q_scd2_intervals(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.col("event_type").eqNullSafe(
+            F.lag("event_type").over(w)
+        ),
+        1,
+    ).otherwise(0)
+    runs = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum(chg).over(w).alias("grp"),
+    )
+    islands = runs.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_runs = Window.partitionBy("user_id").orderBy("grp")
+    valid_to = F.lead("valid_from").over(w_runs)
+    return islands.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "q_funnel_paths",
+    """WITH r AS (
+         SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM events
+       ), p AS (
+         SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+         FROM r WHERE rn <= 5 GROUP BY user_id)
+       SELECT path, CAST(count(*) AS BIGINT) AS n_users
+       FROM p GROUP BY path
+       ORDER BY n_users DESC, path LIMIT 20""",
+    "User-journey PATH MINING: each user's first five events (total-"
+    "ordered by (ts, event_id)) joined into a path string, top-20 paths "
+    "by user count — the sequence-level companion to q_event_transitions' "
+    "pairwise Markov matrix. Shape: one rank window per user partition "
+    "(single shuffle on user_id, frame capped at 5 rows via the rn "
+    "filter), per-user ordered assembly via sort_array(collect_list("
+    "struct(rn, type))) — deterministic, never relying on collect_list "
+    "order — then a path-count agg whose domain is bounded by the "
+    "event-type alphabet (≤ 5^5 paths at ANY data size) and a "
+    "TakeOrderedAndProject top-20.",
+)
+def q_funnel_paths(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    p = r.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    """WITH first AS (
+         SELECT user_id,
+                CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+         FROM events GROUP BY user_id
+       ), act AS (
+         SELECT DISTINCT user_id,
+                CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
+       ), j AS (
+         SELECT f.cohort_week,
+                date_diff('day', f.cohort_week, a.wk) // 7 AS week_offset
+         FROM act a JOIN first f USING (user_id)
+       ), counts AS (
+         SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM j GROUP BY cohort_week, week_offset)
+       SELECT c.cohort_week, c.week_offset, c.n_users,
+              b.n_users AS n_cohort,
+              CAST(c.n_users * 1000000 // b.n_users AS BIGINT) AS ret_ppm
+       FROM counts c JOIN counts b
+         ON b.cohort_week = c.cohort_week AND b.week_offset = 0""",
+    "Weekly COHORT RETENTION matrix — the product-analytics staple: users "
+    "cohorted by the ISO week of their first event; each (cohort, "
+    "week-offset) cell counts distinct users active that week, with "
+    "retention vs the cohort's week-0 size in exact integer ppm. Shape: "
+    "per-user first-week agg + a DISTINCT (user, week) activity "
+    "compression (both keyed map-side-combined shuffles on user_id), one "
+    "equi-join on user_id, then the cell agg runs on |users × active "
+    "weeks| rows and the week-0 join is broadcast (cells are bounded by "
+    "weeks², never by events).",
+)
+def q_retention_cohorts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    j = act.join(first, "user_id").select(
+        "cohort_week",
+        F.expr("datediff(wk, cohort_week) div 7").cast("long").alias(
+            "week_offset"
+        ),
+    )
+    counts = j.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    base = counts.filter(F.col("week_offset") == 0).select(
+        F.col("cohort_week").alias("b_week"),
+        F.col("n_users").alias("n_cohort"),
+    )
+    return counts.join(
+        F.broadcast(base), counts.cohort_week == base.b_week
+    ).select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "n_cohort",
+        F.expr("n_users * 1000000 div n_cohort").alias("ret_ppm"),
     )

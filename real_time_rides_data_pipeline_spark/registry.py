@@ -107,7 +107,8 @@ def check_priority() -> tuple[str, ...]:
         # promote these to the window head.
         "q_simhash_est_hamming", "q_ndcg_at10", "q_pr_auc",
         "q_brier_score", "q_cohens_kappa", "q_group_kfold",
-        "q_tscv_splits",
+        "q_tscv_splits", "q_scd2_intervals", "q_funnel_paths",
+        "q_retention_cohorts",
     )
 
 

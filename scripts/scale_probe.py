@@ -91,6 +91,9 @@ KEYS = [
     "q_tscv_splits",         # banding scan vs broadcast bounds + 5-row hist
     # q_ndcg_at10: excluded like q_retrieval_mrr/q_knn_classify — fixed
     # broadcast query-set contract; |Q| grows under replication.
+    "q_scd2_intervals",      # islands windows per user + runs-table agg
+    "q_funnel_paths",        # rank window capped at 5 + bounded path agg
+    "q_retention_cohorts",   # (user, week) distinct + cell agg
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
