@@ -1547,12 +1547,21 @@ def q_tscv_splits(spark, sf_dir):
         ).cast("long")
         for k in (1, 2, 3, 4)
     )
+    # The bounds ride THROUGH the histogram rows (constant per row, folded
+    # back out with min()) instead of re-joining `b` at the end — a second
+    # use of `b` would re-scan events, and two scans (bounds, banding) is
+    # this protocol's floor since banding needs the bounds first. Pinned
+    # by tests/test_plans.py::test_tscv_splits_single_event_scan.
     hist = (
         ev.select("ts")
         .crossJoin(F.broadcast(b))
-        .select(band.alias("band"))
+        .select(band.alias("band"), "t0", "t1")
         .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("t0").alias("t0"),
+            F.min("t1").alias("t1"),
+        )
     )
     splits = spark.range(1, 5).select(F.col("id").alias("split_id"))
     per_split = (
@@ -1567,17 +1576,15 @@ def q_tscv_splits(spark, sf_dir):
                 F.when(F.col("band") == F.col("split_id"), F.col("cnt"))
                 .otherwise(0)
             ).alias("n_valid"),
+            F.min("t0").alias("t0"),
+            F.min("t1").alias("t1"),
         )
     )
-    return (
-        per_split.crossJoin(F.broadcast(b))
-        .select(
-            "split_id",
-            (
-                F.col("t0") + F.expr("((t1 - t0) * split_id) div 5")
-            ).alias("train_end_us"),
-            "n_train",
-            "n_valid",
-        )
-        .orderBy("split_id")
-    )
+    return per_split.select(
+        "split_id",
+        (
+            F.col("t0") + F.expr("((t1 - t0) * split_id) div 5")
+        ).alias("train_end_us"),
+        "n_train",
+        "n_valid",
+    ).orderBy("split_id")

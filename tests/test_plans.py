@@ -1051,3 +1051,63 @@ def test_capped_fold_plan_shape(spark):
     assert "FlatMapGroupsInPandas" in plan, plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
     assert pushed and "event_type" in pushed[0], pushed
+
+
+def test_funnel_paths_top20_take_ordered(spark):
+    """The top-20 path report must plan TakeOrderedAndProject over the
+    alphabet-bounded path counts, never a global sort."""
+    plan = _plan(spark, "q_funnel_paths")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_retention_cohorts_week0_broadcasts(spark):
+    """The week-0 cohort-size join is a tiny side — must broadcast, and the
+    cell aggregates must map-side combine (partial + final)."""
+    plan = _plan(spark, "q_retention_cohorts")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_tscv_splits_single_event_scan(spark):
+    """The banding plan touches events for the bounds agg and one banding
+    scan — the per-split counts must come from the tiny band histogram,
+    never from a per-split re-scan of events (parquet scans of events stay
+    at 2 regardless of the split count)."""
+    plan = _plan(spark, "q_tscv_splits")
+    n_event_scans = plan.count("events.parquet")
+    assert n_event_scans <= 2, f"{n_event_scans} event scans\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_pr_auc_compresses_before_window(spark):
+    """The cumulative window must run over the distinct-score domain: a
+    partial+final HashAggregate pair appears BELOW the Window node (the
+    q_auc_roc shape), and the scan reads only the two referenced columns."""
+    plan = _plan(spark, "q_pr_auc")
+    assert plan.count("HashAggregate") >= 2, plan
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "value" in schema_line and "event_type" in schema_line
+    assert "user_id" not in schema_line, schema_line
+
+
+def test_brier_score_broadcasts_max(spark):
+    """The 1-row max aggregate joins the scan via broadcast — the data
+    pass must not shuffle on any key."""
+    plan = _plan(spark, "q_brier_score")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_scd2_single_user_shuffle(spark):
+    """Both windows and the run aggregate cluster by user_id: the plan
+    needs exactly ONE exchange (hashpartitioning on user_id, of raw event
+    rows); the islands agg and the lead() stitching must reuse that
+    partitioning rather than re-shuffle."""
+    plan = _plan(spark, "q_scd2_intervals")
+    tree_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange (" in ln  # formatted-plan tree nodes
+    ]
+    assert len(tree_exchanges) == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema:" in ln]
+    assert all("props" not in ln for ln in scan_lines), scan_lines
