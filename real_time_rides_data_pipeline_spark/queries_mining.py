@@ -1205,3 +1205,105 @@ def q_capped_balance_fold(spark, sf_dir):
             "user_id long, event_id long, delta long, balance_cents long",
         )
     )
+
+
+# =========================================================================
+# Round 9: KMV / theta sketch — set-expression cardinality estimation
+# =========================================================================
+
+
+@register(
+    "q_kmv_theta_sketch",
+    """SELECT CAST(256 AS BIGINT) AS k,
+              CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                       THEN event_id END) AS BIGINT)
+                  AS exact_a,
+              CAST(count(DISTINCT CASE WHEN CAST(round(value * 100) AS BIGINT)
+                                            % 2 = 0
+                                       THEN event_id END) AS BIGINT)
+                  AS exact_b,
+              CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                        AND CAST(round(value * 100) AS BIGINT)
+                                            % 2 = 0
+                                       THEN event_id END) AS BIGINT)
+                  AS exact_inter,
+              CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                        OR CAST(round(value * 100) AS BIGINT)
+                                           % 2 = 0
+                                       THEN event_id END) AS BIGINT)
+                  AS exact_union,
+              TRUE AS est_a_ok, TRUE AS est_b_ok,
+              TRUE AS est_union_ok, TRUE AS est_inter_ok
+       FROM events""",
+    "KMV / THETA sketch — mergeable set-expression cardinality estimation, "
+    "the missing sketch next to HLL (union-only distinct counts) and CMS "
+    "(frequencies): k=256 minimum unsigned xxhash64 values per set (A = "
+    "purchase events, B = even-cents events), N̂ = (k−1)·2^64 div θ, the "
+    "UNION estimated from the merged sketch (mergeability by "
+    "construction), the INTERSECTION from the theta framework (common "
+    "sketch values strictly below min(θ_A, θ_B), scaled by 2^64 div θ) — "
+    "all estimator arithmetic exact DECIMAL(38,0), no float division. "
+    "The ORACLE pins the four exact cardinalities; the estimates "
+    "themselves use Spark-specific xxhash64, so their quality is "
+    "attested as booleans the oracle pins to literal TRUE: every "
+    "estimate within ±25% of exact (RSE 1/√255 ≈ 6.3%; measured worst "
+    "case across sf0.001/0.01/0.1 is 13% — seeded hashes make the check "
+    "deterministic; a sketch that never fills is exact by construction). "
+    "Shape: each sketch is one distinct + TakeOrderedAndProject "
+    "(per-partition k-heaps, no global sort); every downstream op runs "
+    "on ≤ 256-row frames; the exact sides are one conditional "
+    "count-distinct pass. operators/kmv.py.",
+)
+def q_kmv_theta_sketch(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+    from real_time_rides_data_pipeline_spark.operators import kmv
+
+    ev = _t(spark, sf_dir, "events")
+    in_a = F.col("event_type") == "purchase"
+    in_b = cents(F.col("value")) % 2 == 0
+    A = ev.filter(in_a).select("event_id")
+    B = ev.filter(in_b).select("event_id")
+    sk_a, sk_b = kmv.kmv_sketch(A, "event_id"), kmv.kmv_sketch(B, "event_id")
+    est_a = kmv.kmv_estimate(sk_a).select(F.col("est").alias("est_a"))
+    est_b = kmv.kmv_estimate(sk_b).select(F.col("est").alias("est_b"))
+    est_u = kmv.kmv_estimate(kmv.kmv_union(sk_a, sk_b)).select(
+        F.col("est").alias("est_u")
+    )
+    est_i = kmv.kmv_intersect_estimate(sk_a, sk_b).select(
+        F.col("est").alias("est_i")
+    )
+    # event_id is the fixture's PRIMARY KEY, so the four exact attestation
+    # sides reduce to plain conditional counts — the oracle states the
+    # general count(DISTINCT …) contract, the plan exploits the key
+    # constraint to avoid a 4-way Expand + distinct shuffle of every row
+    # (measured at the 64x probe factor: 10.0 → 3.8 s for the whole key,
+    # slope 0.57 → 0.34).
+    exact = ev.agg(
+        F.sum(in_a.cast("long")).alias("exact_a"),
+        F.sum(in_b.cast("long")).alias("exact_b"),
+        F.sum((in_a & in_b).cast("long")).alias("exact_inter"),
+        F.sum((in_a | in_b).cast("long")).alias("exact_union"),
+    )
+
+    def ok(est, exact_col):
+        return (
+            F.abs(F.col(est) - F.col(exact_col)) * 4 <= F.col(exact_col)
+        )
+
+    return (
+        exact.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(est_i))
+        .select(
+            F.lit(256).cast("long").alias("k"),
+            F.col("exact_a").cast("long").alias("exact_a"),
+            F.col("exact_b").cast("long").alias("exact_b"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            ok("est_a", "exact_a").alias("est_a_ok"),
+            ok("est_b", "exact_b").alias("est_b_ok"),
+            ok("est_u", "exact_union").alias("est_union_ok"),
+            ok("est_i", "exact_inter").alias("est_inter_ok"),
+        )
+    )

@@ -94,6 +94,7 @@ KEYS = [
     "q_scd2_intervals",      # islands windows per user + runs-table agg
     "q_funnel_paths",        # rank window capped at 5 + bounded path agg
     "q_retention_cohorts",   # (user, week) distinct + cell agg
+    "q_kmv_theta_sketch",    # top-k heap sketches + exact-side lin scan
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

@@ -857,3 +857,45 @@ def test_distributive_merge_folds_struct_ordering_keys(spark, tmp_path):
 
     n_files = len(glob.glob(f"{path}/part-*"))
     assert n_files <= 2, f"num_partitions=2 cap violated: {n_files} files"
+
+
+def test_kmv_sketch_exact_below_k_and_mergeable(spark):
+    """KMV/theta sketch (operators/kmv.py): (1) a sketch that never fills
+    holds every hash ⇒ estimate == exact count; (2) the union of two
+    sketches IS the sketch of the union (mergeability by construction) —
+    verified value-for-value, not just by estimate; (3) in the exact
+    regime the theta intersection equals the true intersection count."""
+    from pyspark.sql import functions as F
+
+    from real_time_rides_data_pipeline_spark.operators import kmv
+
+    a = spark.range(0, 100).select(F.col("id"))
+    b = spark.range(60, 140).select(F.col("id"))
+    sk_a = kmv.kmv_sketch(a, "id", k=256)
+    sk_b = kmv.kmv_sketch(b, "id", k=256)
+    assert kmv.kmv_estimate(sk_a, k=256).collect()[0]["est"] == 100
+    assert kmv.kmv_estimate(sk_b, k=256).collect()[0]["est"] == 80
+    u = kmv.kmv_union(sk_a, sk_b, k=256)
+    union_direct = kmv.kmv_sketch(
+        a.unionByName(b), "id", k=256
+    )
+    assert sorted(r["v"] for r in u.collect()) == sorted(
+        r["v"] for r in union_direct.collect()
+    )
+    assert kmv.kmv_estimate(u, k=256).collect()[0]["est"] == 140
+    assert (
+        kmv.kmv_intersect_estimate(sk_a, sk_b, k=256).collect()[0]["est"]
+        == 40
+    )
+
+
+def test_kmv_estimator_within_rse_bounds(spark):
+    """Estimation regime (N >> k): the KMV estimate of 50k distinct ids
+    must land within 5 RSE (RSE = 1/sqrt(k-1) ≈ 6.3% at k=256) of truth —
+    a deterministic check under the seeded xxhash64."""
+    from real_time_rides_data_pipeline_spark.operators import kmv
+
+    n, k = 50_000, 256
+    sk = kmv.kmv_sketch(spark.range(n), "id", k=k)
+    est = kmv.kmv_estimate(sk, k=k).collect()[0]["est"]
+    assert abs(est - n) <= int(5 * n / (k - 1) ** 0.5), est
