@@ -1307,3 +1307,146 @@ def q_kmv_theta_sketch(spark, sf_dir):
             ok("est_i", "exact_inter").alias("est_inter_ok"),
         )
     )
+
+
+@register(
+    "q_stream_kmv",
+    """SELECT CAST(256 AS BIGINT) AS k,
+              CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                       THEN event_id END) AS BIGINT)
+                  AS exact_a,
+              CAST(count(DISTINCT CASE WHEN CAST(round(value * 100) AS BIGINT)
+                                            % 2 = 0
+                                       THEN event_id END) AS BIGINT)
+                  AS exact_b,
+              CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                        AND CAST(round(value * 100) AS BIGINT)
+                                            % 2 = 0
+                                       THEN event_id END) AS BIGINT)
+                  AS exact_inter,
+              CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                        OR CAST(round(value * 100) AS BIGINT)
+                                           % 2 = 0
+                                       THEN event_id END) AS BIGINT)
+                  AS exact_union,
+              TRUE AS est_a_ok, TRUE AS est_b_ok,
+              TRUE AS est_union_ok, TRUE AS est_inter_ok
+       FROM events""",
+    "STREAMING KMV/theta sketch — the live demonstration that a TOP-K "
+    "STATE (not a per-column monoid) streams through a keyed fold: "
+    "events replay as a REAL 2-micro-batch stream, each batch reduces to "
+    "per-set partial sketches (k smallest distinct unsigned hashes, one "
+    "rank window over the batch), and foreachBatch folds them through "
+    "sinks.merge_topk_parquet (truncated set-union — associative, "
+    "commutative, idempotent, so the folded sketch is BIT-IDENTICAL to "
+    "the batch build; batch_id-idempotent, crash-ordered swap). The "
+    "folded sketches answer to the SAME oracle and ±25% attestations as "
+    "q_kmv_theta_sketch. At 100 TB this is the continuously-maintained "
+    "distinct-cardinality dashboard: per-shard sketches stream in, "
+    "|keys|·k state, set-expression estimates on demand, no rescan.",
+)
+def q_stream_kmv(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+    from real_time_rides_data_pipeline_spark.operators import kmv
+    from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
+    from real_time_rides_data_pipeline_spark.sinks import merge_topk_parquet
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+    from pyspark.sql import Window as W
+
+    K = 256
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    inp = _replay_input(ev, "kmvstream", sf_dir)  # 2 files → 2 batches
+    run_dir = tempfile.mkdtemp(prefix="kmvstream_run_")
+    state, ckpt = f"{run_dir}/sketch", f"{run_dir}/ckpt"
+    writer = scoped_writer_session(spark, shuffle_partitions=4)
+    stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
+
+    def partial_sketches(batch_df):
+        in_a = F.col("event_type") == "purchase"
+        in_b = cents(F.col("value")) % 2 == 0
+        tagged = batch_df.select(
+            F.when(in_a, "a").otherwise(None).alias("ta"),
+            F.when(in_b, "b").otherwise(None).alias("tb"),
+            kmv.unsigned_ordered_hash(F.col("event_id")).alias("v"),
+        )
+        rows = tagged.select(
+            F.explode(
+                F.array_compact(F.array(F.col("ta"), F.col("tb")))
+            ).alias("set_tag"),
+            "v",
+        ).distinct()
+        w = W.partitionBy("set_tag").orderBy("v")
+        return (
+            rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= K)
+            .drop("__rn")
+        )
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_topk_parquet(
+            batch_df.sparkSession,
+            partial_sketches(batch_df),
+            state,
+            keys=("set_tag",),
+            order_col="v",
+            k=K,
+            batch_id=batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    folded = spark.read.parquet(state)
+    sk_a = folded.filter(F.col("set_tag") == "a").select("v")
+    sk_b = folded.filter(F.col("set_tag") == "b").select("v")
+    est_a = kmv.kmv_estimate(sk_a, k=K).select(F.col("est").alias("est_a"))
+    est_b = kmv.kmv_estimate(sk_b, k=K).select(F.col("est").alias("est_b"))
+    est_u = kmv.kmv_estimate(kmv.kmv_union(sk_a, sk_b, k=K), k=K).select(
+        F.col("est").alias("est_u")
+    )
+    est_i = kmv.kmv_intersect_estimate(sk_a, sk_b, k=K).select(
+        F.col("est").alias("est_i")
+    )
+    in_a = F.col("event_type") == "purchase"
+    in_b = cents(F.col("value")) % 2 == 0
+    # event_id is the fixture PK — exact sides as conditional counts (the
+    # q_kmv_theta_sketch argument).
+    exact = ev.agg(
+        F.sum(in_a.cast("long")).alias("exact_a"),
+        F.sum(in_b.cast("long")).alias("exact_b"),
+        F.sum((in_a & in_b).cast("long")).alias("exact_inter"),
+        F.sum((in_a | in_b).cast("long")).alias("exact_union"),
+    )
+
+    def ok(est, exact_col):
+        return F.abs(F.col(est) - F.col(exact_col)) * 4 <= F.col(exact_col)
+
+    return (
+        exact.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(est_i))
+        .select(
+            F.lit(256).cast("long").alias("k"),
+            F.col("exact_a").cast("long").alias("exact_a"),
+            F.col("exact_b").cast("long").alias("exact_b"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            ok("est_a", "exact_a").alias("est_a_ok"),
+            ok("est_b", "exact_b").alias("est_b_ok"),
+            ok("est_u", "exact_union").alias("est_union_ok"),
+            ok("est_i", "exact_inter").alias("est_inter_ok"),
+        )
+    )

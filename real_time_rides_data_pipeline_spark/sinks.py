@@ -408,6 +408,59 @@ def merge_distributive_parquet(
     _commit_with_marker(merged, target_path, batch_id, prior_marker)
 
 
+def merge_topk_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    keys: tuple[str, ...],
+    order_col: str,
+    k: int,
+    descending: bool = False,
+    batch_id: int | None = None,
+) -> None:
+    """Keyed TOP-K state MERGE on plain parquet: per key group, retain the
+    k smallest (or largest) DISTINCT rows by ``order_col`` across all
+    batches — the state fold behind streaming KMV/theta sketches (k
+    minimum hash values per set), streaming leaderboards, and per-key
+    top-k materializations. Truncated set-union is associative,
+    commutative, and idempotent (dropping a value beyond the k-th extreme
+    can never evict a value that belongs in the final k), so any merge
+    order converges to the batch answer bit-for-bit — the same
+    mergeability argument the KMV estimator itself rests on
+    (operators/kmv.py). Idempotence machinery is shared with the other
+    merge sinks: batch_id committed atomically with the data (replayed
+    batches skipped — re-unioning is harmless for a set but the skip
+    keeps the sink contract uniform) and a crash-ordered rename-aside
+    swap. Shape: union + one rank window per key group over state
+    bounded at |keys|·k rows — the state, not the stream, is what gets
+    re-ranked."""
+    from pyspark.sql import Window as W
+
+    _recover_dir(target_path)
+    prior_marker = _read_batch_marker(target_path)
+    if (
+        batch_id is not None
+        and prior_marker is not None
+        and batch_id <= prior_marker
+    ):
+        return  # at-least-once replay of an already-committed batch
+    cols = [*keys, order_col]
+    base = updates.select(*cols)
+    if os.path.exists(target_path):
+        base = spark.read.parquet(target_path).select(*cols).unionByName(base)
+    order = (
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    )
+    w = W.partitionBy(*keys).orderBy(order) if keys else W.orderBy(order)
+    merged = (
+        base.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    _commit_with_marker(merged, target_path, batch_id, prior_marker)
+
+
 def foreach_batch_merge(
     df: DataFrame,
     target_path: str,

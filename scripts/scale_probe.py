@@ -95,6 +95,7 @@ KEYS = [
     "q_funnel_paths",        # rank window capped at 5 + bounded path agg
     "q_retention_cohorts",   # (user, week) distinct + cell agg
     "q_kmv_theta_sketch",    # top-k heap sketches + exact-side lin scan
+    "q_stream_kmv",          # 2-batch stream, top-k set-union state fold
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

@@ -899,3 +899,50 @@ def test_kmv_estimator_within_rse_bounds(spark):
     sk = kmv.kmv_sketch(spark.range(n), "id", k=k)
     est = kmv.kmv_estimate(sk, k=k).collect()[0]["est"]
     assert abs(est - n) <= int(5 * n / (k - 1) ** 0.5), est
+
+
+def test_merge_topk_folds_to_batch_sketch_and_skips_replay(spark, tmp_path):
+    """merge_topk_parquet: folding per-split top-k partials must equal the
+    single-pass top-k BIT-FOR-BIT (truncated set-union mergeability — the
+    q_stream_kmv claim), and a replayed batch_id must be skipped."""
+    from pyspark.sql import functions as F
+
+    from real_time_rides_data_pipeline_spark.sinks import merge_topk_parquet
+
+    rows = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.xxhash64("id").alias("v"),
+    )
+    want = {
+        (r["g"], r["v"])
+        for g in ("0", "1", "2")
+        for r in rows.filter(F.col("g") == g)
+        .orderBy("v")
+        .limit(16)
+        .collect()
+    }
+    path = str(tmp_path / "topk")
+    for i, part in enumerate(
+        (rows.filter("id % 2 = 0"), rows.filter("id % 2 = 1"))
+    ):
+        merge_topk_parquet(
+            spark, part, path, keys=("g",), order_col="v", k=16, batch_id=i
+        )
+    got = {
+        (r["g"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == want
+    # replayed batch 0 (stale id) must be a no-op
+    merge_topk_parquet(
+        spark,
+        rows.filter("id % 2 = 0"),
+        path,
+        keys=("g",),
+        order_col="v",
+        k=16,
+        batch_id=0,
+    )
+    again = {
+        (r["g"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert again == want
