@@ -1557,3 +1557,93 @@ def q_retention_cohorts(spark, sf_dir):
         "n_cohort",
         F.expr("n_users * 1000000 div n_cohort").alias("ret_ppm"),
     )
+
+
+@register(
+    "q_acf_hourly",
+    """WITH s AS (
+         SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY h
+       ), l AS (
+         SELECT k, c,
+                lead(c, k) OVER (PARTITION BY k ORDER BY h) AS ck
+         FROM s CROSS JOIN generate_series(1, 6) AS g(k)
+       ), p AS (
+         SELECT k,
+                CAST(count(ck) AS BIGINT) AS n_pairs,
+                CAST(sum(c * ck) AS BIGINT) AS sxy,
+                CAST(sum(CASE WHEN ck IS NOT NULL THEN c END) AS BIGINT) AS sx,
+                CAST(sum(ck) AS BIGINT) AS sy,
+                CAST(sum(CASE WHEN ck IS NOT NULL THEN c * c END) AS BIGINT)
+                    AS sxx,
+                CAST(sum(ck * ck) AS BIGINT) AS syy
+         FROM l GROUP BY k)
+       SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+              CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_num,
+              CAST(CASE WHEN n_pairs * sxy >= sx * sy THEN 1 ELSE -1 END
+                   * ((n_pairs * sxy - sx * sy) * (n_pairs * sxy - sx * sy)
+                      * 1000000
+                      // ((n_pairs * sxx - sx * sx)
+                          * (n_pairs * syy - sy * sy))) AS BIGINT)
+                  AS corr2_ppm
+       FROM p ORDER BY lag""",
+    "Exact-integer AUTOCORRELATION of the hourly event-count series at "
+    "lags 1–6 — the load-seasonality audit for anything with a clock: "
+    "per lag, the pairwise-covariance numerator n·Σxy − Σx·Σy and the "
+    "SIGNED SQUARED correlation in ppm (corr² = cov²/(varx·vary) is "
+    "rational, so unlike corr itself — whose sqrt is irrational — it is "
+    "exactly computable; the sign rides separately). Over the overlapping "
+    "pairs only, so the moment sums are per-lag (the standard unbiased "
+    "pairwise form). Shape: one hourly hash agg compresses N events to "
+    "the bounded hour domain; the 6 lag series come from lead(c, k) over "
+    "that bounded table (the q_auc_roc small-domain window argument — "
+    "never a window over raw rows); products widen to DECIMAL(38,0) "
+    "where cov² can pass 2^63, quotient ppm ≤ 1e6 lands back in BIGINT.",
+)
+def q_acf_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lags = spark.range(1, 7).select(F.col("id").cast("int").alias("k"))
+    l = s.crossJoin(F.broadcast(lags))
+    w = Window.partitionBy("k").orderBy("h")
+    # lead(c, k) with per-row k: expressible via the max-lag trick — take
+    # all 6 leads once over the bounded hour table and pick the k-th.
+    led = l.select(
+        "k",
+        "c",
+        F.element_at(
+            F.array(*[F.lead("c", i).over(w) for i in range(1, 7)]),
+            F.col("k"),
+        ).alias("ck"),
+    )
+    p = led.groupBy("k").agg(
+        F.count("ck").alias("n_pairs"),
+        F.sum(F.col("c") * F.col("ck")).alias("sxy"),
+        F.sum(F.when(F.col("ck").isNotNull(), F.col("c"))).alias("sx"),
+        F.sum("ck").alias("sy"),
+        F.sum(
+            F.when(F.col("ck").isNotNull(), F.col("c") * F.col("c"))
+        ).alias("sxx"),
+        F.sum(F.col("ck") * F.col("ck")).alias("syy"),
+    )
+    cov = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return p.select(
+        F.col("k").cast("long").alias("lag"),
+        "n_pairs",
+        cov.cast("long").alias("cov_num"),
+        (
+            F.when(cov >= 0, 1).otherwise(-1)
+            * F.expr(
+                "(CAST(n_pairs * sxy - sx * sy AS DECIMAL(38,0))"
+                " * (n_pairs * sxy - sx * sy) * 1000000)"
+                " div (CAST(n_pairs * sxx - sx * sx AS DECIMAL(38,0))"
+                "      * (n_pairs * syy - sy * sy))"
+            )
+        )
+        .cast("long")
+        .alias("corr2_ppm"),
+    ).orderBy("lag")

@@ -1099,3 +1099,77 @@ def q_csv_corrupt_records(spark, sf_dir):
     return parsed.select(kind.alias("kind"), "c").groupBy("kind").agg(
         F.count("*").alias("n_rows"), F.sum("c").alias("sum_cents")
     )
+
+
+# =========================================================================
+# Round 9: Benford first-digit audit
+# =========================================================================
+
+#: floor(1e6 * log10(1 + 1/d)) for d = 1..9 — Benford's law as exact ppm
+#: literals (log10 is irrational; the scaled-floor table is the portable
+#: contract, the q_ndcg_at10 precedent).
+_BENFORD_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991,
+                51152, 45757]
+
+
+@register(
+    "q_benford_audit",
+    f"""WITH d AS (
+         SELECT substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                       1, 1) AS digit_s
+         FROM events WHERE round(value * 100) >= 1
+       ), c AS (
+         SELECT CAST(digit_s AS BIGINT) AS digit,
+                CAST(count(*) AS BIGINT) AS n
+         FROM d GROUP BY digit_s
+       ), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+       SELECT digit, n,
+              CAST(n * 1000000 // total AS BIGINT) AS observed_ppm,
+              CAST(({_BENFORD_PPM})[digit] AS BIGINT) AS benford_ppm,
+              CAST(abs(n * 1000000 // total - ({_BENFORD_PPM})[digit])
+                   AS BIGINT) AS abs_dev_ppm
+       FROM c, t ORDER BY digit""",
+    "BENFORD first-digit audit — the classic numeric-integrity / fraud "
+    "screen a data-quality pipeline runs over money-like measures: the "
+    "leading digit of each positive cents value (extracted as the first "
+    "CHARACTER of the integer's decimal rendering — exact and "
+    "engine-portable, no float log10 anywhere) tallied against Benford's "
+    "expected frequencies, which enter as a LITERAL scaled-ppm table "
+    "(floor(1e6·log10(1+1/d)) — the irrational law reduced to a portable "
+    "integer contract, the q_ndcg_at10 weight-table precedent), with the "
+    "absolute deviation per digit in exact ppm. Shape: pure map digit "
+    "extraction + one 9-group hash agg + a broadcast 1-row total; the "
+    "fixture's 2-dp value distribution is genuinely Benford-shaped, so "
+    "the audit reads as it would in production.",
+)
+def q_benford_audit(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.select(cents(F.col("value")).alias("cts"))
+        .filter(F.col("cts") >= 1)
+        .select(
+            F.substring(F.col("cts").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    benford = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD_PPM]),
+        F.col("digit").cast("int"),
+    ).cast("long")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div total").alias("observed_ppm"),
+            benford.alias("benford_ppm"),
+            F.abs(
+                F.expr("n * 1000000 div total") - benford
+            ).alias("abs_dev_ppm"),
+        )
+        .orderBy("digit")
+    )

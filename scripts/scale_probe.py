@@ -96,6 +96,8 @@ KEYS = [
     "q_retention_cohorts",   # (user, week) distinct + cell agg
     "q_kmv_theta_sketch",    # top-k heap sketches + exact-side lin scan
     "q_stream_kmv",          # 2-batch stream, top-k set-union state fold
+    "q_acf_hourly",          # bounded hour-domain agg + 6-lag lead window
+    "q_benford_audit",       # digit map + 9-group agg + broadcast total
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
