@@ -1450,3 +1450,94 @@ def q_stream_kmv(spark, sf_dir):
             ok("est_i", "exact_inter").alias("est_inter_ok"),
         )
     )
+
+
+@register(
+    "q_stream_leaderboard",
+    """SELECT event_type,
+              CAST(rn AS BIGINT) AS rank,
+              event_id,
+              c AS value_cents
+       FROM (SELECT event_type, event_id,
+                    CAST(round(value * 100) AS BIGINT) AS c,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY round(value * 100) DESC,
+                                                event_id DESC) AS rn
+             FROM events)
+       WHERE rn <= 10""",
+    "STREAMING LEADERBOARD — the descending face of the keyed top-k "
+    "state fold: per event_type, the 10 highest-value events maintained "
+    "across a REAL 2-micro-batch replay through sinks.merge_topk_parquet "
+    "(descending=True). The ordering key packs (cents, event_id) into "
+    "one BIGINT (cents·2^31 + id, ids < 2^31 — the q_ohlc_bars packing "
+    "precedent) so the fold's single order column carries a TOTAL order "
+    "(ties broken by higher event_id) and unpacks losslessly for the "
+    "output. Truncated set-union mergeability makes the folded board "
+    "bit-identical to the batch top-10, so the key answers to the plain "
+    "batch window oracle. Shape: per-batch rank-window partials (≤ "
+    "|types|·10 rows enter the merge), state bounded at |types|·10; the "
+    "read-back rank window runs over that tiny table. At 100 TB this is "
+    "the continuously-maintained leaderboard every ops dashboard wants — "
+    "no rescans, crash-safe, replay-idempotent.",
+)
+def q_stream_leaderboard(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+    from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
+    from real_time_rides_data_pipeline_spark.sinks import merge_topk_parquet
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+    from pyspark.sql import Window as W
+
+    K = 10
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    inp = _replay_input(ev, "lbstream", sf_dir)  # 2 files → 2 batches
+    run_dir = tempfile.mkdtemp(prefix="lbstream_run_")
+    state, ckpt = f"{run_dir}/board", f"{run_dir}/ckpt"
+    writer = scoped_writer_session(spark, shuffle_partitions=4)
+    stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
+
+    def partials(batch_df):
+        packed = cents(F.col("value")) * F.lit(1 << 31) + F.pmod(
+            F.col("event_id"), F.lit(1 << 31)
+        )
+        w = W.partitionBy("event_type").orderBy(F.col("pk").desc())
+        return (
+            batch_df.select("event_type", packed.alias("pk"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= K)
+            .drop("__rn")
+        )
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_topk_parquet(
+            batch_df.sparkSession,
+            partials(batch_df),
+            state,
+            keys=("event_type",),
+            order_col="pk",
+            k=K,
+            descending=True,
+            batch_id=batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    board = spark.read.parquet(state)
+    w = W.partitionBy("event_type").orderBy(F.col("pk").desc())
+    return board.select(
+        "event_type",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.pmod(F.col("pk"), F.lit(1 << 31)).alias("event_id"),
+        F.expr(f"pk div {1 << 31}").alias("value_cents"),
+    )

@@ -98,6 +98,7 @@ KEYS = [
     "q_stream_kmv",          # 2-batch stream, top-k set-union state fold
     "q_acf_hourly",          # bounded hour-domain agg + 6-lag lead window
     "q_benford_audit",       # digit map + 9-group agg + broadcast total
+    "q_stream_leaderboard",  # 2-batch stream, descending top-k state fold
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

@@ -990,3 +990,45 @@ def test_capped_balance_grouped_fold_equals_python_fold(spark, deltas):
         b = min(_CAP_CENTS, max(0, b + x))
         want[i] = b
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=-1000, max_value=1000),  # order value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_splits=st.integers(min_value=1, max_value=3),
+    k=st.integers(min_value=1, max_value=5),
+    descending=st.booleans(),
+)
+def test_merge_topk_any_split_equals_batch(
+    spark, tmp_path_factory, vals, n_splits, k, descending
+):
+    """ALGEBRAIC claim of sinks.merge_topk_parquet (the q_stream_kmv
+    foundation): folding ANY partition of the rows, in any number of
+    batches, must equal the single-pass distinct top-k — truncated
+    set-union is associative/commutative/idempotent regardless of split,
+    k, or direction."""
+    from real_time_rides_data_pipeline_spark.sinks import merge_topk_parquet
+
+    path = str(tmp_path_factory.mktemp("topk") / "state")
+    df = spark.createDataFrame(vals, "g int, v int")
+    for i in range(n_splits):
+        part = df.filter(F.expr(f"pmod(hash(g, v), {n_splits}) = {i}"))
+        merge_topk_parquet(
+            spark, part, path, keys=("g",), order_col="v", k=k,
+            descending=descending, batch_id=i,
+        )
+    got = {
+        (r["g"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    want = set()
+    for g in {g for g, _ in vals}:
+        vs = sorted({v for gg, v in vals if gg == g}, reverse=descending)
+        want |= {(g, v) for v in vs[:k]}
+    assert got == want
