@@ -84,6 +84,21 @@ Third wave (same module):
   which has no window closed form: a grouped-map numpy fold per key,
   pinned against a recursive-CTE oracle — the deliberate counterpart
   proving where ``q_clamped_running_balance``'s identity stops.
+
+Round 9 — the KMV/theta family and the top-k state fold:
+
+- ``q_kmv_theta_sketch`` — mergeable set-expression cardinality
+  estimation (operators/kmv.py): k-minimum-values sketches, exact
+  DECIMAL estimator arithmetic, union via sketch merge, intersection
+  via the theta framework; exact sides oracle-pinned, ±25% accuracy
+  attestations deterministic under the seeded hashes.
+- ``q_stream_kmv`` — the streaming twin through the new
+  ``sinks.merge_topk_parquet`` keyed top-k state fold (truncated
+  set-union monoid; folded sketch bit-identical to the batch build,
+  property-tested against arbitrary batch splits).
+- ``q_stream_leaderboard`` — the descending face of the same fold: a
+  continuously-maintained per-series top-10 board with a packed
+  (cents, id) total-order key, answering to the batch window oracle.
 """
 
 from __future__ import annotations
