@@ -123,13 +123,18 @@ def kmv_intersect_estimate(
         F.min(F.least(F.col("ta"), F.col("tb"))).alias("theta"),
         F.min(both_exact.cast("int")).alias("exact"),
     )
+    # Disjoint sketches: the agg runs over ZERO rows, so theta/exact are
+    # NULL and the scaled estimate would be NULL — the right answer for
+    # an empty retained sample is 0 (coalesce, not a special case join).
     return agg.select(
-        F.when(F.col("exact") == 1, F.col("m"))
-        .otherwise(
-            F.expr(
-                f"CAST(m * CAST({_TWO64} AS DECIMAL(38,0)) div "
-                f"(CAST(theta AS DECIMAL(38,0)) + {_TWO63}) AS BIGINT)"
-            )
+        F.coalesce(
+            F.when(F.col("exact") == 1, F.col("m")).otherwise(
+                F.expr(
+                    f"CAST(m * CAST({_TWO64} AS DECIMAL(38,0)) div "
+                    f"(CAST(theta AS DECIMAL(38,0)) + {_TWO63}) AS BIGINT)"
+                )
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("est")

@@ -946,3 +946,17 @@ def test_merge_topk_folds_to_batch_sketch_and_skips_replay(spark, tmp_path):
         (r["g"], r["v"]) for r in spark.read.parquet(path).collect()
     }
     assert again == want
+
+
+def test_kmv_disjoint_intersection_is_zero(spark):
+    """Disjoint sets retain no common sketch values — the theta
+    intersection estimate must be 0, not NULL (the empty-aggregate
+    coalesce in operators/kmv.py)."""
+    from real_time_rides_data_pipeline_spark.operators import kmv
+
+    a = spark.range(0, 500)
+    b = spark.range(10_000, 10_500)
+    est = kmv.kmv_intersect_estimate(
+        kmv.kmv_sketch(a, "id"), kmv.kmv_sketch(b, "id")
+    ).collect()[0]["est"]
+    assert est == 0
