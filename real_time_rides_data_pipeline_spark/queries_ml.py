@@ -1588,3 +1588,168 @@ def q_tscv_splits(spark, sf_dir):
         "n_train",
         "n_valid",
     ).orderBy("split_id")
+
+
+@register(
+    "q_mcc",
+    f"""WITH scored AS (
+         SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS actual,
+                CASE WHEN {_CM_PRED_SQL} >= 5 THEN 1 ELSE 0 END AS predicted
+         FROM embeddings
+       ), c AS (
+         SELECT CAST(count(*) FILTER (WHERE actual = 1 AND predicted = 1)
+                     AS BIGINT) AS tp,
+                CAST(count(*) FILTER (WHERE actual = 0 AND predicted = 1)
+                     AS BIGINT) AS fp,
+                CAST(count(*) FILTER (WHERE actual = 1 AND predicted = 0)
+                     AS BIGINT) AS fn,
+                CAST(count(*) FILTER (WHERE actual = 0 AND predicted = 0)
+                     AS BIGINT) AS tn
+         FROM scored)
+       SELECT tp, fp, fn, tn,
+              CAST(tp * tn - fp * fn AS BIGINT) AS mcc_num,
+              CAST(CASE WHEN tp * tn >= fp * fn
+                        THEN (tp * tn - fp * fn) * (tp * tn - fp * fn)
+                             * 1000000
+                             // ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+                        ELSE -((tp * tn - fp * fn) * (tp * tn - fp * fn)
+                               * 1000000
+                               // ((tp + fp) * (tp + fn) * (tn + fp)
+                                   * (tn + fn)))
+                   END AS BIGINT) AS mcc2_ppm
+       FROM c""",
+    "Matthews correlation coefficient for the binarized classifier "
+    "(label/prediction ≥ 5, the _CM_PRED_SQL predictor — same "
+    "contingency source as q_confusion_matrix/q_cohens_kappa, completing "
+    "the agreement-metric trio): MCC's denominator is a square root, so "
+    "the key emits the exact numerator plus the SIGNED SQUARED MCC in "
+    "ppm (mcc² = num²/den² is rational — the q_acf_hourly corr² "
+    "precedent; the sign rides on num; the raw den² — an N⁴-scaled "
+    "product — is deliberately NOT a column, it would wrap BIGINT near "
+    "2e5 rows). One 4-cell conditional-count aggregate of N rows, "
+    "everything after is scalar arithmetic on DECIMAL(38,0) operands "
+    "(num²·1e6 passes 2^63 at ~9e4 rows per class — probe-measured: the "
+    "f8 replication factor threw ANSI overflow before the widening "
+    "landed), with the ≤1e6 ppm quotient back in BIGINT: exact headroom "
+    "to ~1e8 rows per class, loud ANSI failure past it, never a silent "
+    "wrap.",
+)
+def q_mcc(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    h = F.pmod(F.pmod(F.col("vec_id"), 97) * F.lit(_KNUTH % 97), F.lit(97))
+    pred10 = F.pmod(
+        F.col("label") + F.when(h < 10, 1).otherwise(0), F.lit(10)
+    )
+    actual = (F.col("label") >= 5).cast("long")
+    predicted = (pred10 >= 5).cast("long")
+    c = emb.select(actual.alias("a"), predicted.alias("p")).agg(
+        F.sum(((F.col("a") == 1) & (F.col("p") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("a") == 0) & (F.col("p") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("a") == 1) & (F.col("p") == 0)).cast("long")).alias("fn"),
+        F.sum(((F.col("a") == 0) & (F.col("p") == 0)).cast("long")).alias("tn"),
+    )
+    num = F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")
+    mcc2 = F.expr(
+        "(CAST(tp * tn - fp * fn AS DECIMAL(38,0))"
+        " * (tp * tn - fp * fn) * 1000000)"
+        " div (CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"
+        "      * (tn + fp) * (tn + fn))"
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        num.cast("long").alias("mcc_num"),
+        F.when(num >= 0, mcc2).otherwise(-mcc2).cast("long").alias("mcc2_ppm"),
+    )
+
+
+@register(
+    "q_cv_ols",
+    """WITH a AS (
+         SELECT event_type,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 5 AS fold,
+                CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+                CAST(round(value * 100) AS BIGINT) AS y
+         FROM events
+       ), m AS (
+         SELECT event_type, fold,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(x * y) AS BIGINT) AS sxy
+         FROM a GROUP BY event_type, fold
+       ), t AS (
+         SELECT event_type,
+                CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
+                CAST(sum(sy) AS BIGINT) AS tsy,
+                CAST(sum(sxx) AS BIGINT) AS tsxx,
+                CAST(sum(sxy) AS BIGINT) AS tsxy
+         FROM m GROUP BY event_type)
+       SELECT m.event_type, CAST(m.fold AS BIGINT) AS fold,
+              CAST(t.tn - m.n AS BIGINT) AS n_train,
+              CAST((t.tn - m.n) * (t.tsxy - m.sxy)
+                   - (t.tsx - m.sx) * (t.tsy - m.sy) AS BIGINT) AS slope_num,
+              CAST((t.tn - m.n) * (t.tsxx - m.sxx)
+                   - (t.tsx - m.sx) * (t.tsx - m.sx) AS BIGINT) AS slope_den,
+              CAST((t.tsy - m.sy) * (t.tsxx - m.sxx)
+                   - (t.tsx - m.sx) * (t.tsxy - m.sxy) AS BIGINT) AS icept_num
+       FROM m JOIN t USING (event_type)""",
+    "CROSS-VALIDATED OLS — the leave-one-fold-out model-stability report "
+    "that ties the round-9 eval family together: folds come from the "
+    "leakage-free group assignment (q_group_kfold's portable md5 rule), "
+    "moments from q_linreg_fit's exact integer sufficient statistics, "
+    "and the per-fold TRAINING fit needs NO second data pass because "
+    "moments are ADDITIVE — train(fold f) = totals − fold_f, the same "
+    "mergeability that powers q_stream_linreg, here run in reverse "
+    "(subtraction is the monoid's inverse). Output: the exact BIGINT "
+    "rational fit (slope_num/slope_den, icept_num/slope_den) a caller "
+    "compares across folds for stability. Shape: ONE keyed moment "
+    "aggregate over N rows (map-side combined), a ≤|types|·5-row "
+    "totals re-agg, and a tiny broadcast join — 5-fold CV at the cost "
+    "of a single scan.",
+)
+def q_cv_ols(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    fold = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(5),
+    ).cast("long")
+    a = ev.select(
+        "event_type",
+        fold.alias("fold"),
+        F.hour("ts").cast("long").alias("x"),
+        cents(F.col("value")).alias("y"),
+    )
+    m = a.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    t = m.groupBy("event_type").agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    j = m.join(F.broadcast(t), "event_type")
+    rn = F.col("tn") - F.col("n")
+    rsx = F.col("tsx") - F.col("sx")
+    rsy = F.col("tsy") - F.col("sy")
+    rsxx = F.col("tsxx") - F.col("sxx")
+    rsxy = F.col("tsxy") - F.col("sxy")
+    return j.select(
+        "event_type",
+        "fold",
+        rn.cast("long").alias("n_train"),
+        (rn * rsxy - rsx * rsy).cast("long").alias("slope_num"),
+        (rn * rsxx - rsx * rsx).cast("long").alias("slope_den"),
+        (rsy * rsxx - rsx * rsxy).cast("long").alias("icept_num"),
+    )

@@ -110,6 +110,7 @@ def check_priority() -> tuple[str, ...]:
         "q_tscv_splits", "q_scd2_intervals", "q_funnel_paths",
         "q_retention_cohorts", "q_kmv_theta_sketch", "q_stream_kmv",
         "q_acf_hourly", "q_benford_audit", "q_stream_leaderboard",
+        "q_mcc", "q_cv_ols",
     )
 
 

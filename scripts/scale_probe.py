@@ -99,6 +99,8 @@ KEYS = [
     "q_acf_hourly",          # bounded hour-domain agg + 6-lag lead window
     "q_benford_audit",       # digit map + 9-group agg + broadcast total
     "q_stream_leaderboard",  # 2-batch stream, descending top-k state fold
+    "q_mcc",                 # 4-cell conditional-count agg + scalar math
+    "q_cv_ols",              # keyed moment agg + LOFO subtraction join
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

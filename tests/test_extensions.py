@@ -960,3 +960,26 @@ def test_kmv_disjoint_intersection_is_zero(spark):
         kmv.kmv_sketch(a, "id"), kmv.kmv_sketch(b, "id")
     ).collect()[0]["est"]
     assert est == 0
+
+
+def test_scoped_writer_session_isolates_conf(spark):
+    """session.scoped_writer_session: the clone must carry the parent's
+    determinism confs (runtime-set nanosAsLong included), pin its own
+    shuffle width, and NEVER leak that width back to the parent."""
+    from real_time_rides_data_pipeline_spark.session import (
+        scoped_writer_session,
+    )
+
+    parent_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    clone = scoped_writer_session(spark, shuffle_partitions=7)
+    assert clone.conf.get("spark.sql.shuffle.partitions") == "7"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parent_width
+    assert clone.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert clone.conf.get("spark.sql.session.timeZone") == spark.conf.get(
+        "spark.sql.session.timeZone"
+    )
+    # shared context, isolated SQLConf — a further set on the clone must
+    # not appear on the parent either
+    clone.conf.set("spark.sql.shuffle.partitions", "3")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parent_width
