@@ -84,6 +84,12 @@ Round 9 completes the eval family:
   assignment (portable md5 bucketing) + per-fold balance report.
 - ``q_tscv_splits`` — expanding-window time-series CV boundaries and
   train/valid counts from a single banding scan + 5-row histogram.
+- ``q_mcc`` — signed squared Matthews correlation in exact ppm over the
+  binarized contingency table (DECIMAL-widened scalar math; the probe's
+  f8 factor caught the BIGINT draft with a loud ANSI overflow).
+- ``q_cv_ols`` — leave-one-fold-out OLS: group-k-fold assignment +
+  additive moments run in reverse (train = totals − fold), 5-fold CV
+  fits from ONE data scan.
 """
 
 from __future__ import annotations
