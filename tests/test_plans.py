@@ -1111,3 +1111,54 @@ def test_scd2_single_user_shuffle(spark):
     assert "hashpartitioning(user_id" in plan, plan
     scan_lines = [ln for ln in plan.splitlines() if "ReadSchema:" in ln]
     assert all("props" not in ln for ln in scan_lines), scan_lines
+
+
+def test_kmv_sketch_plans_take_ordered(spark):
+    """Each KMV sketch build must plan TakeOrderedAndProject (per-
+    partition k-heaps) over the distinct hashes — never a global sort."""
+    plan = _plan(spark, "q_kmv_theta_sketch")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_cv_ols_single_scan_broadcast_totals(spark):
+    """5-fold CV from ONE moment pass: the moments frame feeds both the
+    totals re-agg and the LOFO join, and at EXECUTION the duplicated
+    subtree resolves to a ReusedExchange — events is scanned once (the
+    static plan prints the subtree twice, which is why this asserts on
+    the executed plan; a localCheckpoint pin was A/B'd at the 64x probe
+    factor and bought only noise-level time, 7.5 vs 6.9 s). The totals
+    join back via broadcast."""
+    plan = _plan(spark, "q_cv_ols")
+    assert "BroadcastHashJoin" in plan, plan
+    df = SPECS["q_cv_ols"].fn(spark, SMOKE_SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
+
+def test_mcc_partial_then_final(spark):
+    """The 4-cell contingency aggregate must map-side combine."""
+    plan = _plan(spark, "q_mcc")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_benford_prunes_to_value_column(spark):
+    """The digit audit reads only `value` from events — never the wide
+    schema."""
+    plan = _plan(spark, "q_benford_audit")
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "value" in schema_line
+    assert "props" not in schema_line and "user_id" not in schema_line, (
+        schema_line
+    )
+
+
+def test_acf_window_over_bounded_domain(spark):
+    """The 6-lag lead window must run AFTER the hourly compression: the
+    plan's Window sits above a partial+final HashAggregate pair (hour
+    domain), and events is scanned exactly once."""
+    plan = _plan(spark, "q_acf_hourly")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
