@@ -79,7 +79,7 @@ def _theta_est(theta_frame: DataFrame, k: int) -> DataFrame:
     )
 
 
-def sketch_theta(sk: DataFrame, k: int) -> DataFrame:
+def sketch_theta(sk: DataFrame) -> DataFrame:
     """1-row frame (theta, n_kept) of a sketch frame."""
     return sk.agg(
         F.max("v").alias("theta"), F.count(F.lit(1)).alias("n_kept")
@@ -88,7 +88,7 @@ def sketch_theta(sk: DataFrame, k: int) -> DataFrame:
 
 def kmv_estimate(sk: DataFrame, k: int = 256) -> DataFrame:
     """1-row, 1-column ``est``: the KMV distinct-count estimate."""
-    return _theta_est(sketch_theta(sk, k), k)
+    return _theta_est(sketch_theta(sk), k)
 
 
 def kmv_union(sk_a: DataFrame, sk_b: DataFrame, k: int = 256) -> DataFrame:
@@ -101,12 +101,23 @@ def kmv_intersect_estimate(
     sk_a: DataFrame, sk_b: DataFrame, k: int = 256
 ) -> DataFrame:
     """1-row frame ``est``: theta-framework intersection estimate —
-    |sk_a ∩ sk_b strictly below min(theta_a, theta_b)| * 2^64 div theta_u.
-    Exact when both sketches never filled (theta acts as +inf)."""
-    ta = sketch_theta(sk_a, k).select(
+    |sk_a ∩ sk_b strictly below the effective theta| * 2^64 div theta_u.
+    Exact when both sketches never filled (theta acts as +inf).
+
+    An UNFILLED sketch (n_kept < k) retains EVERY hash of its set, so its
+    theta is effectively +inf — it must not bound the retained sample.
+    The effective theta is therefore the min over FILLED sides only (the
+    standard theta framework); substituting the unfilled side's max
+    retained hash (the pre-round-10 behavior) was still a valid
+    sample/scale pair but shrank the retained sample and inflated
+    variance for no correctness gain. With exactly one side filled the
+    estimate scales by the filled theta alone — still an estimate, since
+    the unfilled side's completeness does not survive intersection with
+    a sampled set."""
+    ta = sketch_theta(sk_a).select(
         F.col("theta").alias("ta"), F.col("n_kept").alias("na")
     )
-    tb = sketch_theta(sk_b, k).select(
+    tb = sketch_theta(sk_b).select(
         F.col("theta").alias("tb"), F.col("n_kept").alias("nb")
     )
     common = (
@@ -115,12 +126,17 @@ def kmv_intersect_estimate(
         .crossJoin(F.broadcast(tb))
     )
     both_exact = (F.col("na") < k) & (F.col("nb") < k)
+    # Effective theta: +inf (max signed long — above every real hash) for
+    # an unfilled side, so only FILLED sketches bound the sample.
+    inf = F.lit(2**63 - 1)
+    eff_ta = F.when(F.col("na") < k, inf).otherwise(F.col("ta"))
+    eff_tb = F.when(F.col("nb") < k, inf).otherwise(F.col("tb"))
     kept = common.filter(
-        both_exact | (F.col("v") < F.least(F.col("ta"), F.col("tb")))
+        both_exact | (F.col("v") < F.least(eff_ta, eff_tb))
     )
     agg = kept.agg(
         F.count(F.lit(1)).alias("m"),
-        F.min(F.least(F.col("ta"), F.col("tb"))).alias("theta"),
+        F.min(F.least(eff_ta, eff_tb)).alias("theta"),
         F.min(both_exact.cast("int")).alias("exact"),
     )
     # Disjoint sketches: the agg runs over ZERO rows, so theta/exact are

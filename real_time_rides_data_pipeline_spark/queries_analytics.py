@@ -1581,9 +1581,9 @@ def q_retention_cohorts(spark, sf_dir):
        SELECT CAST(k AS BIGINT) AS lag, n_pairs,
               CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_num,
               CAST(CASE WHEN n_pairs * sxy >= sx * sy THEN 1 ELSE -1 END
-                   * ((n_pairs * sxy - sx * sy) * (n_pairs * sxy - sx * sy)
-                      * 1000000
-                      // ((n_pairs * sxx - sx * sx)
+                   * (CAST(n_pairs * sxy - sx * sy AS HUGEINT)
+                      * (n_pairs * sxy - sx * sy) * 1000000
+                      // (CAST(n_pairs * sxx - sx * sx AS HUGEINT)
                           * (n_pairs * syy - sy * sy))) AS BIGINT)
                   AS corr2_ppm
        FROM p ORDER BY lag""",

@@ -1490,8 +1490,9 @@ def q_stream_kmv(spark, sf_dir):
     "state fold: per event_type, the 10 highest-value events maintained "
     "across a REAL 2-micro-batch replay through sinks.merge_topk_parquet "
     "(descending=True). The ordering key packs (cents, event_id) into "
-    "one BIGINT (cents·2^31 + id, ids < 2^31 — the q_ohlc_bars packing "
-    "precedent) so the fold's single order column carries a TOTAL order "
+    "one BIGINT (cents·2^31 + id; id ∈ [0, 2^31) and cents ≥ 0 enforced "
+    "in-plan via raise_error — the q_ohlc_bars packing precedent) so the "
+    "fold's single order column carries a TOTAL order "
     "(ties broken by higher event_id) and unpacks losslessly for the "
     "output. Truncated set-union mergeability makes the folded board "
     "bit-identical to the batch top-10, so the key answers to the plain "
@@ -1519,9 +1520,33 @@ def q_stream_leaderboard(spark, sf_dir):
     stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
 
     def partials(batch_df):
-        packed = cents(F.col("value")) * F.lit(1 << 31) + F.pmod(
-            F.col("event_id"), F.lit(1 << 31)
+        # Packing preconditions enforced IN the plan (the _packed_bar_order
+        # precedent): event_id must fit 31 bits (a wider id would wrap via
+        # pmod — wrong tie-break AND wrong unpacked id), and cents must be
+        # non-negative (`pk div 2^31` truncates toward zero, but the pack
+        # requires floor — negative cents would mis-unpack). Loud failure,
+        # never a silent wrap.
+        guarded_id = F.when(
+            (F.col("event_id") >= 0) & (F.col("event_id") < (1 << 31)),
+            F.col("event_id"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "packed leaderboard key needs event_id in [0, 2^31); "
+                    "use a struct (cents, event_id) ordering key instead"
+                )
+            ).cast("long")
         )
+        c = cents(F.col("value"))
+        guarded_c = F.when(c >= 0, c).otherwise(
+            F.raise_error(
+                F.lit(
+                    "packed leaderboard key needs non-negative cents: "
+                    "pk div 2^31 truncates toward zero, the pack needs floor"
+                )
+            ).cast("long")
+        )
+        packed = guarded_c * F.lit(1 << 31) + guarded_id
         w = W.partitionBy("event_type").orderBy(F.col("pk").desc())
         return (
             batch_df.select("event_type", packed.alias("pk"))

@@ -1615,13 +1615,14 @@ def q_tscv_splits(spark, sf_dir):
        SELECT tp, fp, fn, tn,
               CAST(tp * tn - fp * fn AS BIGINT) AS mcc_num,
               CAST(CASE WHEN tp * tn >= fp * fn
-                        THEN (tp * tn - fp * fn) * (tp * tn - fp * fn)
-                             * 1000000
-                             // ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
-                        ELSE -((tp * tn - fp * fn) * (tp * tn - fp * fn)
-                               * 1000000
-                               // ((tp + fp) * (tp + fn) * (tn + fp)
-                                   * (tn + fn)))
+                        THEN CAST(tp * tn - fp * fn AS HUGEINT)
+                             * (tp * tn - fp * fn) * 1000000
+                             // (CAST(tp + fp AS HUGEINT) * (tp + fn)
+                                 * (tn + fp) * (tn + fn))
+                        ELSE -(CAST(tp * tn - fp * fn AS HUGEINT)
+                               * (tp * tn - fp * fn) * 1000000
+                               // (CAST(tp + fp AS HUGEINT) * (tp + fn)
+                                   * (tn + fp) * (tn + fn)))
                    END AS BIGINT) AS mcc2_ppm
        FROM c""",
     "Matthews correlation coefficient for the binarized classifier "

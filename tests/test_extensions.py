@@ -962,6 +962,39 @@ def test_kmv_disjoint_intersection_is_zero(spark):
     assert est == 0
 
 
+def test_kmv_mixed_regime_unfilled_theta_is_inf(spark):
+    """MIXED regime (exactly one sketch filled, round-10 ADVICE fix): the
+    unfilled side retains EVERY hash of its set, so its theta must act as
+    +inf — only the FILLED side's theta bounds the retained sample. The
+    estimate must equal the definition recomputed from the collected
+    sketches: |sk_a ∩ sk_b below theta_filled| * 2^64 div theta_u, and the
+    retained sample must be every common value below the filled theta (the
+    pre-fix min(ta, tb) bound dropped common values between the two
+    thetas)."""
+    from real_time_rides_data_pipeline_spark.operators import kmv
+
+    k = 64
+    big = spark.range(0, 5_000)     # fills at k=64
+    small = spark.range(0, 40)      # unfilled: subset of big, 40 < k
+    sk_big = kmv.kmv_sketch(big, "id", k=k)
+    sk_small = kmv.kmv_sketch(small, "id", k=k)
+    vb = sorted(r["v"] for r in sk_big.collect())
+    vs = sorted(r["v"] for r in sk_small.collect())
+    assert len(vb) == k and len(vs) == 40
+    theta = vb[-1]
+    m = len({v for v in vs if v in set(vb) and v < theta})
+    want = m * 2**64 // (theta + 2**63)
+    got = kmv.kmv_intersect_estimate(sk_small, sk_big, k=k).collect()[0][
+        "est"
+    ]
+    assert got == want, (got, want, m)
+    # and symmetric
+    got_rev = kmv.kmv_intersect_estimate(sk_big, sk_small, k=k).collect()[
+        0
+    ]["est"]
+    assert got_rev == want
+
+
 def test_scoped_writer_session_isolates_conf(spark):
     """session.scoped_writer_session: the clone must carry the parent's
     determinism confs (runtime-set nanosAsLong included), pin its own
