@@ -51,67 +51,74 @@ def registry() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+def _last_checked_rounds() -> dict[str, int]:
+    """Per-key latest driver-check round, read from the committed
+    ``CORRECTNESS_r{NN}.json`` files at the repo root. A key appearing in
+    round NN's file was in that round's 50-key window; the max round per
+    key is its freshness. A check that recorded an error or a mismatch
+    does NOT count as checked — such a key must re-enter the window head.
+    Missing/unreadable files degrade to "never checked" (registration
+    order), never to an exception: the rotation is an ordering hint, not
+    a correctness dependency."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    last: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(p.stem.split("_r")[-1])
+            data = json.loads(p.read_text())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for key, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            err = rec.get("err")
+            green = (
+                rec.get("rows_match") and rec.get("schema_match")
+                and rec.get("hash_match")
+            ) or err == "no_oracle"
+            if err not in (None, "no_oracle") or not green:
+                continue  # failed check → treat as never-checked
+            last[key] = max(last.get(key, 0), rnd)
+    return last
+
+
 def check_priority() -> tuple[str, ...]:
-    """Driver-verification priority: the round driver oracle-checks only the
-    FIRST 50 keys of ``__spark_entry__.queries()``. Board state entering
-    round 9 (CORRECTNESS_r01-r08 union): 243 keys registered, 221 checked
-    at least once, ALL 50 round-8 window keys fully green; staleness
-    50@r8 / 50@r7 / 48@r6 / 41@r5 / 32@r4; the 22 keys registered during
-    round 8 have never been driver-checked (all locally oracle-green in
-    the pytest harness at sf0.01). Round 9 priority = (a) the 22
-    never-checked round-8 keys, in registration order — never-checked
-    outranks stale greens, (b) the first 28 of the 32 r4-stale keys
-    (registration order), filling the window to exactly 50. Section (c)
-    holds the 4 r4-stale keys that roll past the window, then the 41
-    r5-stale keys — together the head of the round-10 cohort. Keys not
-    listed keep registration order afterwards. New round-9 registrations
-    are appended to section (d) at the END of this tuple as they land so
-    round 10 can promote them."""
-    return (
-        # (a) registered in round 8, never driver-checked
-        "q_linreg_fit", "q_auc_roc", "q_confusion_matrix", "q_score_lift",
-        "q_rolling_median", "q_grid_join_radius", "q_feature_hash",
-        "q_knn_classify", "q_pca_project", "q_target_encode",
-        "q_calibration_bins", "q_retrieval_mrr", "q_ldiversity",
-        "q_dedup_report", "q_bpe_train", "q_stream_linreg",
-        "q_ohlc_bars", "q_rfm_segments", "q_stream_ohlc",
-        "q_kafka_frame_parse", "q_time_to_convert",
-        "q_csv_corrupt_records",
-        # (b) r4-stale keys, registration order — 28 slots fill the
-        # window to exactly 50
-        "q_gold_point_lookup", "q_topn", "q_row_number", "q_join_inner",
-        "q_join_left", "q_join_semi", "q_join_anti", "q_join_multiway",
-        "q_agg_stats", "q_pipeline_e2e", "q_json_extract", "q_asof_latest",
-        "q_minhash_neardup", "q_multimodal_meta", "q_audio_meta",
-        "q_window_sliding", "q_window_session", "q_set_ops", "q_pivot",
-        "q_tpch_q1", "q_merge_upsert", "q_stateful_running",
-        "q_stream_dim_join", "q_stream_stream_join", "q_top2_per_key",
-        "q_array_agg", "q_salted_join", "q_partition_pruned_scan",
-        # (c) rolls past the round-9 window: the 4 r4-stale remainder,
-        # then the 41 r5-stale keys (driver-check order) — round-10 head
-        "q_hash_sample", "q_map_funcs", "q_array_funcs", "q_resize_meta",
-        "q_exact_dedup", "q_simhash_neardup", "q_cosine_topk",
-        "q_embed_neardup", "q_ann_ivf", "q_text_stats", "q_agg_cube",
-        "q_grouped_normalize", "q_dup_clusters", "q_repetition_score",
-        "q_text_chunk", "q_tpch_q12", "q_stream_stream_join_outer",
-        "q_tfidf_topk", "q_crypto_fingerprint", "q_pii_redact",
-        "q_levenshtein_neardup", "q_stratified_sample", "q_percentile_cont",
-        "q_lsh_hyperplane", "q_posexplode", "q_jsonl_roundtrip",
-        "q_decontaminate", "q_dataset_mix", "q_orc_roundtrip",
-        "q_csv_roundtrip", "q_tpch_q2", "q_variant_json", "q_lateral_topk",
-        "q_url_extract", "q_sequence_pack", "q_dominant_token",
-        "q_zscore_outlier", "q_arrow_bytes", "q_zorder_layout",
-        "q_expectations", "q_paragraph_dedup", "q_incremental_dedup",
-        "q_cume_dist_nth", "q_collated_group", "q_try_arithmetic",
-        # (d) registered in round 9 — never driver-checked; round 10 MUST
-        # promote these to the window head.
-        "q_simhash_est_hamming", "q_ndcg_at10", "q_pr_auc",
-        "q_brier_score", "q_cohens_kappa", "q_group_kfold",
-        "q_tscv_splits", "q_scd2_intervals", "q_funnel_paths",
-        "q_retention_cohorts", "q_kmv_theta_sketch", "q_stream_kmv",
-        "q_acf_hourly", "q_benford_audit", "q_stream_leaderboard",
-        "q_mcc", "q_cv_ols",
+    """Driver-verification priority: the round driver oracle-checks only
+    the FIRST 50 keys of ``__spark_entry__.queries()``.
+
+    ROTATION SLA (round 10, replaces the hand-maintained cohort tuple):
+    the ordering is COMPUTED from the committed ``CORRECTNESS_r*.json``
+    history —
+
+    1. never-driver-checked keys first (this round's registrations and
+       any key whose latest check failed), in registration order —
+       never-checked outranks stale greens;
+    2. then every checked key, stalest round first, registration order
+       within a round.
+
+    Self-maintaining: when the driver commits ``CORRECTNESS_r{N}.json``,
+    the next round's window automatically promotes the freshest debt —
+    no per-round tuple edits, no drift between the docstring and the
+    list. With W=50 checked per round, R new registrations per round and
+    K total keys, every key re-checks within ceil(K/(W-R)) rounds
+    (~7 rounds at K=260, R=10); a key is never more than that stale, and
+    a FAILED check jumps straight back to the window head. Entering
+    round 10 this computes exactly the verdict's prescribed window: the
+    17 never-checked round-9 keys + the 4 r4-stale + 29 of the 41
+    r5-stale (pinned by tests/test_plans.py::test_check_priority_window).
+    """
+    reg_order = list(registry())
+    last = _last_checked_rounds()
+    never = [k for k in reg_order if k not in last]
+    pos = {k: i for i, k in enumerate(reg_order)}
+    checked = sorted(
+        (k for k in reg_order if k in last),
+        key=lambda k: (last[k], pos[k]),
     )
+    return tuple(never + checked)
 
 
 def ordered_registry() -> dict[str, QuerySpec]:

@@ -1162,3 +1162,35 @@ def test_acf_window_over_bounded_domain(spark):
     assert plan.count("events.parquet") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "Window" in plan, plan
+
+
+def test_check_priority_window():
+    """Round-10 rotation SLA (registry.check_priority, now COMPUTED from
+    the committed CORRECTNESS_r*.json history): (1) every never-checked
+    key precedes every checked key; (2) checked keys are stalest-first;
+    (3) the round-10 window (first 50) contains ALL 17 round-9
+    registrations — the verdict's prescribed composition of 17
+    never-checked + 4 r4-stale + 29 r5-stale."""
+    from real_time_rides_data_pipeline_spark.registry import (
+        _last_checked_rounds,
+        check_priority,
+        registry,
+    )
+
+    cp = check_priority()
+    assert sorted(cp) == sorted(registry()), "priority must cover registry"
+    last = _last_checked_rounds()
+    flags = [k in last for k in cp]
+    # never-checked block is a strict prefix
+    assert flags == sorted(flags), "checked key before a never-checked one"
+    rounds = [last[k] for k in cp if k in last]
+    assert rounds == sorted(rounds), "checked keys must be stalest-first"
+    r9_regs = {
+        "q_simhash_est_hamming", "q_ndcg_at10", "q_pr_auc",
+        "q_brier_score", "q_cohens_kappa", "q_group_kfold",
+        "q_tscv_splits", "q_scd2_intervals", "q_funnel_paths",
+        "q_retention_cohorts", "q_kmv_theta_sketch", "q_stream_kmv",
+        "q_acf_hourly", "q_benford_audit", "q_stream_leaderboard",
+        "q_mcc", "q_cv_ols",
+    }
+    assert r9_regs <= set(cp[:50]), sorted(r9_regs - set(cp[:50]))
