@@ -101,15 +101,31 @@ def merge_upsert_parquet(
     rewrites only touched files); semantics here are identical.
     """
     _recover_dir(target_path)
-    if os.path.exists(target_path):
-        target = spark.read.parquet(target_path)
-        keep = target.join(updates.select(*keys).distinct(), list(keys), "left_anti")
-        merged = keep.unionByName(updates)
-    else:
-        merged = updates
-    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    _swap_dir(tmp, target_path)
+    # ``updates`` feeds TWO plan legs (the anti-join's key side and the
+    # union) — without pinning, each leg re-executes the whole upstream
+    # subtree. Inside foreachBatch that subtree can be a stateful
+    # Python fold (applyInPandasWithState) or a windowed agg with state
+    # stores: re-execution doubles the dominant cost of the micro-batch
+    # (A/B on q_stateful_running's shape at sf0.1: ~9-11 s → ~4-5 s per
+    # invocation with the pin). Skip when the caller already pinned.
+    pin = not updates.is_cached
+    if pin:
+        updates.persist()
+    try:
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            keep = target.join(
+                updates.select(*keys).distinct(), list(keys), "left_anti"
+            )
+            merged = keep.unionByName(updates)
+        else:
+            merged = updates
+        tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap_dir(tmp, target_path)
+    finally:
+        if pin:
+            updates.unpersist()
 
 
 def _swap_dir(tmp: str, target_path: str) -> None:
@@ -479,9 +495,17 @@ def foreach_batch_merge(
     merge_impl = merge_upsert_delta if HAVE_DELTA else merge_upsert_parquet
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        merge_impl(batch_df.sparkSession, batch_df, target_path, keys)
+        # Pin the batch result across its three references (the isEmpty
+        # probe + the merge's two legs): the frame handed to foreachBatch
+        # re-executes its micro-batch plan — stateful Pandas fold, state
+        # store restore/commit and all — on EVERY action otherwise.
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            merge_impl(batch_df.sparkSession, batch_df, target_path, keys)
+        finally:
+            batch_df.unpersist()
 
     w = (
         df.writeStream.foreachBatch(upsert)
