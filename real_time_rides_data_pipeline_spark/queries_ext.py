@@ -603,7 +603,10 @@ def q_semdedup(spark, sf_dir):
     "broadcast into the plan), probe the 3 nearest clusters, exact top-10 "
     "within them — partition-pruned 3/8 scan. Measured mean recall@10 vs "
     "brute force is ~0.6-0.7 on the fixtures (near-uniform embeddings — "
-    "the worst case for IVF); floor pinned in tests/test_extensions.py.",
+    "the worst case for IVF); floor pinned in tests/test_extensions.py "
+    "AND value-attested by the driver-checked sibling q_ann_recall "
+    "(full-probe exactness, probe monotonicity, recall floor — "
+    "queries_ml.py).",
 )
 def q_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings", parallel=True)

@@ -101,6 +101,11 @@ KEYS = [
     "q_stream_leaderboard",  # 2-batch stream, descending top-k state fold
     "q_mcc",                 # 4-cell conditional-count agg + scalar math
     "q_cv_ols",              # keyed moment agg + LOFO subtraction join
+    # round-10 additions.
+    # q_ann_recall: excluded like q_knn_classify/q_retrieval_mrr/q_ndcg —
+    # the attestation evaluates the FIXED 5% broadcast query set; under
+    # replication |Q| grows with the corpus, which is outside the
+    # operator's contract (large |Q| routes through IVF itself).
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
