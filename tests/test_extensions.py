@@ -1016,3 +1016,22 @@ def test_scoped_writer_session_isolates_conf(spark):
     # not appear on the parent either
     clone.conf.set("spark.sql.shuffle.partitions", "3")
     assert spark.conf.get("spark.sql.shuffle.partitions") == parent_width
+
+
+def test_warehouse_keys_sf01_oracle_parity(spark, duck):
+    """Round-10 de-risk (verdict task 6) for the three round-9 warehouse
+    keys entering their FIRST driver window: ISO-week truncation,
+    interval islands and day//7 offsets are classic cross-engine drift
+    points that only show up when the date range widens — so check oracle
+    parity at sf0.1 (10× the rows and a longer event-time span than the
+    sf0.01 harness gate), not just sf0.01."""
+    from real_time_rides_data_pipeline_spark.queries import registry
+
+    from tests.oracle_harness import compare
+
+    con = duck("/root/testdata/sf0.1")
+    for key in ("q_scd2_intervals", "q_funnel_paths", "q_retention_cohorts"):
+        spec = registry()[key]
+        df = spec.fn(spark, "/root/testdata/sf0.1")
+        problems = compare(df, con, spec.oracle, key)
+        assert not problems, "\n".join(problems)
