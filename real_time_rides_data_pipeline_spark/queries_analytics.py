@@ -1647,3 +1647,288 @@ def q_acf_hourly(spark, sf_dir):
         .cast("long")
         .alias("corr2_ppm"),
     ).orderBy("lag")
+
+
+# =========================================================================
+# Round 10: interval analytics — distributed sweep line
+# =========================================================================
+
+
+@register(
+    "q_max_concurrency",
+    """WITH iv AS (
+         SELECT ts AS s,
+                ts + INTERVAL (1 + event_id % 10) MINUTE AS e,
+                date_trunc('day', ts) AS sd,
+                date_trunc('day', ts + INTERVAL (1 + event_id % 10) MINUTE)
+                    AS ed
+         FROM events
+       ), pieces AS (
+         SELECT sd AS day, s AS t0,
+                CASE WHEN ed > sd THEN ed ELSE e END AS t1
+         FROM iv
+         UNION ALL
+         SELECT ed, ed, e FROM iv WHERE ed > sd AND ed < e
+       ), b AS (
+         SELECT day, t0 AS t, 1 AS delta FROM pieces WHERE t0 < t1
+         UNION ALL
+         SELECT day, t1, -1 FROM pieces WHERE t0 < t1
+       ), r AS (
+         SELECT day, t,
+                sum(delta) OVER (PARTITION BY day ORDER BY t, delta)
+                    AS running
+         FROM b
+       ), m AS (
+         SELECT day, t, running,
+                max(running) OVER (PARTITION BY day) AS mx
+         FROM r)
+       SELECT CAST(day AS TIMESTAMP) AS day,
+              CAST(mx AS BIGINT) AS max_concurrent,
+              min(t) AS first_peak_ts
+       FROM m WHERE running = mx
+       GROUP BY day, mx""",
+    "MAX CONCURRENCY per day — the distributed SWEEP LINE: each event "
+    "opens a half-open interval [ts, ts + (1 + event_id%10) min) (a "
+    "deterministic synthetic duration — the fixture has no end column), "
+    "intervals are SPLIT at day boundaries so each day's sweep is "
+    "self-contained (the standard trick that turns an inherently "
+    "sequential global prefix sum into independent per-partition "
+    "windows; durations are bounded at 10 min so at most one split, and "
+    "the piece filter drops empty [t,t) fragments), then per day: ±1 "
+    "boundary deltas, a cumulative sum ordered by (t, delta) — ends "
+    "before starts at equal instants, the half-open touching rule — and "
+    "the peak plus its FIRST attainment time. The default RANGE window "
+    "frame gives tie groups their settled value on BOTH engines, so no "
+    "arbitrary row tiebreak exists anywhere (fixture ts is µs-grain "
+    "with no duplicates — verified — so the engines' µs/ns orderings "
+    "agree). Shape: one scan → explode to ≤ 2 pieces / 4 boundary rows "
+    "per event, ONE shuffle on day, windows + peak agg all inside the "
+    "day partition; at 100 TB the day key fans the sweep across the "
+    "cluster and no partition ever sees another day's rows.",
+)
+def q_max_concurrency(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("s"),
+        F.expr("timestampadd(MINUTE, 1 + pmod(event_id, 10), ts)").alias(
+            "e"
+        ),
+    ).select(
+        "s",
+        "e",
+        F.date_trunc("day", F.col("s")).alias("sd"),
+        F.date_trunc("day", F.col("e")).alias("ed"),
+    )
+    cross = F.col("ed") > F.col("sd")
+    p1 = F.struct(
+        F.col("sd").alias("day"),
+        F.col("s").alias("t0"),
+        F.when(cross, F.col("ed")).otherwise(F.col("e")).alias("t1"),
+    )
+    p2 = F.when(
+        cross & (F.col("ed") < F.col("e")),
+        F.struct(
+            F.col("ed").alias("day"),
+            F.col("ed").alias("t0"),
+            F.col("e").alias("t1"),
+        ),
+    )
+    pieces = (
+        iv.select(
+            F.explode(F.array_compact(F.array(p1, p2))).alias("p")
+        )
+        .select("p.day", "p.t0", "p.t1")
+        .filter(F.col("t0") < F.col("t1"))
+    )
+    b = pieces.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("t0").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("t1").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("bd"),
+    ).select("day", "bd.t", "bd.delta")
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    r = b.withColumn("running", F.sum("delta").over(w))
+    m = r.withColumn(
+        "mx", F.max("running").over(Window.partitionBy("day"))
+    ).filter(F.col("running") == F.col("mx"))
+    return m.groupBy("day", "mx").agg(
+        F.min("t").alias("first_peak_ts")
+    ).select(
+        "day",
+        F.col("mx").cast("long").alias("max_concurrent"),
+        "first_peak_ts",
+    )
+
+
+@register(
+    "q_cusum_drift",
+    """WITH s AS (
+         SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY h
+       ), tot AS (
+         SELECT CAST(count(*) AS BIGINT) AS nh, CAST(sum(cnt) AS BIGINT) AS t
+         FROM s
+       ), d AS (
+         SELECT h, cnt, cnt * nh - t AS dev FROM s CROSS JOIN tot
+       ), p AS (
+         SELECT h, cnt, dev,
+                sum(dev) OVER (ORDER BY h) AS pre
+         FROM d)
+       SELECT h AS hour, cnt, CAST(dev AS BIGINT) AS dev,
+              CAST(pre - min(pre) OVER (ORDER BY h) AS BIGINT) AS cusum
+       FROM p""",
+    "CUSUM drift LOCALIZATION over the hourly load series — the "
+    "changepoint companion to q_ks_drift (which tests two fixed windows) "
+    "and q_acf_hourly (seasonality): per hour, the one-sided positive "
+    "CUSUM statistic C_h = P_h − min_{j≤h} P_j where P is the running "
+    "sum of the EXACT integer deviations cnt·H − T (scaled by the hour "
+    "count so the mean-centering needs no division and Σdev = 0 "
+    "exactly). The max(0,·) recurrence is the one-sided clamp, provably "
+    "equal to the prefix-minus-running-min CLOSED FORM (the "
+    "q_clamped_balance identity applied to drift detection), so the "
+    "apparently sequential statistic is two stacked windows. Shape: one "
+    "hourly hash agg compresses N events to the bounded hour domain; "
+    "both windows and the 1-row total broadcast run over that bounded "
+    "table (the q_auc_roc small-domain window argument) — never a "
+    "window over raw events.",
+)
+def q_cusum_drift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Totals as whole-frame windows over the COMPRESSED hour table — not
+    # an agg + crossJoin, which would re-execute the hourly aggregation
+    # subtree (Catalyst does not dedupe it) and scan events twice.
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = s.select(
+        "h",
+        "cnt",
+        (
+            F.col("cnt") * F.count(F.lit(1)).over(wall)
+            - F.sum("cnt").over(wall)
+        ).alias("dev"),
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    p = d.withColumn("pre", F.sum("dev").over(w))
+    return p.select(
+        F.col("h").alias("hour"),
+        "cnt",
+        F.col("dev").cast("long").alias("dev"),
+        (F.col("pre") - F.min("pre").over(w)).cast("long").alias("cusum"),
+    )
+
+
+@register(
+    "q_weighted_median",
+    """WITH w AS (
+         SELECT l_returnflag,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wt
+         FROM lineitem GROUP BY l_returnflag, price_c
+       ), c AS (
+         SELECT l_returnflag, price_c, wt,
+                sum(wt) OVER (PARTITION BY l_returnflag
+                              ORDER BY price_c) AS cumw,
+                sum(wt) OVER (PARTITION BY l_returnflag) AS totw
+         FROM w)
+       SELECT l_returnflag,
+              CAST(min(totw) AS BIGINT) AS total_weight,
+              CAST(min(price_c) AS BIGINT) AS median_price_cents
+       FROM c WHERE 2 * cumw >= totw
+       GROUP BY l_returnflag""",
+    "EXACT WEIGHTED MEDIAN per group — the weighted companion to "
+    "q_percentile_cont (unweighted exact percentile) and "
+    "q_decile_bins: the lower weighted median of l_extendedprice "
+    "(integer cents) weighted by l_quantity, i.e. the smallest price "
+    "whose cumulative weight reaches half the group total — the "
+    "quantity-weighted 'typical price' every pricing dashboard wants, "
+    "computed with zero float arithmetic. Shape: the fact table first "
+    "COMPRESSES to the (group, distinct price) domain with summed "
+    "weights (one map-side-combined shuffle; the window never sees raw "
+    "rows — the q_auc_roc distinct-domain argument), then one "
+    "cumulative-sum window per group over that bounded domain and a "
+    "threshold filter + min agg. Ties need no tiebreak: prices are "
+    "distinct after compression and the RANGE-peer semantics of the "
+    "default frame never split equal prices.",
+)
+def q_weighted_median(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        "l_returnflag",
+        cents(F.col("l_extendedprice")).alias("price_c"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("wt")
+    )
+    part = Window.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "price_c",
+        "wt",
+        F.sum("wt").over(part.orderBy("price_c")).alias("cumw"),
+        F.sum("wt").over(part).alias("totw"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("totw").cast("long").alias("total_weight"),
+            F.min("price_c").cast("long").alias("median_price_cents"),
+        )
+    )
+
+
+@register(
+    "q_seasonal_profile",
+    """WITH g AS (
+         SELECT isodow(ts) AS dow, CAST(hour(ts) AS INT) AS hour_of_day,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY dow, hour_of_day
+       )
+       SELECT CAST(dow AS INT) AS dow, hour_of_day, n_events,
+              CAST(n_events * 1000000 // (SELECT sum(n_events) FROM g)
+                   AS BIGINT) AS share_ppm,
+              n_events = max(n_events) OVER (PARTITION BY dow)
+                  AS is_dow_peak
+       FROM g""",
+    "SEASONAL LOAD PROFILE — the day-of-week × hour-of-day heatmap every "
+    "ops dashboard opens with, as exact integers: per (ISO dow, hour) "
+    "cell, the event count, its floored ppm share of the corpus, and a "
+    "peak flag within the weekday (ties all flagged — no arbitrary "
+    "tiebreak). Complements q_acf_hourly (which detects that "
+    "seasonality exists; this shows WHERE it lives). Cross-engine dow "
+    "convention pinned by the builtin pair Spark weekday()+1 ≡ DuckDB "
+    "isodow() (Monday=1..Sunday=7) — never the Sunday-first dayofweek "
+    "trap. Shape: one hash agg compresses N events to ≤ 168 cells; the "
+    "share subquery and peak window run over that constant-size table.",
+)
+def q_seasonal_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        (F.weekday(F.col("ts")) + 1).alias("dow"),
+        F.hour(F.col("ts")).alias("hour_of_day"),
+    ).groupBy("dow", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    # Grand total as a whole-frame window over the ≤168-cell table (an
+    # agg + crossJoin would re-run the cell aggregation and scan events
+    # twice — the q_cusum_drift argument).
+    return g.select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hour_of_day").cast("int").alias("hour_of_day"),
+        "n_events",
+        F.expr(
+            "n_events * 1000000 div (sum(n_events) OVER ())"
+        ).cast("long").alias("share_ppm"),
+        (
+            F.col("n_events")
+            == F.max("n_events").over(Window.partitionBy("dow"))
+        ).alias("is_dow_peak"),
+    )

@@ -1399,3 +1399,88 @@ def q_span_novelty(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents", parallel=True)
     return span_novelty_profile(d, n=8)
+
+
+# =========================================================================
+# Round 10: inverted index build (retrieval-side corpus structure)
+# =========================================================================
+
+
+@register(
+    "q_inverted_index",
+    r"""WITH tok AS (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS term
+         FROM documents
+       ), td AS (
+         SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+         FROM tok GROUP BY term, doc_id
+       ), stats AS (
+         SELECT term, CAST(count(*) AS BIGINT) AS df,
+                CAST(sum(tf) AS BIGINT) AS cf
+         FROM td GROUP BY term
+       ), top AS (
+         SELECT term, doc_id, tf,
+                row_number() OVER (PARTITION BY term
+                                   ORDER BY tf DESC, doc_id) AS rn
+         FROM td
+       ), post AS (
+         SELECT term, list(doc_id || ':' || tf ORDER BY rn) AS postings
+         FROM top WHERE rn <= 8 GROUP BY term
+       )
+       SELECT s.term, s.df, s.cf, p.postings
+       FROM stats s JOIN post p USING (term)
+       ORDER BY s.df DESC, s.term LIMIT 100""",
+    "INVERTED INDEX build — the retrieval-side corpus structure BM25 "
+    "scoring (q_bm25_topk) presupposes but no key materialized: per "
+    "term, document frequency, collection frequency, and the top-8 "
+    "postings as 'doc:tf' strings ordered by (tf DESC, doc_id) — the "
+    "impact-ordered postings truncation real sparse indexes ship "
+    "(Elastic/Lucene impact lists). Deterministic assembly via "
+    "sort_array(collect_list(struct(rn, entry))) — never relying on "
+    "collect_list order. Output = top-100 terms by (df DESC, term), a "
+    "TakeOrderedAndProject. Shape: tokenize (narrow map) → (term, doc) "
+    "hash agg → per-term stats agg + one rank window over the "
+    "COMPRESSED (term, doc) table, equi-join on term — the index build "
+    "is two map-side-combined shuffles at any corpus size; postings "
+    "truncation bounds every group's output at 8.",
+)
+def q_inverted_index(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    td = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    wr = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id")
+    )
+    post = (
+        td.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 8)
+        .groupBy("term")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "rn",
+                            F.concat_ws(
+                                ":", F.col("doc_id"), F.col("tf")
+                            ).alias("entry"),
+                        )
+                    )
+                ),
+                lambda x: x["entry"],
+            ).alias("postings")
+        )
+    )
+    return (
+        stats.join(post, "term")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(100)
+    )

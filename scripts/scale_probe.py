@@ -106,6 +106,11 @@ KEYS = [
     # the attestation evaluates the FIXED 5% broadcast query set; under
     # replication |Q| grows with the corpus, which is outside the
     # operator's contract (large |Q| routes through IVF itself).
+    "q_max_concurrency",     # day-partitioned sweep line (boundary windows)
+    "q_cusum_drift",         # bounded hour-domain compression + 2 windows
+    "q_weighted_median",     # (group, price) compression + cumsum window
+    "q_seasonal_profile",    # 168-cell agg + whole-frame window
+    "q_inverted_index",      # (term, doc) agg + per-term rank window
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

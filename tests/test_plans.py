@@ -1194,3 +1194,55 @@ def test_check_priority_window():
         "q_mcc", "q_cv_ols",
     }
     assert r9_regs <= set(cp[:50]), sorted(r9_regs - set(cp[:50]))
+
+
+def test_max_concurrency_single_scan_day_partitioned(spark):
+    """Sweep line: ONE events scan (pieces and boundaries are generators
+    over it, not self-joins), windows partitioned by day, no cartesian."""
+    plan = _plan(spark, "q_max_concurrency")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    assert "Window" in plan, plan
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "props" not in schema_line and "user_id" not in schema_line, (
+        schema_line
+    )
+
+
+def test_cusum_windows_over_bounded_hour_domain(spark):
+    """Both CUSUM windows must run ABOVE the hourly compression agg: one
+    events scan, a partial+final HashAggregate pair below the Window."""
+    plan = _plan(spark, "q_cusum_drift")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
+
+
+def test_weighted_median_window_after_compression(spark):
+    """The cumulative-weight window must see the (group, distinct price)
+    domain, never raw lineitem rows: HashAggregate pair below Window, and
+    the scan reads only the three needed columns."""
+    plan = _plan(spark, "q_weighted_median")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    for col in ("l_returnflag", "l_extendedprice", "l_quantity"):
+        assert col in schema_line, schema_line
+    assert "l_orderkey" not in schema_line, schema_line
+
+
+def test_inverted_index_take_ordered(spark):
+    """The top-100 term cut must plan TakeOrderedAndProject (per-partition
+    heaps), never a global sort."""
+    plan = _plan(spark, "q_inverted_index")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_seasonal_profile_prunes_to_ts(spark):
+    """The heatmap reads only ts from events."""
+    plan = _plan(spark, "q_seasonal_profile")
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "ts" in schema_line, schema_line
+    assert "props" not in schema_line and "value" not in schema_line, (
+        schema_line
+    )
