@@ -40,6 +40,11 @@ registered):
   dedup → quality cut → deterministic sharding → training manifest).
 - ``q_asof_tolerance`` — as-of join with a staleness tolerance (pandas
   merge_asof(tolerance) semantics), same single-shuffle union-window plan.
+- ``q_delta_varint_audit`` (round 10) — per-series delta + LEB128 byte
+  accounting for the event-time column, exact integers, no log floats.
+- ``q_content_checksum`` (round 10) — order-insensitive per-table content
+  fingerprint (sum of canonicalized row hashes mod 2^63-1 in DECIMAL),
+  the replication-verification primitive.
 """
 
 from __future__ import annotations
@@ -1172,4 +1177,179 @@ def q_benford_audit(spark, sf_dir):
             ).alias("abs_dev_ppm"),
         )
         .orderBy("digit")
+    )
+
+
+# =========================================================================
+# Round 10: storage-encoding audit + replication content checksum
+# =========================================================================
+
+
+@register(
+    "q_delta_varint_audit",
+    """WITH d AS (
+         SELECT user_id,
+                epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS delta
+         FROM events
+       ), b AS (
+         SELECT user_id, delta,
+                CASE WHEN delta IS NULL THEN 8
+                     WHEN delta < 128 THEN 1
+                     WHEN delta < 16384 THEN 2
+                     WHEN delta < 2097152 THEN 3
+                     WHEN delta < 268435456 THEN 4
+                     WHEN delta < 34359738368 THEN 5
+                     WHEN delta < 4398046511104 THEN 6
+                     WHEN delta < 562949953421312 THEN 7
+                     WHEN delta < 72057594037927936 THEN 8
+                     ELSE 9 END AS nbytes
+         FROM d)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) FILTER (WHERE delta IS NULL) AS BIGINT)
+                  AS n_series,
+              CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+              CAST(sum(nbytes) AS BIGINT) AS encoded_bytes,
+              CAST(sum(nbytes) * 1000000 // (count(*) * 8) AS BIGINT)
+                  AS ratio_ppm,
+              CAST(max(delta) AS BIGINT) AS max_delta_us
+       FROM b""",
+    "STORAGE-ENCODING audit — how compressible is the event-time column "
+    "under per-series delta + varint encoding (the parquet "
+    "DELTA_BINARY_PACKED question, answered in exact integers before "
+    "any rewrite): per user, consecutive-event µs deltas (non-negative "
+    "by construction — the series is ordered and fixture timestamps are "
+    "distinct), each costing its exact LEB128 byte count via an integer "
+    "CASE ladder (no log2 floats), series heads costing a full 8-byte "
+    "base. Emits raw vs encoded bytes, the floored ppm ratio, and the "
+    "max gap — the number a layout decision (sort-by-user-then-time at "
+    "write) is made on. Shape: ONE shuffle on user_id for the lag "
+    "window, then a single-row aggregate; the ladder is "
+    "whole-stage-codegen branch arithmetic.",
+)
+def q_delta_varint_audit(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    d = ev.select(
+        (us - F.lag(us).over(w)).alias("delta")
+    )
+    thresholds = [128 << (7 * i) for i in range(8)]  # 2^7 .. 2^56
+    ladder = F.when(F.col("delta").isNull(), 8)
+    for i, t in enumerate(thresholds):
+        ladder = ladder.when(F.col("delta") < t, i + 1)
+    ladder = ladder.otherwise(9)
+    b = d.select("delta", ladder.alias("nbytes"))
+    return b.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("delta").isNull().cast("long")).alias("n_series"),
+        (F.count(F.lit(1)) * 8).alias("raw_bytes"),
+        F.sum("nbytes").cast("long").alias("encoded_bytes"),
+        F.expr(
+            "sum(nbytes) * 1000000 div (count(1) * 8)"
+        ).cast("long").alias("ratio_ppm"),
+        F.max("delta").cast("long").alias("max_delta_us"),
+    )
+
+
+@register(
+    "q_content_checksum",
+    """WITH e AS (
+         SELECT CAST(sum(('0x' || substr(md5(concat_ws('|',
+                  event_id, epoch_us(ts), user_id, event_type,
+                  CAST(round(value * 100) AS BIGINT), props)), 1, 15))
+                  ::BIGINT % 9223372036854775807) AS DECIMAL(38,0)) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events
+       ), l AS (
+         SELECT CAST(sum(('0x' || substr(md5(concat_ws('|',
+                  l_orderkey, l_linenumber,
+                  CAST(round(l_extendedprice * 100) AS BIGINT),
+                  l_returnflag)), 1, 15))
+                  ::BIGINT % 9223372036854775807) AS DECIMAL(38,0)) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem
+       ), d AS (
+         SELECT CAST(sum(('0x' || substr(md5(concat_ws('|',
+                  doc_id, lang, source, md5(text))), 1, 15))
+                  ::BIGINT % 9223372036854775807) AS DECIMAL(38,0)) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM documents)
+       SELECT * FROM (
+         SELECT 'events' AS table_name, n AS n_rows,
+                CAST(s % 9223372036854775807 AS BIGINT) AS checksum
+         FROM e
+         UNION ALL
+         SELECT 'lineitem', n, CAST(s % 9223372036854775807 AS BIGINT)
+         FROM l
+         UNION ALL
+         SELECT 'documents', n, CAST(s % 9223372036854775807 AS BIGINT)
+         FROM d)""",
+    "TABLE CONTENT CHECKSUM — the replication/migration verification "
+    "primitive: an ORDER-INSENSITIVE per-table fingerprint (sum of "
+    "per-row md5-60-bit hashes over canonicalized columns, folded mod "
+    "2^63−1 in exact DECIMAL — commutative, so it parallelizes over any "
+    "partitioning and two sides of a copy can be compared without "
+    "sorting either). Canonicalization rules make it engine-portable: "
+    "timestamps as epoch µs, money as integer cents, text by its own "
+    "md5 (never raw doubles or engine float formatting). Per table: "
+    "row count + checksum; a mismatched pair localizes divergence to a "
+    "table before any row-level diff (q_snapshot_diff) runs. Shape: "
+    "one narrow map + 1-row aggregate per table, rows never move — the "
+    "cheapest possible full-table verification at 100 TB.",
+)
+def q_content_checksum(spark, sf_dir):
+    M = 9223372036854775807  # 2^63 - 1
+
+    def row_hash(*cols):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        ).cast("long")
+        return F.pmod(h, F.lit(M))
+
+    def table_sum(df, name):
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            # Sum in DECIMAL(38,0): a BIGINT sum of ~2^63-sized row hashes
+            # overflows after a handful of rows (ANSI throws — caught by
+            # the smoke test's first run); 38 digits hold ~1e12 rows of
+            # 2^63 terms with headroom.
+            F.expr(
+                f"CAST(sum(CAST(__h AS DECIMAL(38,0))) % {M} AS BIGINT)"
+            ).alias("checksum"),
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        row_hash(
+            F.col("event_id"),
+            F.unix_micros(F.col("ts")),
+            F.col("user_id"),
+            F.col("event_type"),
+            cents(F.col("value")),
+            F.col("props"),
+        ).alias("__h")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        row_hash(
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            cents(F.col("l_extendedprice")),
+            F.col("l_returnflag"),
+        ).alias("__h")
+    )
+    dc = _t(spark, sf_dir, "documents").select(
+        row_hash(
+            F.col("doc_id"),
+            F.col("lang"),
+            F.col("source"),
+            F.md5(F.col("text")),
+        ).alias("__h")
+    )
+    return (
+        table_sum(e, "events")
+        .unionAll(table_sum(li, "lineitem"))
+        .unionAll(table_sum(dc, "documents"))
     )

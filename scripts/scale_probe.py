@@ -111,6 +111,8 @@ KEYS = [
     "q_weighted_median",     # (group, price) compression + cumsum window
     "q_seasonal_profile",    # 168-cell agg + whole-frame window
     "q_inverted_index",      # (term, doc) agg + per-term rank window
+    "q_delta_varint_audit",  # one user_id lag window + 1-row agg
+    "q_content_checksum",    # narrow map + 1-row agg per table
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

@@ -1246,3 +1246,21 @@ def test_seasonal_profile_prunes_to_ts(spark):
     assert "props" not in schema_line and "value" not in schema_line, (
         schema_line
     )
+
+
+def test_delta_varint_single_user_shuffle(spark):
+    """One lag window on user_id, then a 1-row agg: exactly one events
+    scan and no join anywhere."""
+    plan = _plan(spark, "q_delta_varint_audit")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_content_checksum_rows_never_move(spark):
+    """Each table's checksum is a narrow map + partial/final agg — no
+    shuffle wider than the 1-row combines, no sort, no join."""
+    plan = _plan(spark, "q_content_checksum")
+    assert "Join" not in plan and "Sort" not in plan, plan
+    for t in ("events.parquet", "lineitem.parquet", "documents.parquet"):
+        assert plan.count(t) == 1, (t, plan)
