@@ -1932,3 +1932,110 @@ def q_seasonal_profile(spark, sf_dir):
             == F.max("n_events").over(Window.partitionBy("dow"))
         ).alias("is_dow_peak"),
     )
+
+
+# =========================================================================
+# Round 10: geohash spatial indexing (encode + cell rollup)
+# =========================================================================
+
+#: Geohash base32 alphabet (public spec — no i, l, o; 'a' excluded).
+_GEO_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geo_interleave_sql(x: str, y: str, shift_fn: str | None) -> str:
+    """30-term bit interleave (lon bit 14 at bit 29 — the geohash spec's
+    lon-first ordering) as portable integer arithmetic. ``shift_fn``
+    selects the dialect: ``'shiftright'`` (Spark SQL) or None for the
+    ``>>`` operator (DuckDB)."""
+    terms = []
+    for i in range(15):
+        sx = f"shiftright({x}, {i})" if shift_fn else f"({x} >> {i})"
+        sy = f"shiftright({y}, {i})" if shift_fn else f"({y} >> {i})"
+        terms.append(f"({sx} & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"({sy} & 1) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def _geo_b32_sql(code: str, shift_fn: str | None) -> str:
+    """6-char base32 of a 30-bit code via substring of the literal
+    alphabet — identical on both engines."""
+    parts = []
+    for k in range(6):
+        sh = 25 - 5 * k
+        s = (
+            f"shiftright({code}, {sh})" if shift_fn else f"(({code}) >> {sh})"
+        )
+        parts.append(
+            f"substr('{_GEO_ALPHA}', CAST(({s} & 31) AS INT) + 1, 1)"
+        )
+    return " || ".join(parts)
+
+
+_GEO_DUCK = f"""WITH pts AS (
+         SELECT user_id,
+                (user_id * 2654435761) % 180000000 - 90000000 AS lat_u,
+                (event_id * 2654435761) % 360000000 - 180000000 AS lon_u
+         FROM events
+       ), q AS (
+         SELECT user_id,
+                (lon_u + 180000000) * 32768 // 360000000 AS x15,
+                (lat_u + 90000000) * 32768 // 180000000 AS y15
+         FROM pts
+       ), code AS (
+         SELECT user_id, {_geo_interleave_sql('x15', 'y15', None)} AS c
+         FROM q)
+       SELECT {_geo_b32_sql('c', None)} AS geohash6,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM code GROUP BY geohash6
+       ORDER BY n_events DESC, geohash6 LIMIT 50"""
+
+
+@register(
+    "q_geohash_cells",
+    _GEO_DUCK,
+    "GEOHASH spatial indexing — encode + cell rollup, the missing "
+    "spatial-INDEX half next to q_grid_join_radius's spatial JOIN: "
+    "points (deterministic Knuth-hash µdegree coordinates — the fixture "
+    "has no geo columns) quantize to 15-bit lat/lon cells, interleave "
+    "lon-first into the 30-bit geohash code (pure shift/mask integer "
+    "arithmetic, generated ONCE for both engines by the same Python — "
+    "no float trig anywhere), base32-encode to the 6-char cell id, then "
+    "per-cell event/user counts with a top-50 TakeOrderedAndProject "
+    "cut. Why it matters at 100 TB: geohash prefixes are the PARTITION "
+    "KEY for spatial data — a prefix filter prunes directories exactly "
+    "like a date partition, and cell-level rollups are one hash agg. "
+    "Shape: narrow map (the 30-term interleave is whole-stage-codegen "
+    "branch-free bit arithmetic) → one (cell) agg with partial "
+    "count-distinct → top-k heap.",
+)
+def q_geohash_cells(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        (F.pmod(F.col("user_id") * 2654435761, F.lit(180000000)) - 90000000)
+        .alias("lat_u"),
+        (F.pmod(F.col("event_id") * 2654435761, F.lit(360000000)) - 180000000)
+        .alias("lon_u"),
+    )
+    q = pts.select(
+        "user_id",
+        F.expr("(lon_u + 180000000) * 32768 div 360000000").alias("x15"),
+        F.expr("(lat_u + 90000000) * 32768 div 180000000").alias("y15"),
+    )
+    code = q.select(
+        "user_id",
+        F.expr(_geo_interleave_sql("x15", "y15", "shiftright")).alias("c"),
+    )
+    cells = code.select(
+        "user_id", F.expr(_geo_b32_sql("c", "shiftright")).alias("geohash6")
+    )
+    return (
+        cells.groupBy("geohash6")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_events").desc(), "geohash6")
+        .limit(50)
+    )

@@ -1893,3 +1893,123 @@ def q_ann_recall(spark, sf_dir):
             ),
         )
     )
+
+
+# =========================================================================
+# Round 10: t-closeness — the third member of the privacy-gate trio
+# =========================================================================
+
+
+@register(
+    "q_tcloseness",
+    """WITH base AS (
+         SELECT c_nationkey, c_mktsegment,
+                (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+                    AS band,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM customer GROUP BY c_nationkey, c_mktsegment, band
+       ), spine AS (
+         SELECT g.c_nationkey, g.c_mktsegment, b.band,
+                coalesce(x.cnt, 0) AS cnt
+         FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM base) g
+         CROSS JOIN (SELECT DISTINCT band FROM base) b
+         LEFT JOIN base x
+           ON x.c_nationkey = g.c_nationkey
+          AND x.c_mktsegment = g.c_mktsegment
+          AND x.band = b.band
+       ), w AS (
+         SELECT c_nationkey, c_mktsegment, band, cnt,
+                sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                    AS n_group,
+                sum(cnt) OVER (PARTITION BY band) AS g_band,
+                sum(cnt) OVER () AS n_total,
+                count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                    AS m_bands
+         FROM spine
+       ), c AS (
+         SELECT c_nationkey, c_mktsegment, n_group, n_total, m_bands,
+                sum(CAST(cnt AS HUGEINT) * n_total
+                    - CAST(g_band AS HUGEINT) * n_group)
+                  OVER (PARTITION BY c_nationkey, c_mktsegment
+                        ORDER BY band) AS cum
+         FROM w)
+       SELECT c_nationkey, c_mktsegment,
+              CAST(min(n_group) AS BIGINT) AS group_n,
+              CAST(sum(abs(cum)) * 1000000
+                   // ((min(m_bands) - 1) * CAST(min(n_group) AS HUGEINT)
+                       * min(n_total)) AS BIGINT) AS emd_ppm,
+              CAST(sum(abs(cum)) * 1000000
+                   // ((min(m_bands) - 1) * CAST(min(n_group) AS HUGEINT)
+                       * min(n_total)) AS BIGINT) > 250000 AS violates_t25
+       FROM c GROUP BY c_nationkey, c_mktsegment""",
+    "t-CLOSENESS audit (t = 0.25) — the third member of the privacy gate "
+    "next to q_kanon_suppress (group size) and q_ldiversity (distinct "
+    "sensitive values): a group can pass both and still leak by "
+    "DISTRIBUTION SKEW (every member in the top balance band). Per "
+    "(nation, segment) QI group, the Earth Mover's Distance between the "
+    "group's sensitive-value distribution (the l-diversity balance "
+    "bands — an ORDERED domain) and the global one, via the ordered-"
+    "domain identity EMD = Σ|cumulative diffs| / (m−1) (Li, Li, "
+    "Venkatasubramanian 2007), kept EXACT over the common denominator "
+    "n_group·N: cum_i = Σ_{j≤i} (c_j·N − g_j·n_group), emd_ppm = "
+    "⌊1e6·Σ|cum| / ((m−1)·n_group·N)⌋ — integer arithmetic end to end, "
+    "HUGEINT/DECIMAL-widened where the N² products pass 2^63 (the q_mcc "
+    "headroom discipline). Absent (group, band) cells still shift the "
+    "cumulative diffs, so the spine CROSS JOIN materializes them with "
+    "zero counts — |QI|×|bands| rows, domain-bounded. Shape: ONE "
+    "customer scan compresses to per-(QI, band) counts; every window, "
+    "the spine, and the EMD fold run over that compressed table.",
+)
+def q_tcloseness(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    band = F.expr(
+        "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000"
+    )
+    base = cust.groupBy(
+        "c_nationkey", "c_mktsegment", band.alias("band")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = base.localCheckpoint(eager=True)  # tiny (|QI|·|bands| rows);
+    # reused by THREE frames below — without pinning, each reference
+    # re-runs the customer scan + agg (the q_kmv_theta_sketch
+    # ReusedExchange argument does not apply across the distinct/join
+    # boundaries here).
+    groups = base.select("c_nationkey", "c_mktsegment").distinct()
+    bands = base.select("band").distinct()
+    spine = (
+        groups.crossJoin(F.broadcast(bands))
+        .join(base, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "band",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    qi = ["c_nationkey", "c_mktsegment"]
+    w_g = Window.partitionBy(*qi)
+    w_b = Window.partitionBy("band")
+    w_all = Window.partitionBy()
+    w_cum = w_g.orderBy("band")
+    c = spine.select(
+        *qi,
+        F.sum("cnt").over(w_g).alias("n_group"),
+        F.sum("cnt").over(w_all).alias("n_total"),
+        F.count(F.lit(1)).over(w_g).alias("m_bands"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.sum("cnt").over(w_all)
+            - F.sum("cnt").over(w_b).cast("decimal(38,0)")
+            * F.sum("cnt").over(w_g)
+        )
+        .over(w_cum)
+        .alias("cum"),
+    )
+    emd = F.expr(
+        "CAST(sum(abs(cum)) * 1000000 div "
+        "((min(m_bands) - 1) * CAST(min(n_group) AS DECIMAL(38,0)) "
+        " * min(n_total)) AS BIGINT)"
+    )
+    return c.groupBy(*qi).agg(
+        F.min("n_group").cast("long").alias("group_n"),
+        emd.alias("emd_ppm"),
+        (emd > 250000).alias("violates_t25"),
+    )

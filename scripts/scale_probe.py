@@ -113,6 +113,8 @@ KEYS = [
     "q_inverted_index",      # (term, doc) agg + per-term rank window
     "q_delta_varint_audit",  # one user_id lag window + 1-row agg
     "q_content_checksum",    # narrow map + 1-row agg per table
+    "q_tcloseness",          # (QI, band) compression + spine windows
+    "q_geohash_cells",       # bit-arithmetic encode + cell agg + heap
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

@@ -1264,3 +1264,23 @@ def test_content_checksum_rows_never_move(spark):
     assert "Join" not in plan and "Sort" not in plan, plan
     for t in ("events.parquet", "lineitem.parquet", "documents.parquet"):
         assert plan.count(t) == 1, (t, plan)
+
+
+def test_tcloseness_windows_over_compressed_spine(spark):
+    """All EMD windows must run over the (QI, band) compressed table —
+    exactly one customer scan feeds the pinned base."""
+    plan = _plan(spark, "q_tcloseness")
+    # base is localCheckpoint-pinned, so the customer scan appears in the
+    # checkpointed lineage, not the final plan; assert the final plan is
+    # windows + joins over the scanned RDD with no raw customer re-scan
+    assert plan.count("customer.parquet") == 0, plan
+    assert "Window" in plan, plan
+
+
+def test_geohash_take_ordered_and_single_scan(spark):
+    """Encode is a narrow map over one events scan; the top-50 cut plans
+    TakeOrderedAndProject, and count-distinct keeps a partial phase."""
+    plan = _plan(spark, "q_geohash_cells")
+    assert plan.count("events.parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
