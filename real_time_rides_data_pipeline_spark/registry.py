@@ -51,7 +51,7 @@ def registry() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-def _last_checked_rounds() -> dict[str, int]:
+def _last_checked_rounds(root=None) -> dict[str, int]:
     """Per-key latest driver-check round, read from the committed
     ``CORRECTNESS_r{NN}.json`` files at the repo root. A key appearing in
     round NN's file was in that round's 50-key window; the max round per
@@ -59,12 +59,14 @@ def _last_checked_rounds() -> dict[str, int]:
     does NOT count as checked — such a key must re-enter the window head.
     Missing/unreadable files degrade to "never checked" (registration
     order), never to an exception: the rotation is an ordering hint, not
-    a correctness dependency."""
+    a correctness dependency. ``root`` overrides the history directory
+    (unit tests inject synthetic histories)."""
     import json
     from pathlib import Path
 
-    root = Path(__file__).resolve().parent.parent
+    root = Path(root) if root else Path(__file__).resolve().parent.parent
     last: dict[str, int] = {}
+    last_fail: dict[str, int] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rnd = int(p.stem.split("_r")[-1])
@@ -80,9 +82,14 @@ def _last_checked_rounds() -> dict[str, int]:
                 and rec.get("hash_match")
             ) or err == "no_oracle"
             if err not in (None, "no_oracle") or not green:
-                continue  # failed check → treat as never-checked
-            last[key] = max(last.get(key, 0), rnd)
-    return last
+                last_fail[key] = max(last_fail.get(key, 0), rnd)
+            else:
+                last[key] = max(last.get(key, 0), rnd)
+    # A key whose LATEST check failed re-enters the window head: an older
+    # green must not shield a current breakage from re-verification.
+    return {
+        k: r for k, r in last.items() if last_fail.get(k, 0) <= r
+    }
 
 
 def check_priority() -> tuple[str, ...]:

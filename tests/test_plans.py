@@ -1284,3 +1284,41 @@ def test_geohash_take_ordered_and_single_scan(spark):
     assert plan.count("events.parquet") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_last_checked_rounds_failure_reenters_head(tmp_path):
+    """Rotation semantics on synthetic histories: a green check records
+    freshness, a later FAILED check (hash mismatch or a real error)
+    erases it — the key reads as never-checked and re-enters the window
+    head; no_oracle rows-only checks still count as checked; garbage
+    files are ignored."""
+    import json
+
+    from real_time_rides_data_pipeline_spark.registry import (
+        _last_checked_rounds,
+    )
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_green": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+        "q_flaky": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+        "q_rows_only": {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "err": "no_oracle"},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_green": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+        "q_flaky": {"rows_match": True, "schema_match": True,
+                    "hash_match": False, "err": None},
+        "q_error": {"rows_match": None, "schema_match": None,
+                    "hash_match": None, "err": "boom"},
+    }))
+    (tmp_path / "CORRECTNESS_rbad.json").write_text("not json")
+    last = _last_checked_rounds(tmp_path)
+    assert last["q_green"] == 2
+    # the r1 green must NOT shield the r2 failure — latest-check-failed
+    # means never-checked, straight back to the window head
+    assert "q_flaky" not in last
+    assert last["q_rows_only"] == 1      # rows-only counts as checked
+    assert "q_error" not in last         # errored check = never-checked
