@@ -155,3 +155,124 @@ def ks_two_sample(
         F.col("s.dnum").alias("d_num"),
         (-F.col("s.nv")).alias("d_at"),
     )
+
+
+def sweep_max_concurrency(
+    df: DataFrame,
+    start_col: str = "s",
+    end_col: str = "e",
+    unit: str = "day",
+) -> DataFrame:
+    """Distributed SWEEP LINE: per calendar ``unit`` partition, the maximum
+    number of concurrently-open half-open intervals [start, end) and the
+    first instant the peak is attained (round-10; the library form behind
+    ``q_max_concurrency``).
+
+    Scale design: intervals are SPLIT at unit boundaries so every
+    partition's sweep is self-contained — the trick that turns an
+    inherently sequential global prefix sum into independent per-partition
+    windows. Precondition (enforced IN the plan, loud failure): an
+    interval may cross at most ONE unit boundary; longer intervals need a
+    generator-based multi-split, which callers with bounded durations
+    never pay for. Tie semantics: the cumulative sum orders by
+    (t, delta) with ends before starts — the half-open touching rule —
+    and the default RANGE frame gives tie groups their settled value, so
+    no arbitrary row tiebreak exists (deterministic on any engine).
+    """
+    u = unit.upper()
+    sd = F.date_trunc(unit, F.col(start_col))
+    ed = F.date_trunc(unit, F.col(end_col))
+    next_sd = F.expr(
+        f"timestampadd({u}, 1, date_trunc('{unit}', {start_col}))"
+    )
+    checked_ed = F.when(ed <= next_sd, ed).otherwise(
+        F.raise_error(
+            F.lit(
+                f"sweep_max_concurrency: interval crosses more than one "
+                f"{unit} boundary; split it upstream or use a finer unit"
+            )
+        ).cast("timestamp")
+    )
+    iv = df.select(
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+        sd.alias("sd"),
+        checked_ed.alias("ed"),
+    )
+    cross = F.col("ed") > F.col("sd")
+    p1 = F.struct(
+        F.col("sd").alias("day"),
+        F.col("s").alias("t0"),
+        F.when(cross, F.col("ed")).otherwise(F.col("e")).alias("t1"),
+    )
+    p2 = F.when(
+        cross & (F.col("ed") < F.col("e")),
+        F.struct(
+            F.col("ed").alias("day"),
+            F.col("ed").alias("t0"),
+            F.col("e").alias("t1"),
+        ),
+    )
+    pieces = (
+        iv.select(F.explode(F.array_compact(F.array(p1, p2))).alias("p"))
+        .select("p.day", "p.t0", "p.t1")
+        .filter(F.col("t0") < F.col("t1"))
+    )
+    b = pieces.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("t0").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("t1").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("bd"),
+    ).select("day", "bd.t", "bd.delta")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    r = b.withColumn("running", F.sum("delta").over(w))
+    m = r.withColumn(
+        "mx", F.max("running").over(Window.partitionBy("day"))
+    ).filter(F.col("running") == F.col("mx"))
+    return m.groupBy("day", "mx").agg(
+        F.min("t").alias("first_peak_ts")
+    ).select(
+        "day",
+        F.col("mx").cast("long").alias("max_concurrent"),
+        "first_peak_ts",
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """EXACT lower weighted median per group with zero float arithmetic
+    (round-10; the library form behind ``q_weighted_median``): the
+    smallest value whose cumulative weight reaches half the group total.
+    Values and weights must be integer-typed (callers convert money to
+    cents first). Shape: (group, distinct value) compression with summed
+    weights — one map-side-combined shuffle; the cumulative window never
+    sees raw rows — then a threshold filter + min agg."""
+    from pyspark.sql import Window
+
+    w = df.groupBy(
+        *group_cols, F.col(value_col).alias("__v")
+    ).agg(F.sum(weight_col).alias("__w"))
+    part = Window.partitionBy(*group_cols)
+    c = w.select(
+        *group_cols,
+        "__v",
+        F.sum("__w").over(part.orderBy("__v")).alias("__cumw"),
+        F.sum("__w").over(part).alias("__totw"),
+    )
+    return (
+        c.filter(2 * F.col("__cumw") >= F.col("__totw"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__totw").cast("long").alias("total_weight"),
+            F.min("__v").cast("long").alias(f"median_{value_col}"),
+        )
+    )

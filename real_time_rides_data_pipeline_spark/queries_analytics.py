@@ -1707,60 +1707,18 @@ def q_acf_hourly(spark, sf_dir):
     "cluster and no partition ever sees another day's rows.",
 )
 def q_max_concurrency(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.agg import (
+        sweep_max_concurrency,
+    )
+
     ev = _t(spark, sf_dir, "events")
     iv = ev.select(
         F.col("ts").alias("s"),
         F.expr("timestampadd(MINUTE, 1 + pmod(event_id, 10), ts)").alias(
             "e"
         ),
-    ).select(
-        "s",
-        "e",
-        F.date_trunc("day", F.col("s")).alias("sd"),
-        F.date_trunc("day", F.col("e")).alias("ed"),
     )
-    cross = F.col("ed") > F.col("sd")
-    p1 = F.struct(
-        F.col("sd").alias("day"),
-        F.col("s").alias("t0"),
-        F.when(cross, F.col("ed")).otherwise(F.col("e")).alias("t1"),
-    )
-    p2 = F.when(
-        cross & (F.col("ed") < F.col("e")),
-        F.struct(
-            F.col("ed").alias("day"),
-            F.col("ed").alias("t0"),
-            F.col("e").alias("t1"),
-        ),
-    )
-    pieces = (
-        iv.select(
-            F.explode(F.array_compact(F.array(p1, p2))).alias("p")
-        )
-        .select("p.day", "p.t0", "p.t1")
-        .filter(F.col("t0") < F.col("t1"))
-    )
-    b = pieces.select(
-        "day",
-        F.explode(
-            F.array(
-                F.struct(F.col("t0").alias("t"), F.lit(1).alias("delta")),
-                F.struct(F.col("t1").alias("t"), F.lit(-1).alias("delta")),
-            )
-        ).alias("bd"),
-    ).select("day", "bd.t", "bd.delta")
-    w = Window.partitionBy("day").orderBy("t", "delta")
-    r = b.withColumn("running", F.sum("delta").over(w))
-    m = r.withColumn(
-        "mx", F.max("running").over(Window.partitionBy("day"))
-    ).filter(F.col("running") == F.col("mx"))
-    return m.groupBy("day", "mx").agg(
-        F.min("t").alias("first_peak_ts")
-    ).select(
-        "day",
-        F.col("mx").cast("long").alias("max_concurrent"),
-        "first_peak_ts",
-    )
+    return sweep_max_concurrency(iv, "s", "e", unit="day")
 
 
 @register(
@@ -1860,29 +1818,16 @@ def q_cusum_drift(spark, sf_dir):
     "default frame never split equal prices.",
 )
 def q_weighted_median(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    w = li.groupBy(
+    from real_time_rides_data_pipeline_spark.operators.agg import (
+        weighted_median,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        cents(F.col("l_extendedprice")).alias("price_c"),
-    ).agg(
-        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("wt")
+        cents(F.col("l_extendedprice")).alias("price_cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
     )
-    part = Window.partitionBy("l_returnflag")
-    c = w.select(
-        "l_returnflag",
-        "price_c",
-        "wt",
-        F.sum("wt").over(part.orderBy("price_c")).alias("cumw"),
-        F.sum("wt").over(part).alias("totw"),
-    )
-    return (
-        c.filter(2 * F.col("cumw") >= F.col("totw"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("totw").cast("long").alias("total_weight"),
-            F.min("price_c").cast("long").alias("median_price_cents"),
-        )
-    )
+    return weighted_median(li, ["l_returnflag"], "price_cents", "qty")
 
 
 @register(

@@ -1032,3 +1032,107 @@ def test_merge_topk_any_split_equals_batch(
         vs = sorted({v for gg, v in vals if gg == g}, reverse=descending)
         want |= {(g, v) for v in vs[:k]}
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(0, 3 * 86400 - 1),   # start second within 3 days
+            st.integers(1, 90 * 60),          # duration 1 s .. 90 min
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_sweep_max_concurrency_matches_brute_force(spark, iv):
+    """The day-partitioned sweep line (intervals split at midnight) must
+    report, per day, the true max concurrent count over the half-open
+    intervals and the first boundary instant attaining it — verified
+    against per-instant brute force over the same piece boundaries."""
+    import datetime as dt
+
+    from real_time_rides_data_pipeline_spark.operators.agg import (
+        sweep_max_concurrency,
+    )
+
+    epoch = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            epoch + dt.timedelta(seconds=s),
+            epoch + dt.timedelta(seconds=s + d),
+        )
+        for s, d in iv
+    ]
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    got = {
+        r["day"]: (r["max_concurrent"], r["first_peak_ts"])
+        for r in sweep_max_concurrency(df, "s", "e", unit="day").collect()
+    }
+    # Python mirror: split at midnight, evaluate concurrency(t) at every
+    # piece boundary of the day (half-open: s <= t < e).
+    def day_of(t):
+        return dt.datetime(t.year, t.month, t.day)
+
+    pieces = []
+    for s, e in rows:
+        sd, ed = day_of(s), day_of(e)
+        if ed > sd:
+            if s < ed:
+                pieces.append((sd, s, ed))
+            if ed < e:
+                pieces.append((ed, ed, e))
+        else:
+            pieces.append((sd, s, e))
+    by_day: dict = {}
+    for day, t0, t1 in pieces:
+        by_day.setdefault(day, []).append((t0, t1))
+    want = {}
+    for day, ps in by_day.items():
+        cands = sorted({t for p in ps for t in p})
+
+        def conc(t):
+            return sum(1 for s, e in rows if s <= t < e)
+
+        mx = max(conc(t) for t in cands)
+        first = min(t for t in cands if conc(t) == mx)
+        want[day] = (mx, first)
+    assert got == want, (got, want)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-50, 50),    # value
+            st.integers(1, 9),       # weight
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+)
+def test_weighted_median_matches_reference(spark, rows):
+    """Lower weighted median: smallest value whose cumulative weight
+    reaches half the group total — vs a python reference, including
+    duplicate values (compression must SUM their weights first)."""
+    from real_time_rides_data_pipeline_spark.operators.agg import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        r["g"]: (r["total_weight"], r["median_v"])
+        for r in weighted_median(df, ["g"], "v", "w").collect()
+    }
+    want = {}
+    for g in {r[0] for r in rows}:
+        items = sorted((v, w) for gg, v, w in rows if gg == g)
+        tot = sum(w for _, w in items)
+        cum = 0
+        for v, w in items:
+            cum += w
+            if 2 * cum >= tot:
+                want[g] = (tot, v)
+                break
+    assert got == want, (got, want)
