@@ -65,3 +65,73 @@ def expectation_stats(df: DataFrame, expectations: dict[str, Column]) -> DataFra
     return wide.selectExpr(
         f"stack({len(expectations)}, {pairs}) AS (expectation, n_pass, n_fail)"
     )
+
+
+def tcloseness_audit(
+    df,
+    qi_cols: list[str],
+    band_col: str,
+    t_ppm: int = 250000,
+):
+    """t-CLOSENESS audit over an ORDERED sensitive-value domain (round-10;
+    the library form behind ``q_tcloseness``): per QI group, the Earth
+    Mover's Distance to the global distribution via the ordered-domain
+    identity EMD = Σ|cumulative diffs| / (m−1) (Li, Li,
+    Venkatasubramanian 2007), kept exact over the common denominator
+    n_group·N — integer arithmetic end to end, DECIMAL-widened where the
+    N² products pass 2^63. Returns one row per QI group:
+    (qi..., group_n, emd_ppm, violates_t).
+
+    Shape: one input scan compresses to per-(QI, band) counts; absent
+    cells still shift the cumulative diffs, so a |QI|×|bands| spine
+    cross join materializes them with zero counts (domain-bounded);
+    every window runs over that compressed table. Requires ≥ 2 distinct
+    bands (the m−1 normalizer)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = df.groupBy(*qi_cols, F.col(band_col).alias("__band")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # tiny (|QI|·|bands| rows); reused by THREE frames — without pinning,
+    # each reference re-runs the input scan + agg.
+    base = base.localCheckpoint(eager=True)
+    groups = base.select(*qi_cols).distinct()
+    bands = base.select("__band").distinct()
+    spine = (
+        groups.crossJoin(F.broadcast(bands))
+        .join(base, [*qi_cols, "__band"], "left")
+        .select(
+            *qi_cols,
+            "__band",
+            F.coalesce(F.col("__cnt"), F.lit(0)).alias("__cnt"),
+        )
+    )
+    w_g = Window.partitionBy(*qi_cols)
+    w_b = Window.partitionBy("__band")
+    w_all = Window.partitionBy()
+    w_cum = w_g.orderBy("__band")
+    c = spine.select(
+        *qi_cols,
+        F.sum("__cnt").over(w_g).alias("__n_group"),
+        F.sum("__cnt").over(w_all).alias("__n_total"),
+        F.count(F.lit(1)).over(w_g).alias("__m"),
+        F.sum(
+            F.col("__cnt").cast("decimal(38,0)")
+            * F.sum("__cnt").over(w_all)
+            - F.sum("__cnt").over(w_b).cast("decimal(38,0)")
+            * F.sum("__cnt").over(w_g)
+        )
+        .over(w_cum)
+        .alias("__cum"),
+    )
+    emd = F.expr(
+        "CAST(sum(abs(__cum)) * 1000000 div "
+        "((min(__m) - 1) * CAST(min(__n_group) AS DECIMAL(38,0)) "
+        " * min(__n_total)) AS BIGINT)"
+    )
+    return c.groupBy(*qi_cols).agg(
+        F.min("__n_group").cast("long").alias("group_n"),
+        emd.alias("emd_ppm"),
+        (emd > t_ppm).alias("violates_t"),
+    )

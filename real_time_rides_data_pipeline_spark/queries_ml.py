@@ -1961,55 +1961,18 @@ def q_ann_recall(spark, sf_dir):
     "the spine, and the EMD fold run over that compressed table.",
 )
 def q_tcloseness(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.quality import (
+        tcloseness_audit,
+    )
+
     cust = _t(spark, sf_dir, "customer")
     band = F.expr(
         "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000"
     )
-    base = cust.groupBy(
-        "c_nationkey", "c_mktsegment", band.alias("band")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    base = base.localCheckpoint(eager=True)  # tiny (|QI|·|bands| rows);
-    # reused by THREE frames below — without pinning, each reference
-    # re-runs the customer scan + agg (the q_kmv_theta_sketch
-    # ReusedExchange argument does not apply across the distinct/join
-    # boundaries here).
-    groups = base.select("c_nationkey", "c_mktsegment").distinct()
-    bands = base.select("band").distinct()
-    spine = (
-        groups.crossJoin(F.broadcast(bands))
-        .join(base, ["c_nationkey", "c_mktsegment", "band"], "left")
-        .select(
-            "c_nationkey",
-            "c_mktsegment",
-            "band",
-            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
-        )
+    out = tcloseness_audit(
+        cust.select("c_nationkey", "c_mktsegment", band.alias("band")),
+        ["c_nationkey", "c_mktsegment"],
+        "band",
+        t_ppm=250000,
     )
-    qi = ["c_nationkey", "c_mktsegment"]
-    w_g = Window.partitionBy(*qi)
-    w_b = Window.partitionBy("band")
-    w_all = Window.partitionBy()
-    w_cum = w_g.orderBy("band")
-    c = spine.select(
-        *qi,
-        F.sum("cnt").over(w_g).alias("n_group"),
-        F.sum("cnt").over(w_all).alias("n_total"),
-        F.count(F.lit(1)).over(w_g).alias("m_bands"),
-        F.sum(
-            F.col("cnt").cast("decimal(38,0)") * F.sum("cnt").over(w_all)
-            - F.sum("cnt").over(w_b).cast("decimal(38,0)")
-            * F.sum("cnt").over(w_g)
-        )
-        .over(w_cum)
-        .alias("cum"),
-    )
-    emd = F.expr(
-        "CAST(sum(abs(cum)) * 1000000 div "
-        "((min(m_bands) - 1) * CAST(min(n_group) AS DECIMAL(38,0)) "
-        " * min(n_total)) AS BIGINT)"
-    )
-    return c.groupBy(*qi).agg(
-        F.min("n_group").cast("long").alias("group_n"),
-        emd.alias("emd_ppm"),
-        (emd > 250000).alias("violates_t25"),
-    )
+    return out.withColumnRenamed("violates_t", "violates_t25")

@@ -1136,3 +1136,46 @@ def test_weighted_median_matches_reference(spark, rows):
                 want[g] = (tot, v)
                 break
     assert got == want, (got, want)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(0, 4),   # band (ordered sensitive value)
+        ),
+        min_size=4,
+        max_size=30,
+    ).filter(lambda rs: len({b for _, b in rs}) >= 2),
+)
+def test_tcloseness_emd_matches_reference(spark, rows):
+    """Ordered-domain EMD (t-closeness): the exact-integer window
+    formulation must equal the textbook Σ|cumdiff|/(m−1) computed in
+    python fractions, floored to ppm."""
+    from fractions import Fraction
+
+    from real_time_rides_data_pipeline_spark.operators.quality import (
+        tcloseness_audit,
+    )
+
+    df = spark.createDataFrame(rows, "g string, band long")
+    got = {
+        r["g"]: r["emd_ppm"]
+        for r in tcloseness_audit(df, ["g"], "band").collect()
+    }
+    bands = sorted({b for _, b in rows})
+    n_total = len(rows)
+    want = {}
+    for g in {r[0] for r in rows}:
+        grp = [b for gg, b in rows if gg == g]
+        n_g = len(grp)
+        cum, acc = Fraction(0), Fraction(0)
+        for b in bands:
+            p = Fraction(sum(1 for x in grp if x == b), n_g)
+            q = Fraction(sum(1 for _, x in rows if x == b), n_total)
+            cum += p - q
+            acc += abs(cum)
+        emd = acc / (len(bands) - 1)
+        want[g] = int(emd * 1000000)  # floor — emd >= 0
+    assert got == want, (got, want)
