@@ -86,10 +86,18 @@ def might_contain(
     The word array enters the plan as ONE literal (broadcast with the
     closure, constant-folded by codegen)."""
     assert len(words) == m_bits // 64
-    # F.lit infers array<int> whenever every word fits int32 (e.g. a sparse
-    # bitmap); getbit on a 32-bit container then raises BIT_POSITION_RANGE
-    # for any bit >= 32. Force the 64-bit container the build side produced.
-    bloom = F.lit(words).cast("array<bigint>")
+    # The word array enters the plan as ONE string literal split+cast to
+    # array<bigint> — a foldable expression Catalyst constant-folds once.
+    # (``F.lit(words)`` built one Literal node PER WORD: 8192 children at
+    # the default sizing, ~7-8 s of analysis/codegen per invocation,
+    # measured round 10 — flat in data size, pure plan-build overhead.
+    # The cast to bigint also keeps getbit on a 64-bit container; lit()
+    # used to infer array<int> for sparse bitmaps and raise
+    # BIT_POSITION_RANGE for any bit >= 32.)
+    bloom = F.expr(
+        "CAST(split('" + ",".join(map(str, words)) + "', ',')"
+        " AS ARRAY<BIGINT>)"
+    )
     cond = F.lit(True)
     for pos in _positions(col, m_bits, k):
         word = F.element_at(bloom, F.floor(pos / 64).cast("int") + 1)

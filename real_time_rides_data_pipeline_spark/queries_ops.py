@@ -1353,3 +1353,51 @@ def q_content_checksum(spark, sf_dir):
         .unionAll(table_sum(li, "lineitem"))
         .unionAll(table_sum(dc, "documents"))
     )
+
+
+@register(
+    "q_join_nullsafe",
+    """WITH l AS (
+         SELECT CASE WHEN user_id % 11 = 0 THEN NULL
+                     ELSE user_id % 50 END AS k,
+                CAST(count(*) AS BIGINT) AS n_left
+         FROM events WHERE event_id % 2 = 0 GROUP BY k
+       ), r AS (
+         SELECT CASE WHEN user_id % 11 = 0 THEN NULL
+                     ELSE user_id % 50 END AS k,
+                CAST(count(*) AS BIGINT) AS n_right
+         FROM events WHERE event_id % 2 = 1 GROUP BY k
+       )
+       SELECT l.k AS k, l.n_left, r.n_right
+       FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k""",
+    "NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM) — the join "
+    "semantics the q_join_* family lacked: standard equality silently "
+    "DROPS every NULL-keyed row (NULL = NULL is NULL), but entity "
+    "resolution and dimension matching over incomplete keys need the "
+    "NULL group to match itself. Both sides derive a deliberately "
+    "nullable key (every 11th user → NULL) and pre-aggregate, so the "
+    "output carries exactly one NULL-key row proving the match. Scale "
+    "note: under <=> NULL hashes like any other value — on NULL-heavy "
+    "data it becomes THE skew key, which the pre-aggregation here "
+    "bounds to one row per side (the general answer is the null/"
+    "not-null split union, or salting as in q_salted_join). Shape: two "
+    "filtered aggs over one scan shape, then an equi-join on the "
+    "bounded key domain.",
+)
+def q_join_nullsafe(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    key = F.when(F.col("user_id") % 11 == 0, None).otherwise(
+        F.col("user_id") % 50
+    )
+
+    def side(par, alias_n):
+        return (
+            ev.filter(F.pmod(F.col("event_id"), 2) == par)
+            .groupBy(key.alias("k"))
+            .agg(F.count(F.lit(1)).alias(alias_n))
+        )
+
+    le, ri = side(0, "n_left"), side(1, "n_right")
+    return le.join(
+        ri.withColumnRenamed("k", "rk"), le["k"].eqNullSafe(F.col("rk"))
+    ).select("k", "n_left", "n_right")

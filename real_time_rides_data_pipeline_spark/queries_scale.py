@@ -1043,3 +1043,84 @@ def q_corr_exact(spark, sf_dir):
         / F.nullif(den, F.lit(0.0))
     )
     return s.select("lang", "n", F.floor(corr).cast("long").alias("corr_ppm"))
+
+
+# =========================================================================
+# Round 10: Bloom filter accuracy attestation
+# =========================================================================
+
+
+@register(
+    "q_bloom_fpp",
+    """SELECT CAST(524288 AS BIGINT) AS m_bits,
+              CAST(5 AS BIGINT) AS k,
+              CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                   AS BIGINT) AS n_set,
+              CAST(count(*) FILTER (WHERE event_type <> 'purchase')
+                   AS BIGINT) AS n_probe,
+              TRUE AS no_false_negatives,
+              TRUE AS fp_within_bound
+       FROM events""",
+    "BLOOM FILTER accuracy attestation — the q_ann_recall pattern "
+    "applied to the last un-attested approximate structure "
+    "(operators/bloom.py, the prefilter behind q_bloom_decontaminate): "
+    "build the filter over purchase event_ids (m = 2^19, k = 5), probe "
+    "BOTH sides of the disjoint partition, and attest (1) ZERO FALSE "
+    "NEGATIVES — every inserted key probes true, the filter's hard "
+    "guarantee, any violation is an implementation bug — and (2) the "
+    "measured false-positive count within 2× the conservative "
+    "closed-form bound FPP ≤ (k·n/m)^k (1 − e^(−x) ≤ x, so this "
+    "dominates the textbook rate with NO transcendentals): the check "
+    "cross-multiplies to fp·m^k ≤ 2·|B|·(k·n)^k in DECIMAL(38,0) — "
+    "integer arithmetic end to end (m^5 = 2^95 ≈ 4e28, well inside 38 "
+    "digits; measured at the three SFs: 0/0/17 false positives = "
+    "0/0/212.7 ppm vs bounds 0.0000/0.0024/257.8 ppm — deterministic "
+    "under the seeded hashes). Exact sides (set/probe cardinalities) "
+    "are oracle-checked; the filter itself uses Spark-specific "
+    "xxhash64, so its quality rides on the pinned booleans (the "
+    "established sketch-attestation contract). Shape: one build "
+    "aggregate (bit_or over word index, constant-size collect), then a "
+    "single probe scan — the probe is foldable literal array "
+    "arithmetic, no join, no Python.",
+)
+def q_bloom_fpp(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators import bloom as B
+
+    M_BITS, K = B.DEFAULT_M_BITS, B.DEFAULT_K
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    in_a = F.col("event_type") == "purchase"
+    words = B.build_bloom_words(ev.filter(in_a), "event_id", M_BITS, K)
+    probe = B.might_contain(F.col("event_id"), words, M_BITS, K)
+    agg = ev.agg(
+        F.sum(in_a.cast("long")).alias("n_set"),
+        F.sum((~in_a).cast("long")).alias("n_probe"),
+        F.sum((in_a & ~probe).cast("long")).alias("fn_count"),
+        F.sum((~in_a & probe).cast("long")).alias("fp_count"),
+    )
+    # fp * m^k <= 2 * n_probe * (k*n_set)^k, cross-multiplied in DECIMAL.
+    # Saturation guard FIRST: once k*n_set >= m_bits the bound is >= 1 and
+    # the attestation is vacuously true — and (k*n)^5 would blow past
+    # DECIMAL(38,0) (the 64x probe factor found exactly this as an ANSI
+    # overflow). Below saturation, (k*n)^5 < m^5 = 2^95 ~ 4e28, so the
+    # exact compare holds to ~1e9 probe rows per check — loud failure
+    # past it, never a wrap (the q_mcc headroom discipline).
+    within = F.when(
+        F.expr(f"{K} * n_set >= {M_BITS}"), F.lit(True)
+    ).otherwise(
+        F.expr(
+            f"CAST(fp_count AS DECIMAL(38,0))"
+            f" * CAST({M_BITS} AS DECIMAL(38,0))"
+            f" * {M_BITS} * {M_BITS} * {M_BITS} * {M_BITS}"
+            f" <= CAST(2 AS DECIMAL(38,0)) * n_probe"
+            f"    * CAST({K} * n_set AS DECIMAL(38,0)) * ({K} * n_set)"
+            f"    * ({K} * n_set) * ({K} * n_set) * ({K} * n_set)"
+        )
+    )
+    return agg.select(
+        F.lit(M_BITS).cast("long").alias("m_bits"),
+        F.lit(K).cast("long").alias("k"),
+        F.col("n_set").cast("long").alias("n_set"),
+        F.col("n_probe").cast("long").alias("n_probe"),
+        (F.col("fn_count") == 0).alias("no_false_negatives"),
+        within.alias("fp_within_bound"),
+    )

@@ -115,6 +115,8 @@ KEYS = [
     "q_content_checksum",    # narrow map + 1-row agg per table
     "q_tcloseness",          # (QI, band) compression + spine windows
     "q_geohash_cells",       # bit-arithmetic encode + cell agg + heap
+    "q_bloom_fpp",           # build agg + literal-probe scan (linear)
+    "q_join_nullsafe",       # two filtered aggs + bounded-key join
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

@@ -1322,3 +1322,20 @@ def test_last_checked_rounds_failure_reenters_head(tmp_path):
     assert "q_flaky" not in last
     assert last["q_rows_only"] == 1      # rows-only counts as checked
     assert "q_error" not in last         # errored check = never-checked
+
+
+def test_bloom_fpp_probe_is_single_scan(spark):
+    """The attestation's returned plan is ONE events scan with the literal
+    word-array probe folded in — no join, no second pass (the build's
+    bounded collect is a separate, constant-size job)."""
+    plan = _plan(spark, "q_bloom_fpp")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_nullsafe_join_is_hash_join(spark):
+    """<=> must plan as a real equi-join (hash/sort-merge), never a
+    nested-loop/cartesian fallback."""
+    plan = _plan(spark, "q_join_nullsafe")
+    assert "Join" in plan, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
