@@ -1425,7 +1425,8 @@ def q_span_novelty(spark, sf_dir):
                                    ORDER BY tf DESC, doc_id) AS rn
          FROM td
        ), post AS (
-         SELECT term, list(doc_id || ':' || tf ORDER BY rn) AS postings
+         SELECT term,
+                string_agg(doc_id || ':' || tf, ',' ORDER BY rn) AS postings
          FROM top WHERE rn <= 8 GROUP BY term
        )
        SELECT s.term, s.df, s.cf, p.postings
@@ -1434,16 +1435,22 @@ def q_span_novelty(spark, sf_dir):
     "INVERTED INDEX build — the retrieval-side corpus structure BM25 "
     "scoring (q_bm25_topk) presupposes but no key materialized: per "
     "term, document frequency, collection frequency, and the top-8 "
-    "postings as 'doc:tf' strings ordered by (tf DESC, doc_id) — the "
-    "impact-ordered postings truncation real sparse indexes ship "
-    "(Elastic/Lucene impact lists). Deterministic assembly via "
-    "sort_array(collect_list(struct(rn, entry))) — never relying on "
-    "collect_list order. Output = top-100 terms by (df DESC, term), a "
-    "TakeOrderedAndProject. Shape: tokenize (narrow map) → (term, doc) "
-    "hash agg → per-term stats agg + one rank window over the "
-    "COMPRESSED (term, doc) table, equi-join on term — the index build "
-    "is two map-side-combined shuffles at any corpus size; postings "
-    "truncation bounds every group's output at 8.",
+    "postings as a comma-joined 'doc:tf' STRING ordered by (tf DESC, "
+    "doc_id) — the impact-ordered postings truncation real sparse "
+    "indexes ship (Elastic/Lucene impact lists). Postings are emitted "
+    "as a flat string, NOT ArrayType: the driver comparator "
+    "canonicalizes via pandas sort_values, which cannot order "
+    "list-typed cells (the r10 FAIL; same class as q_array_agg r3) — "
+    "array_join is lossless here because entries are 'doc:tf' tokens "
+    "with no embedded commas and the order is already deterministic. "
+    "Deterministic assembly via sort_array(collect_list(struct(rn, "
+    "entry))) — never relying on collect_list order. Output = top-100 "
+    "terms by (df DESC, term), a TakeOrderedAndProject. Shape: "
+    "tokenize (narrow map) → (term, doc) hash agg → per-term stats agg "
+    "+ one rank window over the COMPRESSED (term, doc) table, "
+    "equi-join on term — the index build is two map-side-combined "
+    "shuffles at any corpus size; postings truncation bounds every "
+    "group's output at 8.",
 )
 def q_inverted_index(spark, sf_dir):
     d = _t(spark, sf_dir, "documents", parallel=True)
@@ -1464,18 +1471,21 @@ def q_inverted_index(spark, sf_dir):
         .filter(F.col("rn") <= 8)
         .groupBy("term")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "rn",
-                            F.concat_ws(
-                                ":", F.col("doc_id"), F.col("tf")
-                            ).alias("entry"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "rn",
+                                F.concat_ws(
+                                    ":", F.col("doc_id"), F.col("tf")
+                                ).alias("entry"),
+                            )
                         )
-                    )
+                    ),
+                    lambda x: x["entry"],
                 ),
-                lambda x: x["entry"],
+                ",",
             ).alias("postings")
         )
     )

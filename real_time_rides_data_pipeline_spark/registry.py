@@ -77,10 +77,17 @@ def _last_checked_rounds(root=None) -> dict[str, int]:
             if not isinstance(rec, dict):
                 continue
             err = rec.get("err")
+            # A rows-only (no_oracle) record is green only if it did not
+            # record an explicit rows mismatch — history stores
+            # rows_match=null for such records today, but a future
+            # rows_match=False must re-enter the window head, matching
+            # the docstring's "a mismatch does NOT count as checked".
             green = (
                 rec.get("rows_match") and rec.get("schema_match")
                 and rec.get("hash_match")
-            ) or err == "no_oracle"
+            ) or (
+                err == "no_oracle" and rec.get("rows_match") is not False
+            )
             if err not in (None, "no_oracle") or not green:
                 last_fail[key] = max(last_fail.get(key, 0), rnd)
             else:
@@ -92,7 +99,7 @@ def _last_checked_rounds(root=None) -> dict[str, int]:
     }
 
 
-def check_priority() -> tuple[str, ...]:
+def check_priority(root=None) -> tuple[str, ...]:
     """Driver-verification priority: the round driver oracle-checks only
     the FIRST 50 keys of ``__spark_entry__.queries()``.
 
@@ -112,13 +119,15 @@ def check_priority() -> tuple[str, ...]:
     list. With W=50 checked per round, R new registrations per round and
     K total keys, every key re-checks within ceil(K/(W-R)) rounds
     (~7 rounds at K=260, R=10); a key is never more than that stale, and
-    a FAILED check jumps straight back to the window head. Entering
-    round 10 this computes exactly the verdict's prescribed window: the
-    17 never-checked round-9 keys + the 4 r4-stale + 29 of the 41
-    r5-stale (pinned by tests/test_plans.py::test_check_priority_window).
+    a FAILED check jumps straight back to the window head. (No per-round
+    window composition is stated here on purpose — the list is computed
+    and any literal claim goes stale the moment the driver commits the
+    next CORRECTNESS file; the invariants above are the contract, and
+    tests/test_plans.py::test_check_priority_window asserts them against
+    both the live history and synthetic ones.)
     """
     reg_order = list(registry())
-    last = _last_checked_rounds()
+    last = _last_checked_rounds(root)
     never = [k for k in reg_order if k not in last]
     pos = {k: i for i, k in enumerate(reg_order)}
     checked = sorted(

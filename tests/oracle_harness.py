@@ -105,6 +105,25 @@ def compare(df: DataFrame, con, sql: str, key: str = "?") -> list[str]:
     from pyspark.sql import types as T
 
     problems: list[str] = []
+    # Comparator-sortability guard (the r10 q_inverted_index failure
+    # mode): the DRIVER canonicalizes via pandas sort_values over all
+    # columns, which crashes on list/map-typed cells (`TypeError:
+    # unhashable type: 'list'`) even though this harness's tuple-based
+    # canonicalizer handles them fine.  Any Array/Map output column is
+    # therefore an automatic driver `err` — flag it here so the sf0.01
+    # pre-flight catches what the value compare would mask.  Serialize
+    # to STRING on both legs instead (array_join / to_json vs
+    # string_agg / to_json) — see q_inverted_index, q_array_agg.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType)):
+            problems.append(
+                f"[{key}] Spark column {f.name!r} is "
+                f"{f.dataType.simpleString()} — the driver comparator "
+                f"cannot sort list/map cells (pandas sort_values "
+                f"TypeError); serialize to STRING on both legs"
+            )
+    if problems:
+        return problems
     scols, srows = spark_rows(df)
     dcols, drows, tz_cols, dec_cols = duck_rows(con, sql)
     if tz_cols:

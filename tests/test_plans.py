@@ -1164,36 +1164,98 @@ def test_acf_window_over_bounded_domain(spark):
     assert "Window" in plan, plan
 
 
-def test_check_priority_window():
-    """Round-10 rotation SLA (registry.check_priority, now COMPUTED from
-    the committed CORRECTNESS_r*.json history): (1) every never-checked
-    key precedes every checked key; (2) checked keys are stalest-first;
-    (3) the round-10 window (first 50) contains ALL 17 round-9
-    registrations — the verdict's prescribed composition of 17
-    never-checked + 4 r4-stale + 29 r5-stale."""
+def _assert_rotation_invariants(cp, last, reg_keys):
+    """The three round-agnostic rotation invariants (registry docstring):
+    full coverage, never-checked strict prefix, stalest-first tail."""
+    assert sorted(cp) == sorted(reg_keys), "priority must cover registry"
+    flags = [k in last for k in cp]
+    assert flags == sorted(flags), "checked key before a never-checked one"
+    rounds = [last[k] for k in cp if k in last]
+    assert rounds == sorted(rounds), "checked keys must be stalest-first"
+
+
+def test_check_priority_window(tmp_path):
+    """Rotation SLA, round-agnostic (the r10 version pinned the literal
+    window composition and broke the moment the driver committed
+    CORRECTNESS_r10.json — VERDICT r10 §wrong-2; any 'keys X are in the
+    first 50' assertion dies on the next driver artifact by
+    construction). LIVE history: the three invariants, plus 'every key
+    whose LATEST driver check failed reads as never-checked and sits in
+    the head block'. Then SIMULATE the next driver commit in a tmp copy
+    of the history — a synthetic CORRECTNESS file greening the current
+    window — and re-assert the invariants plus 'the just-checked keys
+    rotated to the tail', so this test stays green across every future
+    driver commit."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    import real_time_rides_data_pipeline_spark.registry as reg_mod
     from real_time_rides_data_pipeline_spark.registry import (
         _last_checked_rounds,
         check_priority,
         registry,
     )
 
+    reg_keys = list(registry())
     cp = check_priority()
-    assert sorted(cp) == sorted(registry()), "priority must cover registry"
     last = _last_checked_rounds()
-    flags = [k in last for k in cp]
-    # never-checked block is a strict prefix
-    assert flags == sorted(flags), "checked key before a never-checked one"
-    rounds = [last[k] for k in cp if k in last]
-    assert rounds == sorted(rounds), "checked keys must be stalest-first"
-    r9_regs = {
-        "q_simhash_est_hamming", "q_ndcg_at10", "q_pr_auc",
-        "q_brier_score", "q_cohens_kappa", "q_group_kfold",
-        "q_tscv_splits", "q_scd2_intervals", "q_funnel_paths",
-        "q_retention_cohorts", "q_kmv_theta_sketch", "q_stream_kmv",
-        "q_acf_hourly", "q_benford_audit", "q_stream_leaderboard",
-        "q_mcc", "q_cv_ols",
+    _assert_rotation_invariants(cp, last, reg_keys)
+
+    # Every key whose LATEST recorded check errored/mismatched must read
+    # as never-checked (in the head prefix), derived from the history
+    # files themselves — no literal key names.
+    root = Path(reg_mod.__file__).resolve().parent.parent
+    latest_rec: dict[str, tuple[int, dict]] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(p.stem.split("_r")[-1])
+            data = json.loads(p.read_text())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for k, rec in data.items():
+            if isinstance(rec, dict) and rnd >= latest_rec.get(k, (0, {}))[0]:
+                latest_rec[k] = (rnd, rec)
+    failed_latest = {
+        k for k, (_, rec) in latest_rec.items()
+        if rec.get("err") not in (None, "no_oracle")
+        or (rec.get("err") is None and not (
+            rec.get("rows_match") and rec.get("schema_match")
+            and rec.get("hash_match")))
     }
-    assert r9_regs <= set(cp[:50]), sorted(r9_regs - set(cp[:50]))
+    head = set(cp[: len([k for k in cp if k not in last])])
+    assert failed_latest & set(reg_keys) <= head, (
+        sorted((failed_latest & set(reg_keys)) - head)
+    )
+
+    # Simulate the NEXT driver commit: green the current 50-key window.
+    rounds_seen = [
+        int(p.stem.split("_r")[-1])
+        for p in root.glob("CORRECTNESS_r*.json")
+        if p.stem.split("_r")[-1].isdigit()
+    ]
+    next_round = max(rounds_seen, default=0) + 1
+    for p in root.glob("CORRECTNESS_r*.json"):
+        shutil.copy(p, tmp_path / p.name)
+    window = list(cp[:50])
+    (tmp_path / f"CORRECTNESS_r{next_round:02d}.json").write_text(
+        json.dumps({
+            k: {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": None}
+            for k in window
+        })
+    )
+    cp2 = check_priority(root=tmp_path)
+    last2 = _last_checked_rounds(tmp_path)
+    _assert_rotation_invariants(cp2, last2, reg_keys)
+    for k in window:
+        assert last2[k] == next_round
+    # the just-checked keys are now the FRESHEST stratum — none of them
+    # may outrank a key checked in an earlier round
+    min_pos_window = min(cp2.index(k) for k in window)
+    stale = [k for k in cp2 if k in last2 and last2[k] < next_round]
+    if stale:
+        assert max(cp2.index(k) for k in stale) < min_pos_window
 
 
 def test_max_concurrency_single_scan_day_partitioned(spark):
