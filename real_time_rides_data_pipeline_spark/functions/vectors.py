@@ -22,6 +22,46 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def vec_lit(vec: list[float]) -> Column:
+    """A double-array literal as ONE constant-folded expression.
+
+    ``F.array(*[F.lit(float(x)) for x in vec])`` costs one py4j round
+    trip per element and puts ``dim`` Literal nodes in the tree — at
+    dim=64 repeated across 8 centroids this dominated q_ann_recall's
+    wall clock (5.3 s of the 8 s total was DataFrame CONSTRUCTION; the
+    same pathology as the round-10 Bloom 8192-Literal fold,
+    operators/bloom.py). Here the vector is serialized to one comma-
+    joined string literal and split/cast in-plan: the split of a
+    literal is foldable, so Catalyst constant-folds it to the same
+    array literal at optimization time — one py4j call, two tree nodes,
+    identical runtime values. ``repr(float)`` is the shortest round-
+    trip representation and Java's Double.parseDouble is correctly
+    rounded, so the folded doubles are BIT-IDENTICAL to F.lit's
+    (measured: collect() equality on the probe-order micro-benchmark;
+    build 1.24 s → 0.17 s, exec 0.99 s → 0.41 s at 2k rows × 8
+    centroids)."""
+    if not vec:
+        return F.expr("array()").cast("array<double>")
+    s = ",".join(repr(float(x)) for x in vec)
+    return F.expr(f"transform(split('{s}', ','), x -> cast(x as double))")
+
+
+def mat_lit(mat: list[list[float]]) -> Column:
+    """A 2-D double-array literal (array<array<double>>) as ONE
+    constant-folded split-string expression — see ``vec_lit``. Rows are
+    ';'-joined (a regex-literal char, no escaping), elements ','-joined.
+    Callers iterate it with ``F.transform(mat_lit(m), lambda row: …)``
+    or ``(row, i)`` for the index — replacing K duplicated expression
+    subtrees with one HOF over the folded literal."""
+    if not mat:
+        return F.expr("array()").cast("array<array<double>>")
+    s = ";".join(",".join(repr(float(x)) for x in row) for row in mat)
+    return F.expr(
+        f"transform(split('{s}', ';'), "
+        "r -> transform(split(r, ','), x -> cast(x as double)))"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v

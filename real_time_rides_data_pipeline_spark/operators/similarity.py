@@ -19,6 +19,8 @@ from real_time_rides_data_pipeline_spark.functions.vectors import (
     cosine,
     cosine_rounded,
     dot,
+    mat_lit,
+    vec_lit,
 )
 
 
@@ -30,9 +32,10 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine vs a literal query vector. The query vector is
-    folded into the plan as an array literal (broadcast-free); ORDER BY+LIMIT
-    plans TakeOrderedAndProject. Ties broken by id for determinism."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    folded into the plan as ONE constant-folded array literal (vec_lit —
+    broadcast-free, py4j-cheap); ORDER BY+LIMIT plans
+    TakeOrderedAndProject. Ties broken by id for determinism."""
+    q = vec_lit(query_vec)
     sim = cosine_rounded(as_double(F.col(vec_col)), q).alias("cosine_sim")
     return (
         vectors.select(F.col(id_col), sim)
@@ -116,13 +119,14 @@ def assign_ivf_cluster(
     chained ``when(sim_i > best, …)`` fold re-references every prior sim in
     both branches, and the expression tree grows exponentially in K — the
     first version was ~50× slower purely from codegen size.) Ties pick the
-    lowest centroid id (array_position returns the first match)."""
+    lowest centroid id (array_position returns the first match). The K
+    per-centroid similarities are ONE transform over the constant-folded
+    centroid matrix (mat_lit) — K duplicated 64-Literal cosine subtrees
+    made plan construction the dominant cost (the q_ann_recall r10
+    profile)."""
     v = as_double(F.col(vec_col))
-    sims = F.array(
-        *[
-            cosine_rounded(v, F.array(*[F.lit(float(x)) for x in c]), 9)
-            for c in centroids
-        ]
+    sims = F.transform(
+        mat_lit(centroids), lambda c: cosine_rounded(v, c, 9)
     )
     return vectors.withColumn("__sims", sims).withColumn(
         out_col,
@@ -228,11 +232,12 @@ def cluster_pruned_pairs_above(
     def _clamp(x: float) -> float:
         return max(-1.0, min(1.0, x))
 
-    cent_arrs = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     base = vectors.select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
     )
-    sims = F.array(*[cosine(F.col("__v"), ca) for ca in cent_arrs])
+    sims = F.transform(
+        mat_lit(centroids), lambda c: cosine(F.col("__v"), c)
+    )
     base = (
         base.withColumn("__sims", sims)
         .withColumn(
@@ -351,15 +356,23 @@ def hyperplane_lsh_pairs_above(
         ).cast("array<double>")
     )
     base = vectors.select(F.col(id_col).alias("id"), checked.alias("v"))
-    bits = [
-        (dot(F.col("v"), F.array(*[F.lit(x) for x in p])) >= 0).cast("int")
-        for p in planes
-    ]
+    # One sign bit per plane as ONE transform over the constant-folded
+    # plane matrix (mat_lit): the previous n_planes duplicated 64-Literal
+    # dot subtrees paid n_planes×dim py4j calls at plan-build time.
+    bits_arr = F.transform(
+        mat_lit(planes), lambda p: (dot(F.col("v"), p) >= 0).cast("int")
+    )
+    pow2 = F.expr(
+        f"transform(sequence(0, {per_band - 1}), "
+        "j -> shiftleft(1, cast(j as int)))"
+    )
     bands = []
     for b in range(n_bands):
-        bucket = sum(
-            (bits[b * per_band + j] * F.lit(1 << j) for j in range(per_band)),
-            start=F.lit(0),
+        band_bits = F.slice(bits_arr, b * per_band + 1, per_band)
+        bucket = F.aggregate(
+            F.zip_with(band_bits, pow2, lambda x, w: x * w),
+            F.lit(0),
+            lambda acc, v: acc + v,
         )
         bands.append(
             F.struct(F.lit(b).alias("band_idx"), bucket.alias("bucket"))

@@ -464,17 +464,28 @@ _COSINE_SQL = (
 )
 
 
+#: Memoized query vectors by sf_dir — same policy as _CENTROID_CACHE
+#: below: the vector is a deterministic pure function of the fixture, and
+#: each un-memoized call was a full driver job (scan + first()) repeated
+#: by every ANN/cosine key in the suite.
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     """Fixed, deterministic query vector: the embedding of vec_id=0 (exists
     at every SF). Collected once driver-side (one row) and folded into the
     plan as a literal — at scale this is 'the query', not data movement."""
-    row = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .first()
-    )
-    return [float(x) for x in row[0]]
+    qv = _QUERY_VEC_CACHE.get(sf_dir)
+    if qv is None:
+        row = (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .first()
+        )
+        qv = [float(x) for x in row[0]]
+        _QUERY_VEC_CACHE[sf_dir] = qv
+    return qv
 
 
 @register(

@@ -1163,8 +1163,12 @@ def q_pca_project(spark, sf_dir):
     v1, v2 = _fit_pca_components(emb, sf_dir)
     from real_time_rides_data_pipeline_spark.functions.vectors import dot
 
-    lit1 = F.array(*[F.lit(float(x)) for x in v1])
-    lit2 = F.array(*[F.lit(float(x)) for x in v2])
+    # One constant-folded literal per component (vec_lit): 2×64 F.lit py4j
+    # calls were measurable plan-build overhead — see vectors.vec_lit.
+    from real_time_rides_data_pipeline_spark.functions.vectors import vec_lit
+
+    lit1 = vec_lit([float(x) for x in v1])
+    lit2 = vec_lit([float(x) for x in v2])
     xs = as_double(F.col("embedding"))
     return emb.select(
         "vec_id",
@@ -1840,14 +1844,17 @@ def q_ann_recall(spark, sf_dir):
     # Per-query probe order: centroid ids sorted by (cosine DESC, id ASC) —
     # the ivf_topk probe ranking expressed in-plan over the query COLUMN
     # (ivf_topk ranks driver-side for its single literal query vector).
-    cent_arrs = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    sims = F.array(
-        *[
-            F.struct(
-                (-cosine(F.col("qv"), ca)).alias("ns"), F.lit(i).alias("cid")
-            )
-            for i, ca in enumerate(cent_arrs)
-        ]
+    # ONE transform over the constant-folded centroid matrix (mat_lit):
+    # the previous 8 duplicated 64-Literal cosine subtrees made plan
+    # CONSTRUCTION the dominant cost of this key (5.3 s of 8 s at sf0.1).
+    from real_time_rides_data_pipeline_spark.functions.vectors import mat_lit
+
+    sims = F.transform(
+        mat_lit(cents),
+        lambda ca, i: F.struct(
+            (-cosine(F.col("qv"), ca)).alias("ns"),
+            i.cast("int").alias("cid"),
+        ),
     )
     probes = q.select(
         "qid",
