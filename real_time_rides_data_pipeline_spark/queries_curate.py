@@ -1494,3 +1494,213 @@ def q_inverted_index(spark, sf_dir):
         .orderBy(F.col("df").desc(), "term")
         .limit(100)
     )
+
+
+# =========================================================================
+# Round 11: dataset card — the one-row corpus summary every released
+# training set ships (composition, size, duplication; Datasheets for
+# Datasets / model-card practice)
+# =========================================================================
+
+
+@register(
+    "q_dataset_card",
+    r"""WITH base AS (
+         SELECT doc_id, text, lang, n_chars,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_tokens
+         FROM documents
+       ), tot AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars,
+                CAST((count(*) - count(DISTINCT text)) * 1000000
+                     // count(*) AS BIGINT) AS exact_dup_ppm
+         FROM base
+       ), top AS (
+         SELECT lang AS top_lang,
+                CAST(count(*) AS BIGINT) AS top_lang_docs
+         FROM base GROUP BY lang
+         ORDER BY count(*) DESC, lang LIMIT 1
+       )
+       SELECT t.n_docs, t.n_langs, t.total_tokens, t.mean_chars,
+              t.exact_dup_ppm, p.top_lang,
+              CAST(p.top_lang_docs * 1000000 // t.n_docs AS BIGINT)
+                  AS top_lang_ppm
+       FROM tot t, top p""",
+    "DATASET CARD: the one-row corpus summary a released training set "
+    "ships (Datasheets-for-Datasets practice) — document count, language "
+    "count, dominant language and its corpus share, total whitespace "
+    "tokens, mean chars, and the exact-duplicate rate (1 − distinct "
+    "texts / docs) in ppm. Composes the per-key metrics the registry "
+    "already checks one level down (q_lang_id, q_token_count, "
+    "q_exact_dedup) into the artifact users actually read. All integer "
+    "ppm/floor-div. Shape: ONE documents scan feeds a global aggregate "
+    "(count-distinct on text = one hash re-agg) plus a |langs|-row "
+    "aggregate for the top language; the two 1-row frames cross-join "
+    "broadcast — nothing downstream of the scan exceeds |langs| rows.",
+)
+def q_dataset_card(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    base = d.select(
+        "lang",
+        "n_chars",
+        "text",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr("sum(n_chars) div count(1)").alias("mean_chars"),
+        F.expr(
+            "((count(1) - count(DISTINCT text)) * 1000000) div count(1)"
+        ).alias("exact_dup_ppm"),
+    )
+    top = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("top_lang_docs"))
+        .orderBy(F.col("top_lang_docs").desc(), "lang")
+        .limit(1)
+        .withColumnRenamed("lang", "top_lang")
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_langs",
+        "total_tokens",
+        "mean_chars",
+        "exact_dup_ppm",
+        "top_lang",
+        F.expr("(top_lang_docs * 1000000) div n_docs").alias("top_lang_ppm"),
+    )
+
+
+# =========================================================================
+# Round 11: deterministic mixing SCHEDULE — q_dataset_mix decides HOW MANY
+# copies of each source enter the mix; this key decides WHERE in the
+# training order they land (exact-rational pacing, no RNG)
+# =========================================================================
+
+
+@register(
+    "q_mix_schedule",
+    """WITH a AS (
+         SELECT doc_id, 'even3' AS src,
+                row_number() OVER (ORDER BY doc_id) AS rn
+         FROM documents WHERE doc_id % 2 = 0
+       ), b AS (
+         SELECT doc_id, 'odd1' AS src,
+                row_number() OVER (ORDER BY doc_id) AS rn
+         FROM documents WHERE doc_id % 2 = 1
+       ), u AS (
+         SELECT doc_id, src, rn, rn * 4 AS pace FROM a
+         UNION ALL
+         SELECT doc_id, src, rn, rn * 12 AS pace FROM b
+       )
+       SELECT CAST(row_number() OVER (ORDER BY pace, src, rn) AS BIGINT)
+                  AS pos,
+              src, doc_id, CAST(pace AS BIGINT) AS pace
+       FROM u
+       ORDER BY pos LIMIT 200""",
+    "Deterministic INTERLEAVE SCHEDULE at a 3:1 source ratio — the "
+    "training-order counterpart of q_dataset_mix (which fixes copy "
+    "COUNTS; a trainer also needs a reproducible ORDER so every rerun/"
+    "resume sees the identical batch sequence). Exact-rational pacing, "
+    "no RNG: source row i is paced at i·(L/w) with L = lcm-scale 12 "
+    "(3-weighted source every 4 units, 1-weighted every 12), global "
+    "position = rank over (pace, src, rn) — in any window of 12 pace "
+    "units the 3:1 ratio holds exactly, and the schedule is a pure "
+    "function of (doc_id, weight table): a backfill reproduces the "
+    "byte-identical training order. First 200 positions emitted. Shape: "
+    "two partition-local row_number windows over one documents scan + "
+    "one TopK by pace — at 100 TB the per-source rank comes from the "
+    "corpus shard manifest (q_corpus_shard) instead of a global window, "
+    "and pacing stays the same integer arithmetic.",
+)
+def q_mix_schedule(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    wa = Window.orderBy("doc_id")
+    a = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", F.lit("even3").alias("src"))
+        .withColumn("rn", F.row_number().over(wa))
+        .withColumn("pace", F.col("rn").cast("long") * 4)
+    )
+    b = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.lit("odd1").alias("src"))
+        .withColumn("rn", F.row_number().over(wa))
+        .withColumn("pace", F.col("rn").cast("long") * 12)
+    )
+    u = a.unionAll(b)
+    wpos = Window.orderBy("pace", "src", "rn")
+    return (
+        u.select(
+            F.row_number().over(wpos).cast("long").alias("pos"),
+            "src",
+            "doc_id",
+            "pace",
+        )
+        .orderBy("pos")
+        .limit(200)
+    )
+
+
+# =========================================================================
+# Round 11: rare-category collapse (vocabulary truncation / UNK bucket) —
+# the long-tail featurizer next to q_feature_hash (hashing trick) and
+# q_target_encode (smoothed encoding)
+# =========================================================================
+
+
+@register(
+    "q_rare_collapse",
+    """WITH g AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS cat,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY cat
+       ), t AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM g)
+       SELECT CASE WHEN g.n * 10000 >= t.n_all THEN g.cat ELSE -1 END
+                  AS category,
+              CAST(sum(g.n) AS BIGINT) AS n_events,
+              CAST(count(*) AS BIGINT) AS n_source_values
+       FROM g, t
+       GROUP BY category""",
+    "RARE-CATEGORY COLLAPSE (the UNK bucket): feature values carrying "
+    "< 0.01% of the mass fold into one -1 category; frequent values pass "
+    "through with their exact counts, and n_source_values records how "
+    "many raw values each output category absorbed (1 for pass-through, "
+    "the tail size for -1). The vocabulary-truncation move every "
+    "categorical featurizer and tokenizer vocab build makes before "
+    "training — completing the long-tail trio with q_feature_hash "
+    "(hashing trick, collisions accepted) and q_target_encode (smoothed "
+    "toward prior). Threshold integerized (n·10000 ≥ N — no doubles). "
+    "Shape: one map-side-combined agg to the VALUE DOMAIN, one broadcast "
+    "scalar, one re-agg over domain rows — the fact table is scanned "
+    "once and nothing downstream scales with N.",
+)
+def q_rare_collapse(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.select(cents(F.col("value")).alias("cat"))
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = g.withColumn("n_all", F.sum("n").over(w_all))
+    return (
+        g.select(
+            F.when(F.col("n") * 10000 >= F.col("n_all"), F.col("cat"))
+            .otherwise(F.lit(-1))
+            .alias("category"),
+            "n",
+        )
+        .groupBy("category")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_source_values"),
+        )
+    )

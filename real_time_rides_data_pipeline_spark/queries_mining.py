@@ -1587,3 +1587,235 @@ def q_stream_leaderboard(spark, sf_dir):
         F.pmod(F.col("pk"), F.lit(1 << 31)).alias("event_id"),
         F.expr(f"pk div {1 << 31}").alias("value_cents"),
     )
+
+
+# =========================================================================
+# Round 11: Cramér's V — the normalized effect size over the chi-square
+# contingency core (q_chi2_cells emits the exact integer deviations; this
+# key reduces them to the [0,1] association strength analysts compare
+# across tables of different size/shape)
+# =========================================================================
+
+
+@register(
+    "q_cramers_v",
+    """WITH t AS (
+         SELECT event_type, CAST(round(value * 100) AS BIGINT) >= 5000 AS hi
+         FROM events
+       ), cell AS (
+         SELECT event_type, hi, CAST(count(*) AS BIGINT) AS observed
+         FROM t GROUP BY event_type, hi
+       ), tot AS (
+         SELECT CAST(sum(observed) AS BIGINT) AS n,
+                CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+                CAST(count(DISTINCT hi) AS BIGINT) AS c
+         FROM cell
+       ), rt AS (
+         SELECT event_type, CAST(sum(observed) AS BIGINT) AS row_tot
+         FROM cell GROUP BY event_type
+       ), ct AS (
+         SELECT hi, CAST(sum(observed) AS BIGINT) AS col_tot
+         FROM cell GROUP BY hi
+       ), contrib AS (
+         SELECT list(
+                  (cl.observed - rt.row_tot::DOUBLE * ct.col_tot / tot.n)
+                  * (cl.observed - rt.row_tot::DOUBLE * ct.col_tot / tot.n)
+                  / (rt.row_tot::DOUBLE * ct.col_tot / tot.n)
+                  ORDER BY cl.event_type, cl.hi) AS xs,
+                min(tot.n) AS n, min(tot.r) AS r, min(tot.c) AS c
+         FROM cell cl
+         JOIN rt ON cl.event_type = rt.event_type
+         JOIN ct ON cl.hi = ct.hi
+         CROSS JOIN tot
+       )
+       SELECT n, r, c,
+              CAST(floor(list_reduce(xs, (a, b) -> a + b) * 1000000)
+                   AS BIGINT) AS chi2_e6,
+              CAST(floor(sqrt(list_reduce(xs, (a, b) -> a + b)
+                              / (n * least(r - 1, c - 1))) * 1000000)
+                   AS BIGINT) AS cramers_v_e6
+       FROM contrib""",
+    "CRAMÉR'S V over the (event_type × high-value) contingency table — "
+    "the normalized chi-square effect size V = sqrt(chi2/(n·min(r-1,c-1)))"
+    " in [0,1], comparable across tables of any size/shape (the raw "
+    "q_chi2_cells deviations are not). Cross-engine float discipline: "
+    "chi2 is a SUM of per-cell doubles, and aggregate summation order is "
+    "unspecified on both engines — so the |cells| contributions (domain-"
+    "bounded: |event types|×2) are collected into an array SORTED by "
+    "(event_type, hi) and folded LEFT-TO-RIGHT on both sides (Spark "
+    "F.aggregate == DuckDB list_reduce; the q_cosine_topk fold-order "
+    "argument), each contribution using only +,-,*,/,sqrt — all "
+    "correctly-rounded IEEE ops — so the pre-floor doubles are "
+    "bit-identical. Shape: ONE events scan compresses to |cells| rows; "
+    "margins, the fold, and the final scalar all run on that compressed "
+    "frame (the q_chi2_cells staging, reduced to one row).",
+)
+def q_cramers_v(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
+    ev = _t(spark, sf_dir, "events")
+    cell = (
+        ev.select("event_type", (cents(F.col("value")) >= 5000).alias("hi"))
+        .groupBy("event_type", "hi")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    cell = cell.localCheckpoint(eager=False)  # ~10 rows; reused 4 ways
+    tot = cell.agg(
+        F.sum("observed").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("hi").alias("c"),
+    )
+    rt = cell.groupBy("event_type").agg(F.sum("observed").alias("row_tot"))
+    ct = cell.groupBy("hi").agg(F.sum("observed").alias("col_tot"))
+    ex = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    per = (
+        cell.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hi")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.struct("event_type", "hi").alias("k"),
+            ((F.col("observed") - ex) * (F.col("observed") - ex) / ex).alias(
+                "x"
+            ),
+            "n",
+            "r",
+            "c",
+        )
+    )
+    folded = per.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "x"))),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("chi2"),
+        F.min("n").alias("n"),
+        F.min("r").alias("r"),
+        F.min("c").alias("c"),
+    )
+    return folded.select(
+        "n",
+        "r",
+        "c",
+        F.floor(F.col("chi2") * 1000000).cast("long").alias("chi2_e6"),
+        F.floor(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("cramers_v_e6"),
+    )
+
+
+# =========================================================================
+# Round 11: IQR (Tukey) fence outlier audit — the third member of the
+# outlier trio next to q_zscore_outlier (parametric) and q_mad_outlier
+# (robust-scale): quartile fences are THE boxplot rule and, unlike the
+# z-score, need no normality assumption
+# =========================================================================
+
+
+@register(
+    "q_iqr_fence",
+    """WITH c AS (
+         SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY event_type, cents
+       ), w AS (
+         SELECT event_type, cents, cnt,
+                sum(cnt) OVER (PARTITION BY event_type
+                               ORDER BY cents) AS cum,
+                sum(cnt) OVER (PARTITION BY event_type) AS n
+         FROM c
+       ), q AS (
+         SELECT event_type,
+                min(n) AS n,
+                min(CASE WHEN 4 * cum >= n THEN cents END) AS q1_cents,
+                min(CASE WHEN 4 * cum >= 3 * n THEN cents END) AS q3_cents
+         FROM w GROUP BY event_type
+       )
+       SELECT q.event_type, q.n, q.q1_cents, q.q3_cents,
+              CAST(coalesce(sum(c.cnt) FILTER (
+                     WHERE 2 * c.cents > 2 * q.q3_cents
+                                         + 3 * (q.q3_cents - q.q1_cents)),
+                   0) AS BIGINT) AS n_above_fence,
+              CAST(coalesce(sum(c.cnt) FILTER (
+                     WHERE 2 * c.cents < 2 * q.q1_cents
+                                         - 3 * (q.q3_cents - q.q1_cents)),
+                   0) AS BIGINT) AS n_below_fence
+       FROM q JOIN c ON c.event_type = q.event_type
+       GROUP BY q.event_type, q.n, q.q1_cents, q.q3_cents""",
+    "IQR (Tukey 1.5×) fence audit per event type: exact nearest-rank "
+    "quartiles over the DISTINCT-CENTS compression (q1 = smallest value "
+    "with cum ≥ n/4 — integerized as 4·cum ≥ n, no doubles, engine-"
+    "portable where interpolated quantiles are not), fences kept exact by "
+    "scaling ×2 (2·c > 2·q3 + 3·IQR avoids the 1.5 literal). Completes "
+    "the outlier trio: z-score (parametric), MAD (robust scale), IQR "
+    "(the boxplot rule — distribution-free). Shape: ONE events scan "
+    "compresses to |type × distinct cents| rows; the quartile windows, "
+    "the fence join (broadcast: |types| rows), and both tail counts all "
+    "run over that compressed frame — at 100 TB the sort under the "
+    "cumulative window is over the VALUE DOMAIN, not the fact table.",
+)
+def q_iqr_fence(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.select("event_type", cents(F.col("value")).alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = c.localCheckpoint(eager=False)  # domain-bounded; feeds q and counts
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    w = c.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    q = w.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("cents"))).alias(
+            "q1_cents"
+        ),
+        F.min(
+            F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("cents"))
+        ).alias("q3_cents"),
+    )
+    iqr3 = 3 * (F.col("q3_cents") - F.col("q1_cents"))
+    return (
+        c.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n", "q1_cents", "q3_cents")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        2 * F.col("cents") > 2 * F.col("q3_cents") + iqr3,
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_above_fence"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        2 * F.col("cents") < 2 * F.col("q1_cents") - iqr3,
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_below_fence"),
+        )
+    )

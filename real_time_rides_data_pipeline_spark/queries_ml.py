@@ -1983,3 +1983,219 @@ def q_tcloseness(spark, sf_dir):
         t_ppm=250000,
     )
     return out.withColumnRenamed("violates_t", "violates_t25")
+
+
+# =========================================================================
+# Round 11: expected calibration error — the scalar reduction of
+# q_calibration_bins' reliability table (ECE/MCE are what model cards
+# report; the per-bin table is what you debug with)
+# =========================================================================
+
+
+@register(
+    "q_ece",
+    """WITH mx AS (SELECT max(CAST(round(value * 100) AS BIGINT)) AS mc
+                   FROM events),
+       s AS (
+         SELECT CAST(round(value * 100) AS BIGINT) * 1000000 // (mx.mc + 1)
+                    AS score_ppm,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+         FROM events, mx),
+       b AS (
+         SELECT score_ppm * 10 // 1000000 AS bin,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm,
+                CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm
+         FROM s GROUP BY bin)
+       SELECT CAST(sum(n) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS n_bins,
+              CAST(sum(n * abs(pos_rate_ppm - mean_score_ppm)) // sum(n)
+                   AS BIGINT) AS ece_ppm,
+              CAST(max(abs(pos_rate_ppm - mean_score_ppm)) AS BIGINT)
+                  AS mce_ppm
+       FROM b""",
+    "EXPECTED CALIBRATION ERROR (+ maximum calibration error): the "
+    "bin-weighted mean |realized positive rate − mean predicted score| "
+    "over the q_calibration_bins decile table, reduced to the one scalar "
+    "pair model cards report (ECE for average miscalibration, MCE for "
+    "the worst bin). Pure INTEGER ppm end to end — the per-bin rates are "
+    "floor-ppm BIGINTs, their gap, the n-weighted sum, and the final "
+    "division all stay in int64 (n·gap ≤ n·1e6 — overflow-safe through "
+    "9.2e12 events); no float ever appears, so the oracle match is exact "
+    "by construction, not by rounding luck. Shape: one events scan → "
+    "distinct-cents compression → 10 bin rows → 1 row; the scalar "
+    "reduction adds NO new shuffle over the reliability table it reads.",
+)
+def q_ece(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pos = (F.col("event_type") == "purchase").cast("long")
+    sc = (
+        ev.select(cents(F.col("value")).alias("c"), pos.alias("p"))
+        .groupBy("c")
+        .agg(F.count("*").alias("n"), F.sum("p").alias("pos"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = sc.withColumn("mc", F.max("c").over(w_all)).select(
+        F.expr("(c * 1000000) div (mc + 1)").alias("score_ppm"), "n", "pos"
+    )
+    b = s.groupBy(F.expr("(score_ppm * 10) div 1000000").alias("bin")).agg(
+        F.sum("n").alias("n"),
+        F.expr("sum(score_ppm * n) div sum(n)").alias("mean_score_ppm"),
+        F.expr("(sum(pos) * 1000000) div sum(n)").alias("pos_rate_ppm"),
+    )
+    return b.agg(
+        F.sum("n").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.expr(
+            "sum(n * abs(pos_rate_ppm - mean_score_ppm)) div sum(n)"
+        ).alias("ece_ppm"),
+        F.max(F.abs(F.col("pos_rate_ppm") - F.col("mean_score_ppm"))).alias(
+            "mce_ppm"
+        ),
+    )
+
+
+# =========================================================================
+# Round 11: Johnson–Lindenstrauss random projection — the NO-FIT
+# dimensionality reduction next to q_pca_project's fitted one (JL needs
+# no training pass, no model distribution, and its distance-preservation
+# guarantee is distribution-free)
+# =========================================================================
+
+
+def _jl_planes_sql(planes: list[list[float]]) -> str:
+    """DuckDB literal for the deterministic ±1 JL projection matrix —
+    generated from the SAME hyperplane_planes function the Spark side
+    folds in, so the two engines multiply identical matrices."""
+    rows = ", ".join(
+        "[" + ", ".join(("1.0" if x > 0 else "-1.0") for x in p) + "]"
+        for p in planes
+    )
+    return f"[{rows}]"
+
+
+_JL_PLANES_SQL_PROJ = (
+    "CAST(floor(list_reduce(list_transform(range(len(embedding)), "
+    "i -> embedding[i+1]::DOUBLE * {m}[{j}][i+1]), (x, y) -> x + y) "
+    "* 1000000) AS BIGINT)"
+)
+
+
+def _jl_oracle_sql() -> str:
+    """Oracle assembled from the SAME hyperplane_planes matrix the Spark
+    side folds in: per-row dots against the Â±1 literal, left-to-right
+    list_reduce fold (the q_cosine_topk fold-order argument â products
+    and sums of identical doubles in identical order are bit-identical
+    across engines)."""
+    from real_time_rides_data_pipeline_spark.operators.similarity import (
+        hyperplane_planes,
+    )
+
+    m = _jl_planes_sql(hyperplane_planes(n_planes=4, dim=64))
+    return (
+        "SELECT vec_id, "
+        + ", ".join(
+            _JL_PLANES_SQL_PROJ.format(m=m, j=j + 1) + f" AS jl{j}_e6"
+            for j in range(4)
+        )
+        + " FROM embeddings"
+    )
+
+
+@register(
+    "q_jl_project",
+    _jl_oracle_sql(),
+    "JOHNSON–LINDENSTRAUSS random projection to 4 dimensions via the "
+    "deterministic ±1 hyperplane family (operators/similarity."
+    "hyperplane_planes — the Knuth-hash sign matrix the cosine-LSH "
+    "operator banded into buckets; here the raw projections are the "
+    "output). The NO-FIT complement to q_pca_project: no training "
+    "pass, no model to broadcast beyond the folded constant matrix, "
+    "and the JL lemma's distance preservation is distribution-free — "
+    "the standard first move for shrinking 100 TB of embeddings "
+    "before a fitted method sees them. Projections in floor-e6 "
+    "integers; each dot folds left-to-right (Spark aggregate == "
+    "DuckDB list_reduce) over ±1·double products, so pre-floor "
+    "doubles are bit-identical cross-engine. Shape: a pure narrow "
+    "map over one embeddings scan — no shuffle, no collect; the "
+    "projection matrix is ONE constant-folded mat_lit literal.",
+)
+def q_jl_project(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.vectors import (
+        as_double,
+        dot,
+        mat_lit,
+    )
+    from real_time_rides_data_pipeline_spark.operators.similarity import (
+        hyperplane_planes,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = hyperplane_planes(n_planes=4, dim=64)
+    xs = as_double(F.col("embedding"))
+    projs = F.transform(
+        mat_lit(planes), lambda p: F.floor(dot(xs, p) * 1000000).cast("long")
+    )
+    return emb.select(
+        "vec_id",
+        projs[0].alias("jl0_e6"),
+        projs[1].alias("jl1_e6"),
+        projs[2].alias("jl2_e6"),
+        projs[3].alias("jl3_e6"),
+    )
+
+
+# =========================================================================
+# Round 11: inverse-frequency class weights — the loss-reweighting table
+# every imbalanced-label training run ships next to its dataset
+# =========================================================================
+
+
+@register(
+    "q_label_weights",
+    """WITH g AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_class
+         FROM events GROUP BY event_type
+       ), t AS (
+         SELECT CAST(sum(n_class) AS BIGINT) AS n_all,
+                CAST(count(*) AS BIGINT) AS k
+         FROM g)
+       SELECT g.event_type, g.n_class,
+              CAST(least(10000000,
+                         (t.n_all * 1000000) // (t.k * g.n_class))
+                   AS BIGINT) AS weight_ppm,
+              g.n_class * 100 >= t.n_all AS is_major
+       FROM g, t""",
+    "Inverse-frequency CLASS WEIGHTS with a 10× cap: w_c = min(10, "
+    "N/(K·n_c)) in exact integer ppm — the balanced-loss reweighting "
+    "table (sklearn's 'balanced' heuristic) a training run joins against "
+    "its label column; the cap keeps ultra-rare classes from exploding "
+    "the gradient. is_major flags classes at ≥1% mass (the ones the cap "
+    "never touches). Pure integer floor division, overflow-safe to "
+    "9.2e12 events. Shape: one map-side-combined agg to |classes| rows "
+    "+ one broadcast scalar row — at any corpus size the weight table "
+    "is |classes| rows broadcast back to the training scan.",
+)
+def q_label_weights(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_class"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = g.select(
+        "event_type",
+        "n_class",
+        F.sum("n_class").over(w_all).alias("n_all"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    return g.select(
+        "event_type",
+        "n_class",
+        F.least(
+            F.lit(10000000),
+            F.expr("(n_all * 1000000) div (k * n_class)"),
+        ).alias("weight_ppm"),
+        (F.col("n_class") * 100 >= F.col("n_all")).alias("is_major"),
+    )

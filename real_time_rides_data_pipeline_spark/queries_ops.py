@@ -1401,3 +1401,139 @@ def q_join_nullsafe(spark, sf_dir):
     return le.join(
         ri.withColumnRenamed("k", "rk"), le["k"].eqNullSafe(F.col("rk"))
     ).select("k", "n_left", "n_right")
+
+
+# =========================================================================
+# Round 11: directed CONTAINMENT join — the asymmetric sibling of
+# q_jaccard_join_exact (an excerpt of a long doc has low Jaccard but
+# containment ≈ 1; CC-style pipelines dedup quotes/excerpts with
+# containment, not symmetric similarity)
+# =========================================================================
+
+#: containment corpus: documents ∪ planted EXCERPTS (first half of the
+#: tokens) of every 7th doc — an excerpt's 3-shingle set is a strict
+#: subset of its parent's, so C(excerpt → parent) = 1.0 at every SF while
+#: Jaccard stays well below the symmetric threshold.
+_EXCERPT_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(w[1:greatest(3, len(w) // 2)], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents)
+  WHERE doc_id % 7 = 0
+"""
+
+
+@register(
+    "q_containment_join",
+    f"""WITH docs AS ({_EXCERPT_SQL}),
+       s AS (
+         SELECT doc_id,
+                list_distinct([concat_ws(' ', w[i+1], w[i+2], w[i+3])
+                               for i in range(greatest(len(w) - 2, 1))]) AS sh
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM docs)
+       )
+       SELECT a.doc_id AS id_sub, b.doc_id AS id_sup,
+              CAST(len(list_intersect(a.sh, b.sh)) * 1000000
+                   // len(a.sh) AS BIGINT) AS containment_ppm
+       FROM s a JOIN s b ON a.doc_id <> b.doc_id
+       WHERE len(a.sh) >= 8
+         AND 10 * len(list_intersect(a.sh, b.sh)) >= 9 * len(a.sh)""",
+    "EXACT directed CONTAINMENT self-join at t = 9/10 over 3-gram shingle "
+    "sets: C(A→B) = |S(A) ∩ S(B)| / |S(A)| — the asymmetric dedup "
+    "relation symmetric Jaccard cannot see (an excerpt inside a long "
+    "document has J ≈ |A|/|B| but C = 1; quote/excerpt dedup in CC-style "
+    "pipelines keys on containment). Prefix-filter blocking, DIRECTED "
+    "variant of q_jaccard_join_exact's PPJoin: shingles globally ordered "
+    "by (df ASC, shingle), the CONTAINED side exposes only its first "
+    "|A| - ceil(t·|A|) + 1 shingles (if C ≥ t then overlap ≥ ceil(t|A|), "
+    "so B must hit A's prefix — recall provably 1, which the all-pairs "
+    "oracle verifies outright), the CONTAINING side exposes every "
+    "shingle; a size filter (|B| ≥ ceil(t·|A|) — B needs room for the "
+    "overlap) prunes before the exact array_intersect verify. Docs with "
+    "fewer than 8 shingles are excluded from the contained side (a "
+    "1-shingle doc is 'contained' anywhere — noise, not dedup). Exact "
+    "integer ppm throughout. Shape: shingle table localCheckpoint'ed "
+    "once (feeds df counts, prefix build, both verify sides); the "
+    "candidate join is on rare-shingle postings (df ASC ordering makes "
+    "the prefix the LEAST frequent shingles), never all-pairs.",
+)
+def q_containment_join(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
+    w = X.tokens(F.col("text"))
+    half = F.expr(
+        "array_join(slice(split(trim(text), '\\\\s+'), 1,"
+        " greatest(3, size(split(trim(text), '\\\\s+')) div 2)), ' ')"
+    )
+    excerpt = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), half.alias("text")
+    )
+    corpus = docs.unionAll(excerpt)
+    sets = corpus.select(
+        "doc_id", X.word_shingles(F.col("text"), 3).alias("sh")
+    ).localCheckpoint(eager=False)
+    tok = sets.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g")
+    )
+    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(dfreq, "g")
+        .groupBy("doc_id", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("ordered"))
+    )
+    # contained-side prefix |A| - ceil(9|A|/10) + 1, exact integer:
+    # ceil(9n/10) = (9n + 9) div 10; only docs with >= 8 shingles qualify
+    prefix = (
+        ranked.filter(F.col("sz") >= 8)
+        .select(
+            F.col("doc_id").alias("id_sub"),
+            F.col("sz").alias("sz_sub"),
+            F.explode(
+                F.expr(
+                    "slice(ordered, 1,"
+                    " CAST(sz - (9*sz + 9) div 10 + 1 AS INT))"
+                )
+            ).alias("p"),
+        )
+        .select("id_sub", "sz_sub", F.col("p.g").alias("g"))
+    ).localCheckpoint(eager=False)
+    post = tok.select(
+        F.col("doc_id").alias("id_sup"), F.col("sz").alias("sz_sup"), "g"
+    )
+    cand = (
+        prefix.join(
+            post,
+            (prefix["g"] == post["g"])
+            & (prefix["id_sub"] != post["id_sup"])
+            # B needs room for the overlap: 10·|B| >= 9·|A|
+            & (post["sz_sup"] * 10 >= prefix["sz_sub"] * 9),
+        )
+        .select("id_sub", "id_sup")
+        .distinct()
+    )
+    sh_sub = sets.select(
+        F.col("doc_id").alias("id_sub"), F.col("sh").alias("sh_sub")
+    )
+    sh_sup = sets.select(
+        F.col("doc_id").alias("id_sup"), F.col("sh").alias("sh_sup")
+    )
+    verified = (
+        cand.join(sh_sub, "id_sub")
+        .join(sh_sup, "id_sup")
+        .select(
+            "id_sub",
+            "id_sup",
+            F.size(F.array_intersect("sh_sub", "sh_sup")).alias("inter"),
+            F.size("sh_sub").alias("sz"),
+        )
+        .filter(10 * F.col("inter") >= 9 * F.col("sz"))
+    )
+    return verified.select(
+        "id_sub",
+        "id_sup",
+        F.expr("(inter * 1000000) div sz").alias("containment_ppm"),
+    )
