@@ -1536,31 +1536,35 @@ def q_inverted_index(spark, sf_dir):
     "texts / docs) in ppm. Composes the per-key metrics the registry "
     "already checks one level down (q_lang_id, q_token_count, "
     "q_exact_dedup) into the artifact users actually read. All integer "
-    "ppm/floor-div. Shape: ONE documents scan feeds a global aggregate "
-    "(count-distinct on text = one hash re-agg) plus a |langs|-row "
-    "aggregate for the top language; the two 1-row frames cross-join "
-    "broadcast — nothing downstream of the scan exceeds |langs| rows.",
+    "ppm/floor-div. Shape: ONE documents scan compresses to distinct "
+    "(text, lang) groups — tokenization runs once per distinct text, "
+    "not per doc — then a |langs|-row re-agg (top language via TopK-1) "
+    "and a 1-row global re-agg cross-join broadcast; nothing after the "
+    "first aggregate exceeds the distinct-text domain.",
 )
 def q_dataset_card(spark, sf_dir):
     d = _t(spark, sf_dir, "documents", parallel=True)
-    base = d.select(
-        "lang",
-        "n_chars",
-        "text",
-        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    # one scan: compress to distinct (text, lang); every downstream stat
+    # re-aggregates this compressed frame
+    g = d.groupBy("text", "lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_chars").alias("chars"),
     )
-    tot = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
+    g = g.withColumn(
+        "n_tokens", F.size(X.tokens(F.col("text"))).cast("long")
+    ).localCheckpoint(eager=False)
+    tot = g.agg(
+        F.sum("cnt").alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.expr("sum(n_chars) div count(1)").alias("mean_chars"),
+        F.sum(F.col("cnt") * F.col("n_tokens")).alias("total_tokens"),
+        F.expr("sum(chars) div sum(cnt)").alias("mean_chars"),
         F.expr(
-            "((count(1) - count(DISTINCT text)) * 1000000) div count(1)"
+            "((sum(cnt) - count(DISTINCT text)) * 1000000) div sum(cnt)"
         ).alias("exact_dup_ppm"),
     )
     top = (
-        base.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("top_lang_docs"))
+        g.groupBy("lang")
+        .agg(F.sum("cnt").alias("top_lang_docs"))
         .orderBy(F.col("top_lang_docs").desc(), "lang")
         .limit(1)
         .withColumnRenamed("lang", "top_lang")
@@ -1613,37 +1617,40 @@ def q_dataset_card(spark, sf_dir):
     "units the 3:1 ratio holds exactly, and the schedule is a pure "
     "function of (doc_id, weight table): a backfill reproduces the "
     "byte-identical training order. First 200 positions emitted. Shape: "
-    "two partition-local row_number windows over one documents scan + "
-    "one TopK by pace — at 100 TB the per-source rank comes from the "
-    "corpus shard manifest (q_corpus_shard) instead of a global window, "
-    "and pacing stays the same integer arithmetic.",
+    "ONE documents scan, ONE per-source row_number window (partitioned "
+    "by parity — never a global unpartitioned window over the corpus), "
+    "then TopK-200 by pace (TakeOrderedAndProject per-partition heaps) "
+    "BEFORE the position stamp, so the only single-partition window "
+    "runs over 200 rows by construction — at 100 TB the per-source rank "
+    "comes from the corpus shard manifest (q_corpus_shard) and pacing "
+    "stays the same integer arithmetic.",
 )
 def q_mix_schedule(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    wa = Window.orderBy("doc_id")
-    a = (
-        d.filter(F.col("doc_id") % 2 == 0)
-        .select("doc_id", F.lit("even3").alias("src"))
-        .withColumn("rn", F.row_number().over(wa))
-        .withColumn("pace", F.col("rn").cast("long") * 4)
-    )
-    b = (
-        d.filter(F.col("doc_id") % 2 == 1)
-        .select("doc_id", F.lit("odd1").alias("src"))
-        .withColumn("rn", F.row_number().over(wa))
-        .withColumn("pace", F.col("rn").cast("long") * 12)
-    )
-    u = a.unionAll(b)
-    wpos = Window.orderBy("pace", "src", "rn")
-    return (
-        u.select(
-            F.row_number().over(wpos).cast("long").alias("pos"),
-            "src",
+    par = (F.col("doc_id") % 2).alias("par")
+    wsrc = Window.partitionBy("par").orderBy("doc_id")
+    u = (
+        d.select("doc_id", par)
+        .withColumn("rn", F.row_number().over(wsrc))
+        .select(
             "doc_id",
-            "pace",
+            F.when(F.col("par") == 0, F.lit("even3"))
+            .otherwise(F.lit("odd1"))
+            .alias("src"),
+            "rn",
+            (
+                F.col("rn").cast("long")
+                * F.when(F.col("par") == 0, F.lit(4)).otherwise(F.lit(12))
+            ).alias("pace"),
         )
-        .orderBy("pos")
-        .limit(200)
+    )
+    head = u.orderBy("pace", "src", "rn").limit(200)
+    wpos = Window.orderBy("pace", "src", "rn")
+    return head.select(
+        F.row_number().over(wpos).cast("long").alias("pos"),
+        "src",
+        "doc_id",
+        "pace",
     )
 
 

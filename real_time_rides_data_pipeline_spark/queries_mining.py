@@ -1734,7 +1734,7 @@ def q_cramers_v(spark, sf_dir):
          FROM c
        ), q AS (
          SELECT event_type,
-                min(n) AS n,
+                CAST(min(n) AS BIGINT) AS n,
                 min(CASE WHEN 4 * cum >= n THEN cents END) AS q1_cents,
                 min(CASE WHEN 4 * cum >= 3 * n THEN cents END) AS q3_cents
          FROM w GROUP BY event_type
@@ -1763,6 +1763,8 @@ def q_cramers_v(spark, sf_dir):
     "cumulative window is over the VALUE DOMAIN, not the fact table.",
 )
 def q_iqr_fence(spark, sf_dir):
+    from pyspark.sql import Window
+
     from real_time_rides_data_pipeline_spark.functions.precision import cents
 
     ev = _t(spark, sf_dir, "events")

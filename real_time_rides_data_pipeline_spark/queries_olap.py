@@ -1533,3 +1533,56 @@ def q_gapfill_interp(spark, sf_dir):
         .otherwise(F.expr("(pv * (nh - h) + nv * (h - ph)) div (nh - ph)"))
         .alias("interp_cents"),
     )
+
+
+# =========================================================================
+# Round 11: semi-additive snapshot measure — balances sum across ACCOUNTS
+# but not across TIME; the classic OLAP "last value per period" rollup
+# =========================================================================
+
+
+@register(
+    "q_semi_additive_snapshot",
+    """WITH r AS (
+         SELECT CAST(ts AS DATE) AS day, user_id,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                row_number() OVER (
+                    PARTITION BY user_id, CAST(ts AS DATE)
+                    ORDER BY ts DESC, event_id DESC) AS rk
+         FROM events
+       ), eod AS (
+         SELECT day, user_id, cents FROM r WHERE rk = 1
+       )
+       SELECT day,
+              CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(cents) AS BIGINT) AS eod_total_cents,
+              CAST(max(cents) AS BIGINT) AS max_user_cents
+       FROM eod GROUP BY day""",
+    "SEMI-ADDITIVE SNAPSHOT measure: per (user, day) keep only the "
+    "END-OF-DAY value (latest by (ts, event_id) — total order, no "
+    "arrival luck), then sum ACROSS USERS per day. The balance/inventory "
+    "pattern every finance/stock mart needs and plain SUM gets wrong — "
+    "balances add across accounts but never across time; summing a "
+    "user's intraday values double-counts. Exact integer cents. Shape: "
+    "ONE events scan, one rank window partitioned by (user_id, day), "
+    "then a |users × days| → |days| hash agg — two keyed exchanges, the "
+    "second over the COMPACT per-(user, day) frame, never raw events; "
+    "at 100 TB the window state is one row per partition key.",
+)
+def q_semi_additive_snapshot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    eod = (
+        ev.select(day, "user_id", cents(F.col("value")).alias("c"), "ts",
+                  "event_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return eod.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("eod_total_cents"),
+        F.max("c").alias("max_user_cents"),
+    )

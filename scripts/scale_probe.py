@@ -117,6 +117,25 @@ KEYS = [
     "q_geohash_cells",       # bit-arithmetic encode + cell agg + heap
     "q_bloom_fpp",           # build agg + literal-probe scan (linear)
     "q_join_nullsafe",       # two filtered aggs + bounded-key join
+    # round-11 additions.
+    # q_jl_project: pure narrow map — output (and wall clock) is the scan
+    # itself; probed anyway as the linear reference for the family.
+    # q_containment_join: excluded from the 8x/64x octave like
+    # q_embed_neardup — document replication makes every replica group
+    # mutually near-contained, so the TRUE pair output is quadratic in the
+    # factor by semantics (the round-7 dedup-family finding); measured
+    # separately at 1x/4x on the heavy-dup corpus: 3.8 -> 7.6 s = slope
+    # 0.5, sublinear before output size dominates. The 100 TB answer is
+    # exact-dedup-first ordering (q_curation_e2e), not candidate tuning.
+    "q_cramers_v",           # |cells| compression + sorted-array fold
+    "q_iqr_fence",           # distinct-cents compression + quartile windows
+    "q_ece",                 # calibration-bins reduction to one row
+    "q_jl_project",          # constant-matrix narrow map over embeddings
+    "q_label_weights",       # |classes| agg + whole-frame window
+    "q_dataset_card",        # distinct-(text,lang) compression + re-aggs
+    "q_mix_schedule",        # parity windows + TopK-200 pace cut
+    "q_rare_collapse",       # value-domain agg + threshold re-agg
+    "q_semi_additive_snapshot",  # (user, day) rank window + day re-agg
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

@@ -1401,3 +1401,104 @@ def test_nullsafe_join_is_hash_join(spark):
     plan = _plan(spark, "q_join_nullsafe")
     assert "Join" in plan, plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+# --- round-11 registrations: plan pins ------------------------------------
+
+
+def test_cramers_v_single_compressed_fold(spark):
+    """Chi2/V folds over the |cells| compressed frame: the contingency agg
+    map-side combines, the margins join broadcast, and no real cartesian
+    exists (the only nested loop is the 1-row scalar tot cross-join —
+    the q_chi2_cells pattern)."""
+    plan = _plan(spark, "q_cramers_v")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_iqr_fence_domain_bounded(spark):
+    """Quartile windows and tail counts run over the distinct-cents
+    compression, never raw events: one scan, a partial+final agg pair
+    below the window, fences broadcast back."""
+    plan = _plan(spark, "q_iqr_fence")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the events scan sits behind the compression checkpoint; the visible
+    # plan must touch only domain rows (no raw-event scan node)
+    assert plan.count("events.parquet") == 0, plan
+
+
+def test_ece_one_scan_compact(spark):
+    """ECE reduces the reliability table with no extra scan: exactly one
+    events scan, distinct-cents compression below the decile re-agg."""
+    plan = _plan(spark, "q_ece")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_jl_project_pure_map(spark):
+    """The JL projection is a narrow map: NO exchange, NO join, one scan
+    reading only (vec_id, embedding); the plane matrix is constant-folded
+    so no py4j literal storm reaches the plan."""
+    plan = _plan(spark, "q_jl_project")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("embeddings.parquet") == 1, plan
+
+
+def test_label_weights_domain_bounded(spark):
+    """One events scan to the |classes| domain; weights derive from a
+    whole-frame window over domain rows, never a second scan."""
+    plan = _plan(spark, "q_label_weights")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_containment_join_not_all_pairs(spark):
+    """The directed prefix-filter join must be an equi-join on shingle
+    postings — never a cartesian/nested-loop over doc pairs."""
+    plan = _plan(spark, "q_containment_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dataset_card_compressed_single_pass(spark):
+    """Every card stat re-aggregates the distinct-(text, lang) compression
+    (the checkpoint pins the single scan); top-language is a TopK-1, not
+    a global sort."""
+    plan = _plan(spark, "q_dataset_card")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("documents.parquet") == 0, plan  # behind checkpoint
+
+
+def test_mix_schedule_topk_before_stamp(spark):
+    """Pacing ranks per-source (partitioned window), the 200-row cut is a
+    TakeOrderedAndProject, and only the post-cut 200 rows see the global
+    position window."""
+    plan = _plan(spark, "q_mix_schedule")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_rare_collapse_domain_bounded(spark):
+    """Collapse re-aggregates the value domain: one scan, partial+final
+    agg pair, no join."""
+    plan = _plan(spark, "q_rare_collapse")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_semi_additive_two_keyed_exchanges(spark):
+    """End-of-day rank window partitioned by (user, day); daily re-agg
+    over the compact frame — exactly two tree exchanges, one scan."""
+    plan = _plan(spark, "q_semi_additive_snapshot")
+    assert plan.count("events.parquet") == 1, plan
+    tree_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange (" in ln
+    ]
+    assert len(tree_exchanges) == 2, plan
+    assert "Window" in plan, plan
