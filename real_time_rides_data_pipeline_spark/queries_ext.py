@@ -1275,7 +1275,11 @@ def q_watermark(spark, sf_dir):
         "value",
     )
     late_batch = ev.filter(F.col("ts") >= cutoff).unionAll(stragglers)
-    writer = scoped_writer_session(spark, shuffle_partitions=4)
+    # Width 2 per the round-11 state-width A/B (4 -> 2 = 2.71 -> 2.29 s
+    # min-of-2 at sf0.1): two micro-batches over a 5%-sampled stream —
+    # dedup state is a few thousand keys; per-batch store commits scale
+    # with width.
+    writer = scoped_writer_session(spark, shuffle_partitions=2)
     stream = parquet_stream(writer, inp, early.schema, max_files_per_trigger=1)
     deduped = stream_dedup(stream, keys=("event_id", "ts"), event_time_col="ts")
     q = (
@@ -1411,8 +1415,12 @@ def q_stream_stream_join(spark, sf_dir):
     inp = _replay_input(ev, "ssjoin", sf_dir)
     # Symmetric-hash join state is per-partition PER SIDE — width pinned on
     # a per-writer session clone (sweep rationale below), not the shared
-    # session conf.
-    writer = scoped_writer_session(spark, shuffle_partitions=8)
+    # session conf. Width 4 per the round-11 state-width A/B (8 -> 4 =
+    # 2.66 -> 2.38 s min-of-2 at sf0.1): a stream-stream join keeps TWO
+    # keyed state stores per partition, so per-batch store open/commit
+    # scales with width x sides; size to the buffered state (tens of
+    # thousands of rows here), not the session's fact-table default.
+    writer = scoped_writer_session(spark, shuffle_partitions=4)
 
     def side(tag: str, typ: str):
         # Watermark BEFORE the type filter: the join's global watermark is
@@ -1528,7 +1536,14 @@ def q_stream_stream_join_outer(spark, sf_dir):
             if fname.endswith(".parquet"):
                 _shutil.copy(f"{stage}/{sub}/{fname}", f"{work}/{sub}/{fname}")
     schema = clicks_b.schema
-    writer = scoped_writer_session(spark, shuffle_partitions=8)
+    # Width 2 per the round-11 state-width A/B (8 -> 2 = 8.2 -> 5.1 s
+    # min-of-2 at sf0.1, the suite's most expensive key): the outer join
+    # runs MULTIPLE micro-batches (sentinel replays) and each batch pays
+    # state-store open/commit per partition per side — with ~15k buffered
+    # rows per side the state fits comfortably in 2 partitions; at real
+    # scale this parameter sizes to buffered-state volume (the
+    # scoped_writer_session contract), not to CPU count.
+    writer = scoped_writer_session(spark, shuffle_partitions=2)
 
     def side(tag: str, path: str):
         s = parquet_stream(writer, path, schema, max_files_per_trigger=1)

@@ -1099,7 +1099,9 @@ def q_stream_late_metrics(spark, sf_dir):
         "value",
     )
     late_batch = ev.filter(F.col("ts") >= cutoff).unionAll(stragglers)
-    writer = scoped_writer_session(spark, shuffle_partitions=4)
+    # Width 2 per the round-11 state-width A/B (4 -> 2 = 3.05 -> 2.53 s
+    # min-of-2 at sf0.1) — same sizing rationale as q_watermark's twin.
+    writer = scoped_writer_session(spark, shuffle_partitions=2)
     stream = parquet_stream(writer, inp, early.schema, max_files_per_trigger=1)
     deduped = stream_dedup(stream, keys=("event_id", "ts"), event_time_col="ts")
     q = (
