@@ -1241,6 +1241,67 @@ def q_stream_dedup(spark, sf_dir):
 
 
 @register(
+    "q_stream_dedup_ttl",
+    """SELECT event_id, ts, user_id, value FROM events WHERE event_id % 20 = 0""",
+    "TTL-bounded streaming dedup (dropDuplicatesWithinWatermark, Spark "
+    "3.5+) driven as a REAL 2-micro-batch replay with AT-LEAST-ONCE "
+    "redelivery: batch 2 re-delivers every 5th batch-1 row verbatim "
+    "alongside the genuinely new events — exactly the duplicate pattern "
+    "a replayed Kafka offset range produces. The 45-day watermark "
+    "exceeds the fixture's 30-day span, so every redelivered key is "
+    "still in state and every duplicate must be dropped: output = the "
+    "distinct event sample, value-checked. The operator difference from "
+    "q_stream_dedup/q_watermark (plain dropDuplicates under a "
+    "watermark): state here is EVICTED once the watermark passes a "
+    "key's event time — the contract that makes infinite-stream dedup "
+    "state bounded by (rate × TTL) instead of |all keys ever| — and the "
+    "eviction-then-re-emission behavior past the TTL is pinned by "
+    "tests/test_streaming.py's expiry case. Width 2 per the round-11 "
+    "state-width A/B (the q_watermark twin's sizing).",
+)
+def q_stream_dedup_ttl(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.operators import (
+        stream_dedup_within_watermark,
+    )
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    work = tempfile.mkdtemp(prefix="ttldedup_")
+    inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    early = ev.filter(F.col("ts") < cutoff)
+    early.coalesce(1).write.parquet(inp)
+    redelivered = early.filter(F.col("event_id") % 100 == 0)
+    batch2 = ev.filter(F.col("ts") >= cutoff).unionAll(redelivered)
+    writer = scoped_writer_session(spark, shuffle_partitions=2)
+    stream = parquet_stream(writer, inp, early.schema, max_files_per_trigger=1)
+    deduped = stream_dedup_within_watermark(
+        stream, keys=("event_id", "ts"), event_time_col="ts",
+        watermark="45 days",
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 seeds the dedup state
+        batch2.coalesce(1).write.mode("append").parquet(inp)
+        q.processAllAvailable()  # batch 2: redeliveries hit live state
+    finally:
+        q.stop()
+    return spark.read.parquet(out)
+
+
+@register(
     "q_watermark",
     """SELECT event_id, ts, user_id, value FROM events WHERE event_id % 20 = 0""",
     "Event-time watermark (02_silver:84-92) driven as a REAL 2-micro-batch "

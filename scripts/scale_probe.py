@@ -136,6 +136,7 @@ KEYS = [
     "q_mix_schedule",        # parity windows + TopK-200 pace cut
     "q_rare_collapse",       # value-domain agg + threshold re-agg
     "q_semi_additive_snapshot",  # (user, day) rank window + day re-agg
+    "q_stream_dedup_ttl",    # 2-batch TTL dedup, watermark-bounded state
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
