@@ -1823,3 +1823,298 @@ def q_iqr_fence(spark, sf_dir):
             ).alias("n_below_fence"),
         )
     )
+
+
+# =========================================================================
+# Round 11 (wave 2): Gini coefficient — the inequality statistic over
+# per-user spend (distinct from q_gini_impurity, which is class-mix
+# impurity; this is the Lorenz-curve concentration measure)
+# =========================================================================
+
+
+@register(
+    "q_gini_coefficient",
+    """WITH u AS (
+         SELECT user_id,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS spend
+         FROM events GROUP BY user_id
+       ), r AS (
+         SELECT spend,
+                row_number() OVER (ORDER BY spend, user_id) AS i,
+                count(*) OVER () AS n,
+                sum(spend) OVER () AS tot
+         FROM u
+       )
+       SELECT CAST(min(n) AS BIGINT) AS n_users,
+              CAST(min(tot) AS BIGINT) AS total_cents,
+              CAST(floor(CAST(sum((2 * i - n - 1) * spend) AS DOUBLE)
+                         / (CAST(min(n) AS BIGINT) * min(tot))
+                         * 1000000) AS BIGINT) AS gini_ppm
+       FROM r""",
+    "GINI COEFFICIENT of per-user spend concentration — the Lorenz-curve "
+    "inequality statistic (how much of the corpus one tail of users "
+    "accounts for; the data-mix analog flags source domination). The "
+    "numerator and denominator are EXACT integers via the rank identity "
+    "Σ_i Σ_j |x_i − x_j| = 2·Σ_i (2i − n − 1)·x_(i) over ascending-"
+    "sorted values; gini_ppm is then ONE correctly-rounded double "
+    "division of the two exact integers, floored to ppm (the "
+    "q_cosine_topk single-division argument — an all-integer ·1e6 "
+    "variant was probed and OVERFLOWS int64 at the 64x octave, "
+    "S·1e6 > 2^63; the division inputs stay exact far past that). "
+    "row_number ties break by user_id — ordering among equal spends "
+    "cannot change the sum (the weight difference multiplies a zero "
+    "value difference), so the statistic is deterministic, never "
+    "rounding luck. Shape: one events scan → per-user agg (|users| "
+    "rows) → one rank window over the user domain → 1 row; at 100 TB "
+    "the window runs over users, not events.",
+)
+def q_gini_coefficient(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        ev.select("user_id", cents(F.col("value")).alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("spend"))
+    )
+    w_rank = Window.orderBy("spend", "user_id")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = u.select(
+        "spend",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("spend").over(w_all).alias("tot"),
+    )
+    return r.agg(
+        F.min("n").cast("long").alias("n_users"),
+        F.min("tot").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(floor(CAST(sum((2 * i - n - 1) * spend) AS DOUBLE)"
+            " / (min(n) * min(tot)) * 1000000) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+# =========================================================================
+# Round 11 (wave 2): Theil–Sen robust trend — median of pairwise slopes
+# over the compressed hour domain
+# =========================================================================
+
+
+@register(
+    "q_theil_sen",
+    """WITH h AS (
+         SELECT CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                     AS BIGINT) AS hr,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*)
+                     AS BIGINT) AS c
+         FROM events GROUP BY hr
+       ), p AS (
+         SELECT ((b.c - a.c + 20000 * (b.hr - a.hr)) * 1000000)
+                    // (b.hr - a.hr) - 20000000000 AS slope_e6
+         FROM h a JOIN h b ON a.hr < b.hr
+       ), r AS (
+         SELECT slope_e6,
+                row_number() OVER (ORDER BY slope_e6) AS rn,
+                count(*) OVER () AS n
+         FROM p
+       )
+       SELECT CAST(min(n) AS BIGINT) AS n_pairs,
+              CAST(max(CASE WHEN 2 * rn >= n + 1
+                            AND 2 * (rn - 1) < n + 1
+                            THEN slope_e6 END) AS BIGINT)
+                  AS median_slope_e6_cents_per_hr,
+              CAST(sum(CASE WHEN slope_e6 > 0 THEN 1 ELSE 0 END) * 1000000
+                   // min(n) AS BIGINT) AS frac_up_ppm
+       FROM r""",
+    "THEIL–SEN robust trend of hourly mean spend: the median of all "
+    "pairwise slopes over the COMPRESSED hour domain — outlier-proof "
+    "where OLS (q_linreg_fit) is not, the standard robust-trend readout "
+    "for drift dashboards. Exactness across engines despite negative "
+    "slopes: Spark's `div` truncates toward zero while DuckDB's `//` "
+    "floors, so each slope is computed with a +20000-cents/hr offset "
+    "that keeps the dividend positive (|Δc| ≤ 10000 by the value "
+    "domain), divided, then de-offset — floor((a+K·d)/d) = floor(a/d)+K "
+    "exactly, so both engines produce the identical floored integer "
+    "slope. Median = nearest-rank over the pair frame (an actual data "
+    "value). Shape: one events scan compresses to ≤720 hour rows; the "
+    "O(|domain|²) ≈ 259k pair join, the rank window, and the median "
+    "all run on DOMAIN-sized frames — constant work at any event "
+    "count (the q_acf_hourly compression argument).",
+)
+def q_theil_sen(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
+    ev = _t(spark, sf_dir, "events")
+    hr = F.expr(
+        "CAST((unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01 00:00:00'))"
+        " div 3600000000 AS BIGINT)"
+    )
+    h = (
+        ev.select(hr.alias("hr"), cents(F.col("value")).alias("c"))
+        .groupBy("hr")
+        .agg(F.expr("sum(c) div count(1)").alias("c"))
+    )
+    a = h.select(F.col("hr").alias("h1"), F.col("c").alias("c1"))
+    b = h.select(F.col("hr").alias("h2"), F.col("c").alias("c2"))
+    p = a.join(b, F.col("h1") < F.col("h2")).select(
+        (
+            F.expr(
+                "((c2 - c1 + 20000 * (h2 - h1)) * 1000000) div (h2 - h1)"
+            )
+            - F.lit(20000000000)
+        ).alias("slope_e6")
+    )
+    w_rank = Window.orderBy("slope_e6")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = p.select(
+        "slope_e6",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return r.agg(
+        F.min("n").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(
+                (2 * F.col("rn") >= F.col("n") + 1)
+                & (2 * (F.col("rn") - 1) < F.col("n") + 1),
+                F.col("slope_e6"),
+            )
+        )
+        .cast("long")
+        .alias("median_slope_e6_cents_per_hr"),
+        F.expr(
+            "(sum(CASE WHEN slope_e6 > 0 THEN 1 ELSE 0 END) * 1000000)"
+            " div min(n)"
+        )
+        .cast("long")
+        .alias("frac_up_ppm"),
+    )
+
+
+# =========================================================================
+# Round 11 (wave 2): Kaplan–Meier survival estimator — time-to-churn with
+# right-censoring, the retention curve q_retention_cohorts approximates
+# without censoring awareness
+# =========================================================================
+
+
+@register(
+    "q_survival_km",
+    """WITH u AS (
+         SELECT user_id, min(ts) AS t0,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+                max(ts) AS tl
+         FROM events GROUP BY user_id
+       ), d AS (
+         -- elapsed full days (epoch-us floor), NOT date_diff('day'):
+         -- date_diff counts midnight crossings, which disagrees with
+         -- floor(elapsed) for arbitrary t0
+         SELECT CASE WHEN tp IS NOT NULL
+                      AND (epoch_us(tp) - epoch_us(t0)) // 86400000000 <= 7
+                     THEN (epoch_us(tp) - epoch_us(t0)) // 86400000000
+                     ELSE least(7, (epoch_us(tl) - epoch_us(t0))
+                                   // 86400000000) END AS t,
+                CASE WHEN tp IS NOT NULL
+                      AND (epoch_us(tp) - epoch_us(t0)) // 86400000000 <= 7
+                     THEN 1 ELSE 0 END AS ev
+         FROM u
+       ), agg AS (
+         SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM d GROUP BY t
+       ), w AS (
+         SELECT t, d,
+                CAST(sum(cnt) OVER (ORDER BY t DESC) AS BIGINT) AS n
+         FROM agg
+       ), l AS (
+         SELECT list(struct_pack(t := t, d := d, n := n) ORDER BY t) AS xs
+         FROM w WHERE d > 0
+       ), e AS (
+         SELECT unnest(generate_series(1, len(xs))) AS i, xs FROM l
+       )
+       SELECT CAST(xs[i].t AS BIGINT) AS t_days,
+              CAST(xs[i].n AS BIGINT) AS n_risk,
+              CAST(xs[i].d AS BIGINT) AS d_converted,
+              CAST(floor(list_reduce(
+                     list_transform(xs[1:i],
+                                    x -> 1.0 - x.d::DOUBLE / x.n),
+                     (a, b) -> a * b) * 1000000) AS BIGINT) AS surv_e6
+       FROM e""",
+    "KAPLAN–MEIER estimator of time-to-first-purchase under a 7-day "
+    "observation window with RIGHT-CENSORING: a user who has not "
+    "converted within 7 days of their first event (or whose activity "
+    "ends first) is censored at the window edge, not counted as a "
+    "never-converter — the distinction naive conversion curves (and "
+    "q_time_to_convert's converters-only latency) ignore and the reason "
+    "KM is the standard. S(t) = Π_{t'≤t} (1 − d_t'/n_t') over event "
+    "times; at-risk counts come from a DESC cumulative sum so same-day "
+    "censorings stay at risk (deaths-before-censoring, the KM "
+    "convention). Cross-engine float discipline: the survival product "
+    "folds LEFT-TO-RIGHT over the (t ASC)-sorted event-time array on "
+    "both engines (Spark aggregate over slice == DuckDB list_reduce "
+    "over list slice; 1.0·x and each (1 − d/n) term are correctly-"
+    "rounded IEEE on identical integer inputs) — the q_cramers_v "
+    "ordered-fold argument; d and n are exact BIGINTs, and day "
+    "durations are epoch-us floors (date_diff('day') counts midnight "
+    "crossings and would disagree). Shape: one events scan → per-user "
+    "min/max/conditional-min agg → ≤8-row event-time domain: the DESC "
+    "cumsum window, the sorted collect, and the O(k²) slice-folds all "
+    "run on the bounded domain at any corpus size.",
+)
+def q_survival_km(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+        F.max("ts").alias("tl"),
+    )
+    dp = F.expr(
+        "(unix_micros(tp) - unix_micros(t0)) div 86400000000"
+    )
+    life = F.expr(
+        "(unix_micros(tl) - unix_micros(t0)) div 86400000000"
+    )
+    converted = F.col("tp").isNotNull() & (dp <= 7)
+    d = u.select(
+        F.when(converted, dp).otherwise(F.least(F.lit(7), life)).alias("t"),
+        F.when(converted, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    agg = d.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("cnt")
+    )
+    w_desc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = agg.select("t", "d", F.sum("cnt").over(w_desc).alias("n")).filter(
+        F.col("d") > 0
+    )
+    l = w.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "n"))).alias("xs")
+    )
+    e = l.select(F.posexplode("xs").alias("p", "x"), "xs")
+    surv = F.aggregate(
+        F.expr("slice(xs, 1, CAST(p + 1 AS INT))"),
+        F.lit(1.0),
+        lambda acc, s: acc * (1.0 - s["d"].cast("double") / s["n"]),
+    )
+    return e.select(
+        F.col("x.t").cast("long").alias("t_days"),
+        F.col("x.n").cast("long").alias("n_risk"),
+        F.col("x.d").cast("long").alias("d_converted"),
+        F.floor(surv * 1000000).cast("long").alias("surv_e6"),
+    )

@@ -2199,3 +2199,115 @@ def q_label_weights(spark, sf_dir):
         ).alias("weight_ppm"),
         (F.col("n_class") * 100 >= F.col("n_all")).alias("is_major"),
     )
+
+
+# =========================================================================
+# Round 11 (wave 2): Welch's t-test — the unequal-variance two-sample
+# test every A/B experiment readout runs
+# =========================================================================
+
+
+@register(
+    "q_welch_ttest",
+    """WITH g AS (
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS s2
+         FROM events WHERE event_type IN ('purchase', 'click')
+         GROUP BY event_type
+       ), w AS (
+         SELECT
+           max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+           max(CASE WHEN event_type = 'purchase' THEN s1 END) AS sa1,
+           max(CASE WHEN event_type = 'purchase' THEN s2 END) AS sq1,
+           max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+           max(CASE WHEN event_type = 'click' THEN s1 END) AS sa2,
+           max(CASE WHEN event_type = 'click' THEN s2 END) AS sq2
+         FROM g
+       ), v AS (
+         SELECT n1, n2,
+                (sq1::DOUBLE - (sa1::DOUBLE * sa1) / n1) / (n1 - 1) / n1
+                    AS a,
+                (sq2::DOUBLE - (sa2::DOUBLE * sa2) / n2) / (n2 - 1) / n2
+                    AS b,
+                sa1::DOUBLE / n1 - sa2::DOUBLE / n2 AS md
+         FROM w
+       )
+       SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+              CAST(floor(md * 10000) AS BIGINT) AS mean_diff_e4_cents,
+              CAST(floor(md / sqrt(a + b) * 1000000) AS BIGINT) AS t_e6,
+              CAST(floor((a + b) * (a + b)
+                         / (a * a / (n1 - 1) + b * b / (n2 - 1)) * 1000000)
+                   AS BIGINT) AS df_e6,
+              abs(md / sqrt(a + b)) > 1.96 AS significant_05
+       FROM v""",
+    "WELCH'S t-TEST (unequal variances) on purchase-vs-click spend — the "
+    "two-sample readout every A/B experiment pipeline runs, with the "
+    "Welch–Satterthwaite effective df. Cross-engine float discipline: "
+    "the sufficient statistics (n, Σcents, Σcents²) are EXACT BIGINTs "
+    "(cents² ≤ 1e8, Σ ≤ 9.2e18 through ~1e10 rows); t and df derive "
+    "from six integers through an identical +,-,*,/,sqrt expression "
+    "tree on both engines — correctly-rounded IEEE ops on identical "
+    "inputs, no aggregate-order hazard anywhere (the only sums are the "
+    "integer moments). Shape: one events scan → map-side-combined "
+    "2-group moment agg → 1-row pivot → scalar arithmetic; the same "
+    "one-pass moment shape as q_linreg_fit.",
+)
+def q_welch_ttest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    c = cents(F.col("value"))
+    g = (
+        ev.select("event_type", c.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s1"))).alias("sa1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s2"))).alias("sq1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s1"))).alias("sa2"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s2"))).alias("sq2"),
+    )
+    a = (
+        (F.col("sq1").cast("double") - F.col("sa1").cast("double") * F.col("sa1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    b = (
+        (F.col("sq2").cast("double") - F.col("sa2").cast("double") * F.col("sa2") / F.col("n2"))
+        / (F.col("n2") - 1)
+        / F.col("n2")
+    )
+    md = F.col("sa1").cast("double") / F.col("n1") - F.col("sa2").cast(
+        "double"
+    ) / F.col("n2")
+    v = w.select("n1", "n2", a.alias("a"), b.alias("b"), md.alias("md"))
+    t = F.col("md") / F.sqrt(F.col("a") + F.col("b"))
+    return v.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.floor(F.col("md") * 10000).cast("long").alias("mean_diff_e4_cents"),
+        F.floor(t * 1000000).cast("long").alias("t_e6"),
+        F.floor(
+            (F.col("a") + F.col("b"))
+            * (F.col("a") + F.col("b"))
+            / (
+                F.col("a") * F.col("a") / (F.col("n1") - 1)
+                + F.col("b") * F.col("b") / (F.col("n2") - 1)
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("df_e6"),
+        (F.abs(t) > 1.96).alias("significant_05"),
+    )

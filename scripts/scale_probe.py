@@ -137,6 +137,10 @@ KEYS = [
     "q_rare_collapse",       # value-domain agg + threshold re-agg
     "q_semi_additive_snapshot",  # (user, day) rank window + day re-agg
     "q_stream_dedup_ttl",    # 2-batch TTL dedup, watermark-bounded state
+    "q_welch_ttest",         # 2-group integer moments + scalar math
+    "q_gini_coefficient",    # per-user agg + user-domain rank window
+    "q_theil_sen",           # hour compression + domain-bounded pair join
+    "q_survival_km",         # per-user agg + day-domain sorted fold
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

@@ -1502,3 +1502,42 @@ def test_semi_additive_two_keyed_exchanges(spark):
     ]
     assert len(tree_exchanges) == 2, plan
     assert "Window" in plan, plan
+
+
+def test_welch_one_scan_moment_agg(spark):
+    """Welch folds to six exact integer moments: one events scan, a
+    map-side-combined group agg, no join anywhere."""
+    plan = _plan(spark, "q_welch_ttest")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_gini_windows_over_user_domain(spark):
+    """The rank/total windows run over the per-user aggregate, never raw
+    events: one scan, agg pair below the window, no join."""
+    plan = _plan(spark, "q_gini_coefficient")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_theil_sen_pairs_over_compressed_domain(spark):
+    """The pairwise-slope join runs over the <=720-row hour compression
+    (a deliberate bounded non-equi join), never over raw events: exactly
+    one events scan feeding both join sides through the hour agg."""
+    plan = _plan(spark, "q_theil_sen")
+    assert plan.count("events.parquet") <= 2, plan  # two reads of one agg
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
+
+
+def test_survival_km_domain_bounded(spark):
+    """KM runs on the <=8-row event-time domain: one events scan, per-user
+    agg, DESC cumsum window, sorted-array fold — no join."""
+    plan = _plan(spark, "q_survival_km")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
