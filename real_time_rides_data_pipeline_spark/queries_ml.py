@@ -2311,3 +2311,126 @@ def q_welch_ttest(spark, sf_dir):
         .alias("df_e6"),
         (F.abs(t) > 1.96).alias("significant_05"),
     )
+
+
+# =========================================================================
+# Round 11 (wave 2): Mann–Whitney U — the nonparametric companion to
+# q_welch_ttest (rank-sum needs no normality; the pair is the standard
+# A/B readout battery)
+# =========================================================================
+
+
+@register(
+    "q_mann_whitney",
+    """WITH c AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                     AS BIGINT) AS n1c,
+                CAST(count(*) FILTER (WHERE event_type = 'click')
+                     AS BIGINT) AS n2c
+         FROM events WHERE event_type IN ('purchase', 'click')
+         GROUP BY cents
+       ), w AS (
+         SELECT n1c, n2c, (n1c + n2c) AS m,
+                CAST(sum(n1c + n2c) OVER (ORDER BY cents) AS BIGINT)
+                    - (n1c + n2c) AS lower_cnt
+         FROM c
+       ), s AS (
+         SELECT CAST(sum(n1c) AS BIGINT) AS n1,
+                CAST(sum(n2c) AS BIGINT) AS n2,
+                CAST(sum(n1c * (2 * lower_cnt + m + 1)) AS BIGINT) AS r1x2,
+                CAST(sum(m * m * m - m) AS BIGINT) AS ties
+         FROM w
+       ), v AS (
+         SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u1x2,
+                n1::DOUBLE * n2 / 12.0
+                * ((n1 + n2 + 1)
+                   - ties::DOUBLE / ((n1 + n2) * (n1 + n2 - 1.0))) AS var
+         FROM s
+       )
+       SELECT n1, n2, CAST(u1x2 AS BIGINT) AS u1_x2,
+              CAST(floor((u1x2 - n1::DOUBLE * n2) / 2.0 / sqrt(var)
+                         * 1000000) AS BIGINT) AS z_e6,
+              abs((u1x2 - n1::DOUBLE * n2) / 2.0 / sqrt(var)) > 1.96
+                  AS significant_05
+       FROM v""",
+    "MANN–WHITNEY U (Wilcoxon rank-sum) on purchase-vs-click spend — the "
+    "NONPARAMETRIC companion to q_welch_ttest (no normality assumption; "
+    "together they are the standard A/B readout battery). Exact integer "
+    "rank arithmetic over the distinct-cents compression: a tie block of "
+    "size m whose strictly-lower cumulative count is L has average rank "
+    "L + (m+1)/2, kept integral as 2·rank = 2L + m + 1, so 2·R1, "
+    "2·U1 = 2R1 − n1(n1+1), and the tie term Σ(m³−m) are all EXACT "
+    "BIGINTs (blocks are bounded by the ≤1e6-value cents domain, so m³ "
+    "stays tiny at any corpus size); the normal-approximation z then "
+    "derives from five exact integers through one identical "
+    "+,-,*,/,sqrt tree per engine — no aggregate-order hazard. Shape: "
+    "one events scan → distinct-cents agg → ONE cumulative window over "
+    "the value domain → 1 row; at 100 TB every post-scan frame is "
+    "domain-sized.",
+)
+def q_mann_whitney(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    c = (
+        ev.select("event_type", cents(F.col("value")).alias("cents"))
+        .groupBy("cents")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("n1c"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias(
+                "n2c"
+            ),
+        )
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = F.col("n1c") + F.col("n2c")
+    w = c.select(
+        "n1c",
+        "n2c",
+        m.alias("m"),
+        (F.sum(m).over(w_cum) - m).alias("lower_cnt"),
+    )
+    s = w.agg(
+        F.sum("n1c").alias("n1"),
+        F.sum("n2c").alias("n2"),
+        F.sum(
+            F.col("n1c") * (2 * F.col("lower_cnt") + F.col("m") + 1)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("m") * F.col("m") * F.col("m") - F.col("m")
+        ).alias("ties"),
+    )
+    u1x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    var = (
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / 12.0
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("ties").cast("double")
+            / (
+                (F.col("n1") + F.col("n2"))
+                * (F.col("n1") + F.col("n2") - 1.0)
+            )
+        )
+    )
+    v = s.select(
+        "n1", "n2", u1x2.alias("u1x2"), var.alias("var")
+    )
+    z = (
+        (F.col("u1x2") - F.col("n1").cast("double") * F.col("n2"))
+        / 2.0
+        / F.sqrt(F.col("var"))
+    )
+    return v.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("u1x2").cast("long").alias("u1_x2"),
+        F.floor(z * 1000000).cast("long").alias("z_e6"),
+        (F.abs(z) > 1.96).alias("significant_05"),
+    )

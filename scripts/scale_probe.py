@@ -141,6 +141,7 @@ KEYS = [
     "q_gini_coefficient",    # per-user agg + user-domain rank window
     "q_theil_sen",           # hour compression + domain-bounded pair join
     "q_survival_km",         # per-user agg + day-domain sorted fold
+    "q_mann_whitney",        # distinct-cents ranks + one cum window
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

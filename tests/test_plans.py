@@ -1541,3 +1541,13 @@ def test_survival_km_domain_bounded(spark):
     assert plan.count("HashAggregate") >= 2, plan
     assert "Window" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_mann_whitney_domain_bounded(spark):
+    """Rank arithmetic runs over the distinct-cents compression: one
+    scan, agg pair below the cumulative window, no join."""
+    plan = _plan(spark, "q_mann_whitney")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
