@@ -1984,3 +1984,256 @@ def q_geohash_cells(spark, sf_dir):
         .orderBy(F.col("n_events").desc(), "geohash6")
         .limit(50)
     )
+
+
+# =========================================================================
+# Round 11 (wave 3): week-over-week growth — the canonical periodic
+# growth readout over a bounded calendar spine
+# =========================================================================
+
+
+@register(
+    "q_wow_growth",
+    """WITH wk AS (
+         SELECT event_type,
+                (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS week_idx,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS wk_cents,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY event_type, week_idx
+       )
+       SELECT event_type, CAST(week_idx AS BIGINT) AS week_idx,
+              wk_cents, n_events,
+              lag(wk_cents) OVER (PARTITION BY event_type
+                                  ORDER BY week_idx) AS prev_cents,
+              CAST(floor((wk_cents - lag(wk_cents)
+                          OVER (PARTITION BY event_type ORDER BY week_idx))
+                         * 1000000.0
+                         / lag(wk_cents) OVER (PARTITION BY event_type
+                                               ORDER BY week_idx))
+                   AS BIGINT) AS growth_ppm
+       FROM wk""",
+    "WEEK-OVER-WEEK revenue growth per event type — the canonical "
+    "periodic-growth readout of every business dashboard. The week key "
+    "is a PURE-INTEGER day count from a fixed anchor ((date - "
+    "2024-01-01) div 7), deliberately NOT date_trunc('week'): ISO-week "
+    "boundary conventions are a classic cross-engine drift point (the "
+    "q_retention_cohorts de-risk finding), while integer day arithmetic "
+    "is identical everywhere. Growth is one exact-BIGINT-pair double "
+    "division floored to ppm (negative growth floors portably because "
+    "both engines floor the identical double; no integer `div` on a "
+    "possibly-negative numerator). Shape: one events scan -> "
+    "(type, week) hash agg -> a lag window over the BOUNDED calendar "
+    "domain (|types| x |weeks| rows — at 100 TB still just thousands); "
+    "the classic pre-aggregate-then-window shape.",
+)
+def q_wow_growth(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wk = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7"
+            ).alias("week_idx"),
+            cents(F.col("value")).alias("c"),
+        )
+        .groupBy("event_type", "week_idx")
+        .agg(
+            F.sum("c").alias("wk_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week_idx")
+    prev = F.lag("wk_cents").over(w)
+    return wk.select(
+        "event_type",
+        F.col("week_idx").cast("long").alias("week_idx"),
+        "wk_cents",
+        "n_events",
+        prev.alias("prev_cents"),
+        F.floor(
+            (F.col("wk_cents") - prev) * 1000000.0 / prev
+        )
+        .cast("long")
+        .alias("growth_ppm"),
+    )
+
+
+# =========================================================================
+# Round 11 (wave 3): EWMA fast/slow crossover — trend-shift detection
+# with EXACT dyadic decay weights
+# =========================================================================
+
+
+@register(
+    "q_ewma_crossover",
+    """WITH h AS (
+         SELECT date_trunc('hour', ts) AS hour_ts,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS hc
+         FROM events GROUP BY 1
+       ), b AS (
+         SELECT date_trunc('hour', min(ts)) AS mn,
+                date_trunc('hour', max(ts)) AS mx
+         FROM events
+       ), spine AS (
+         SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+         FROM b
+       ), s AS (
+         SELECT sp.hour_ts, coalesce(h.hc, 0) AS hc
+         FROM spine sp LEFT JOIN h USING (hour_ts)
+       ), w AS (
+         SELECT hour_ts,
+                8 * hc
+                + 4 * coalesce(lag(hc, 1) OVER (ORDER BY hour_ts), 0)
+                + 2 * coalesce(lag(hc, 2) OVER (ORDER BY hour_ts), 0)
+                + 1 * coalesce(lag(hc, 3) OVER (ORDER BY hour_ts), 0)
+                    AS fast_w,
+                128 * hc
+                + 64 * coalesce(lag(hc, 1) OVER (ORDER BY hour_ts), 0)
+                + 32 * coalesce(lag(hc, 2) OVER (ORDER BY hour_ts), 0)
+                + 16 * coalesce(lag(hc, 3) OVER (ORDER BY hour_ts), 0)
+                + 8 * coalesce(lag(hc, 4) OVER (ORDER BY hour_ts), 0)
+                + 4 * coalesce(lag(hc, 5) OVER (ORDER BY hour_ts), 0)
+                + 2 * coalesce(lag(hc, 6) OVER (ORDER BY hour_ts), 0)
+                + 1 * coalesce(lag(hc, 7) OVER (ORDER BY hour_ts), 0)
+                    AS slow_w
+         FROM s
+       ), g AS (
+         SELECT hour_ts, fast_w, slow_w,
+                17 * fast_w > slow_w AS golden,
+                lag(17 * fast_w > slow_w) OVER (ORDER BY hour_ts)
+                    AS prev_golden
+         FROM w
+       )
+       SELECT hour_ts, CAST(fast_w AS BIGINT) AS fast_w,
+              CAST(slow_w AS BIGINT) AS slow_w, golden
+       FROM g WHERE prev_golden IS NOT NULL AND golden <> prev_golden""",
+    "EWMA FAST/SLOW CROSSOVER detection on the hourly revenue series — "
+    "the trend-shift signal (golden/death cross) behind every "
+    "moving-average alerting rule. The decay is DYADIC (lambda = 1/2) "
+    "over truncated 4-hour (fast) and 8-hour (slow) frames, so every "
+    "weighted sum is an EXACT BIGINT (weights 8,4,2,1 / 128..1 — no "
+    "float decay fold, no summation-order hazard), and the crossover "
+    "test fast/15 > slow/255 reduces to the exact integer comparison "
+    "17*fast > slow (255/15 = 17) — the whole operator is "
+    "transcendental-free. The series is first gap-filled onto a dense "
+    "hourly spine (q_gapfill_spine idiom) so lag offsets mean wall-clock "
+    "hours, not sparse row offsets. Shape: one events scan -> hour-grain "
+    "agg -> windows over the BOUNDED hour domain (~9k rows/year at any "
+    "corpus size); emits only the crossover rows.",
+)
+def q_ewma_crossover(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.sum(cents(F.col("value"))).alias("hc"))
+    # Two consumers (spine bounds + the fill join) of the ~720-row hour
+    # frame: materialize once; bounds derive from the hour grain itself
+    # (hour-truncated min/max ts == min/max hour_ts), so events are
+    # scanned exactly once.
+    hourly = hourly.localCheckpoint()
+    bounds = hourly.agg(
+        F.min("hour_ts").alias("mn"),
+        F.max("hour_ts").alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_ts"
+        )
+    )
+    s = spine.join(F.broadcast(hourly), "hour_ts", "left").select(
+        "hour_ts", F.coalesce("hc", F.lit(0)).alias("hc")
+    )
+    w = Window.orderBy("hour_ts")
+
+    def lagged(k: int):
+        return F.coalesce(F.lag("hc", k).over(w), F.lit(0))
+
+    fast = sum((1 << (3 - k)) * lagged(k) for k in range(4))
+    slow = sum((1 << (7 - k)) * lagged(k) for k in range(8))
+    g = s.select(
+        "hour_ts", fast.alias("fast_w"), slow.alias("slow_w")
+    ).select(
+        "hour_ts",
+        "fast_w",
+        "slow_w",
+        (17 * F.col("fast_w") > F.col("slow_w")).alias("golden"),
+        F.lag(17 * F.col("fast_w") > F.col("slow_w")).over(w).alias(
+            "prev_golden"
+        ),
+    )
+    return g.filter(
+        F.col("prev_golden").isNotNull()
+        & (F.col("golden") != F.col("prev_golden"))
+    ).select(
+        "hour_ts",
+        F.col("fast_w").cast("long").alias("fast_w"),
+        F.col("slow_w").cast("long").alias("slow_w"),
+        "golden",
+    )
+
+
+# =========================================================================
+# Round 11 (wave 3): Herfindahl-Hirschman concentration index — market /
+# load concentration per segment
+# =========================================================================
+
+
+@register(
+    "q_hhi_concentration",
+    """WITH pu AS (
+         SELECT event_type, user_id,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS c
+         FROM events GROUP BY event_type, user_id
+       ), g AS (
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(c) AS BIGINT) AS tot,
+                CAST(max(c) AS BIGINT) AS mx,
+                sum(CAST(c AS HUGEINT) * c) AS sq
+         FROM pu GROUP BY event_type
+       )
+       SELECT event_type, n_users,
+              CAST(floor(sq::DOUBLE * 100000000.0
+                         / (tot::DOUBLE * tot)) AS BIGINT) AS hhi_e8,
+              (mx * 1000000) // tot AS top1_ppm,
+              CAST(floor(tot::DOUBLE * tot / sq::DOUBLE * 100) AS BIGINT)
+                  AS eff_users_e2
+       FROM g""",
+    "HERFINDAHL-HIRSCHMAN concentration index of revenue across users, "
+    "per event type — the standard concentration diagnostic (market "
+    "share, hot-key/load concentration, dataset-source dominance all "
+    "use it): HHI = sum(share_i^2), plus the largest single share and "
+    "the effective number of participants 1/HHI (the 'how many equal "
+    "users would look like this' readout). Exactness: per-user cents "
+    "and the sum-of-squares are EXACT integers (the squares widened to "
+    "DECIMAL(38,0)/HUGEINT — a heavy user's cents^2 overflows int64 "
+    "exactly at the 100 TB scale this targets, the q_gini octave-probe "
+    "lesson), and HHI is ONE double division of two exact moments, "
+    "floored to e8. Shape: one events scan -> (type, user) hash agg -> "
+    "|types|-row moment agg; every post-scan frame is key-domain-sized.",
+)
+def q_hhi_concentration(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("event_type", "user_id").agg(
+        F.sum(cents(F.col("value"))).alias("c")
+    )
+    g = pu.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("tot"),
+        F.max("c").alias("mx"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("sq"),
+    )
+    sqd = F.col("sq").cast("double")
+    totd = F.col("tot").cast("double")
+    return g.select(
+        "event_type",
+        "n_users",
+        F.floor(sqd * 100000000.0 / (totd * totd))
+        .cast("long")
+        .alias("hhi_e8"),
+        F.expr("(mx * 1000000) div tot").alias("top1_ppm"),
+        F.floor(totd * totd / sqd * 100).cast("long").alias("eff_users_e2"),
+    )

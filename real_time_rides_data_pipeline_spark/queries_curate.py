@@ -1711,3 +1711,75 @@ def q_rare_collapse(spark, sf_dir):
             F.count(F.lit(1)).alias("n_source_values"),
         )
     )
+
+
+# =========================================================================
+# Round 11 (wave 3): readability scoring — Flesch reading ease /
+# Flesch-Kincaid grade with a portable vowel-cluster syllable proxy
+# =========================================================================
+
+
+@register(
+    "q_readability",
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                    AS words,
+                CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                     AS BIGINT) AS sentences,
+                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                     AS BIGINT) AS syllables
+         FROM documents
+       )
+       SELECT doc_id, words, sentences, syllables,
+              CAST(floor((206.835
+                          - 1.015 * (words::DOUBLE / sentences)
+                          - 84.6 * (syllables::DOUBLE / words)) * 10000)
+                   AS BIGINT) AS flesch_e4,
+              CAST(floor((0.39 * (words::DOUBLE / sentences)
+                          + 11.8 * (syllables::DOUBLE / words)
+                          - 15.59) * 10000) AS BIGINT) AS fk_grade_e4
+       FROM t""",
+    "READABILITY scoring per document: Flesch reading ease + "
+    "Flesch-Kincaid grade level — the classic text-quality/complexity "
+    "features every corpus-curation pipeline computes next to "
+    "q_quality_score's heuristics and q_gopher_rules' hard gates. "
+    "Syllables use the standard portable proxy: maximal vowel clusters "
+    "[aeiouy]+ per document (regexp_count — a deterministic regular "
+    "language, identical under Java regex and RE2-family engines); "
+    "words reuse the whitespace-token contract shared with "
+    "q_text_stats; sentences are [.!?]+ runs floored at 1 so empty/"
+    "unpunctuated docs stay defined. All three counts are EXACT "
+    "integers, the two scores are one identical literal-coefficient "
+    "double tree per engine, floored to e4. Shape: pure scan-side map "
+    "(three regexp passes per row, no shuffle at all) -> row-level "
+    "output; the cheapest possible 100 TB shape.",
+)
+def q_readability(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    t = d.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+        .cast("long")
+        .alias("syllables"),
+    )
+    ws = F.col("words").cast("double") / F.col("sentences")
+    sw = F.col("syllables").cast("double") / F.col("words")
+    return t.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.floor((206.835 - 1.015 * ws - 84.6 * sw) * 10000)
+        .cast("long")
+        .alias("flesch_e4"),
+        F.floor((0.39 * ws + 11.8 * sw - 15.59) * 10000)
+        .cast("long")
+        .alias("fk_grade_e4"),
+    )

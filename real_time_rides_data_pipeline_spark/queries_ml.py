@@ -2434,3 +2434,511 @@ def q_mann_whitney(spark, sf_dir):
         F.floor(z * 1000000).cast("long").alias("z_e6"),
         (F.abs(z) > 1.96).alias("significant_05"),
     )
+
+
+# =========================================================================
+# Round 11 (wave 3): Spearman rank correlation — the monotone-association
+# companion to q_corr_exact's Pearson (outlier-robust, scale-free)
+# =========================================================================
+
+
+@register(
+    "q_spearman_corr",
+    """WITH per_user AS (
+         SELECT user_id,
+                CAST(count(*) AS BIGINT) AS x,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         FROM events GROUP BY user_id
+       ), r AS (
+         SELECT 2 * rank() OVER (ORDER BY x)
+                  + CAST(count(*) OVER (PARTITION BY x) AS BIGINT) - 1
+                    AS rx2,
+                2 * rank() OVER (ORDER BY y)
+                  + CAST(count(*) OVER (PARTITION BY y) AS BIGINT) - 1
+                    AS ry2
+         FROM per_user
+       ), s AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(rx2 AS HUGEINT)) AS DOUBLE) AS sx,
+                CAST(sum(CAST(ry2 AS HUGEINT)) AS DOUBLE) AS sy,
+                CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS DOUBLE) AS sxy,
+                CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS DOUBLE) AS syy
+         FROM r
+       )
+       SELECT n AS n_users,
+              CAST(floor((n * sxy - sx * sy) * 1000000
+                         / nullif(sqrt((n * sxx - sx * sx)
+                                       * (n * syy - sy * sy)), 0.0))
+                   AS BIGINT) AS spearman_ppm
+       FROM s""",
+    "SPEARMAN rank correlation between per-user activity (event count) "
+    "and per-user spend — the monotone-association companion to "
+    "q_corr_exact's Pearson (rank-based, so outlier-robust and invariant "
+    "to any monotone rescaling of either variable). Exact integer rank "
+    "arithmetic: tie-averaged 2*rank per variable (min+max of the "
+    "scale-safe distributed row number within each tie group — "
+    "operators.topk.global_row_number, NO single-partition sort), then "
+    "Pearson over the integer 2*ranks with the five moment sums kept "
+    "EXACT as DECIMAL(38,0)/HUGEINT (order-independent; per-row products "
+    "stay in int64 to n~1.5e9 users, sums exact far beyond); rho derives "
+    "from six exact numbers through one identical +,-,*,/,sqrt tree per "
+    "engine, floored to ppm. Shape: one events scan -> |users| agg -> "
+    "two range-partitioned rank passes + tie-group re-aggs over the "
+    "value DOMAINS -> 1 row.",
+)
+def q_spearman_corr(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.topk import (
+        global_row_number,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(cents(F.col("value"))).alias("y"),
+    )
+    # Three consumers (two rank passes + the moment join) — materialize
+    # the |users| aggregate once so events are scanned exactly once (the
+    # textdedup signature-table precedent).
+    per_user = per_user.localCheckpoint()
+    # Tie-averaged 2*rank = min(rn) + max(rn) within each tie group, with
+    # rn a distributed global row number (rank()+count() needs a global
+    # window; min+max of rn per distinct value is the scale-safe identity).
+    a = global_row_number(per_user, ["x", "user_id"], out_col="__rx")
+    ax = a.groupBy("x").agg((F.min("__rx") + F.max("__rx")).alias("rx2"))
+    b = global_row_number(per_user, ["y", "user_id"], out_col="__ry")
+    by = b.groupBy("y").agg((F.min("__ry") + F.max("__ry")).alias("ry2"))
+    r = per_user.join(ax, "x").join(by, "y")
+    dec = "decimal(38,0)"
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx2").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(dec))
+        .cast("double")
+        .alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1000000
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.floor(num / F.nullif(den, F.lit(0.0)))
+        .cast("long")
+        .alias("spearman_ppm"),
+    )
+
+
+# =========================================================================
+# Round 11 (wave 3): Cohen's d / Hedges' g — the effect-size readout that
+# accompanies q_welch_ttest's significance readout
+# =========================================================================
+
+
+@register(
+    "q_cohens_d",
+    """WITH g AS (
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS s1,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS s2
+         FROM events WHERE event_type IN ('purchase', 'click')
+         GROUP BY event_type
+       ), w AS (
+         SELECT
+           max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+           max(CASE WHEN event_type = 'purchase' THEN s1 END) AS sa1,
+           max(CASE WHEN event_type = 'purchase' THEN s2 END) AS sq1,
+           max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+           max(CASE WHEN event_type = 'click' THEN s1 END) AS sa2,
+           max(CASE WHEN event_type = 'click' THEN s2 END) AS sq2
+         FROM g
+       ), v AS (
+         SELECT n1, n2,
+                sa1::DOUBLE / n1 - sa2::DOUBLE / n2 AS md,
+                ((sq1::DOUBLE - (sa1::DOUBLE * sa1) / n1)
+                 + (sq2::DOUBLE - (sa2::DOUBLE * sa2) / n2))
+                / (n1 + n2 - 2) AS sp2
+         FROM w
+       )
+       SELECT n1, n2,
+              CAST(floor(sqrt(sp2) * 100) AS BIGINT) AS pooled_sd_cents_e2,
+              CAST(floor(md / sqrt(sp2) * 1000000) AS BIGINT) AS d_e6,
+              CAST(floor(md / sqrt(sp2)
+                         * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+                         * 1000000) AS BIGINT) AS g_e6
+       FROM v""",
+    "COHEN'S d (pooled-SD standardized mean difference) + the small-"
+    "sample-corrected HEDGES' g on purchase-vs-click spend — the effect-"
+    "SIZE readout that belongs next to q_welch_ttest's significance "
+    "readout (a tiny p-value with a negligible d is the classic big-data "
+    "trap: at 100 TB everything is 'significant', only d says whether it "
+    "matters). Same exact-integer-moment discipline as the t-test: "
+    "(n, sum-cents, sum-cents-squared) per group are EXACT BIGINTs, "
+    "pooled variance / d / g derive through one identical "
+    "+,-,*,/,sqrt tree per engine. Shape: one events scan -> map-side-"
+    "combined 2-group moment agg -> 1-row pivot -> scalar arithmetic.",
+)
+def q_cohens_d(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    c = cents(F.col("value"))
+    g = (
+        ev.select("event_type", c.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s1"))).alias("sa1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s2"))).alias("sq1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s1"))).alias("sa2"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s2"))).alias("sq2"),
+    )
+    md = F.col("sa1").cast("double") / F.col("n1") - F.col("sa2").cast(
+        "double"
+    ) / F.col("n2")
+    sp2 = (
+        (
+            F.col("sq1").cast("double")
+            - F.col("sa1").cast("double") * F.col("sa1") / F.col("n1")
+        )
+        + (
+            F.col("sq2").cast("double")
+            - F.col("sa2").cast("double") * F.col("sa2") / F.col("n2")
+        )
+    ) / (F.col("n1") + F.col("n2") - 2)
+    v = w.select("n1", "n2", md.alias("md"), sp2.alias("sp2"))
+    d = F.col("md") / F.sqrt(F.col("sp2"))
+    return v.select(
+        "n1",
+        "n2",
+        F.floor(F.sqrt(F.col("sp2")) * 100)
+        .cast("long")
+        .alias("pooled_sd_cents_e2"),
+        F.floor(d * 1000000).cast("long").alias("d_e6"),
+        F.floor(
+            d
+            * (1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9.0))
+            * 1000000
+        )
+        .cast("long")
+        .alias("g_e6"),
+    )
+
+
+# =========================================================================
+# Round 11 (wave 3): half-sample replication CI — a deterministic,
+# one-scan bootstrap-style interval for the mean
+# =========================================================================
+
+#: Number of half-sample replicates (= usable bits of the md5-derived
+#: 60-bit row hash; one independent-ish coin per replicate).
+_HSR_B = 60
+
+
+def _hsr_oracle() -> str:
+    return "WITH b AS (\n         SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT\n                    AS h,\n                CAST(round(value * 100) AS BIGINT) AS c\n         FROM events WHERE event_type = 'purchase'\n       ), g AS (\n         SELECT CAST(sum(c) AS BIGINT) AS s_all,\n                CAST(count(*) AS BIGINT) AS n_all,\n                CAST(sum(CASE WHEN (h // 1) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s0, CAST(sum((h // 1) % 2) AS BIGINT) AS n0,\n                CAST(sum(CASE WHEN (h // 2) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s1, CAST(sum((h // 2) % 2) AS BIGINT) AS n1,\n                CAST(sum(CASE WHEN (h // 4) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s2, CAST(sum((h // 4) % 2) AS BIGINT) AS n2,\n                CAST(sum(CASE WHEN (h // 8) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s3, CAST(sum((h // 8) % 2) AS BIGINT) AS n3,\n                CAST(sum(CASE WHEN (h // 16) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s4, CAST(sum((h // 16) % 2) AS BIGINT) AS n4,\n                CAST(sum(CASE WHEN (h // 32) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s5, CAST(sum((h // 32) % 2) AS BIGINT) AS n5,\n                CAST(sum(CASE WHEN (h // 64) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s6, CAST(sum((h // 64) % 2) AS BIGINT) AS n6,\n                CAST(sum(CASE WHEN (h // 128) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s7, CAST(sum((h // 128) % 2) AS BIGINT) AS n7,\n                CAST(sum(CASE WHEN (h // 256) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s8, CAST(sum((h // 256) % 2) AS BIGINT) AS n8,\n                CAST(sum(CASE WHEN (h // 512) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s9, CAST(sum((h // 512) % 2) AS BIGINT) AS n9,\n                CAST(sum(CASE WHEN (h // 1024) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s10, CAST(sum((h // 1024) % 2) AS BIGINT) AS n10,\n                CAST(sum(CASE WHEN (h // 2048) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s11, CAST(sum((h // 2048) % 2) AS BIGINT) AS n11,\n                CAST(sum(CASE WHEN (h // 4096) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s12, CAST(sum((h // 4096) % 2) AS BIGINT) AS n12,\n                CAST(sum(CASE WHEN (h // 8192) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s13, CAST(sum((h // 8192) % 2) AS BIGINT) AS n13,\n                CAST(sum(CASE WHEN (h // 16384) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s14, CAST(sum((h // 16384) % 2) AS BIGINT) AS n14,\n                CAST(sum(CASE WHEN (h // 32768) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s15, CAST(sum((h // 32768) % 2) AS BIGINT) AS n15,\n                CAST(sum(CASE WHEN (h // 65536) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s16, CAST(sum((h // 65536) % 2) AS BIGINT) AS n16,\n                CAST(sum(CASE WHEN (h // 131072) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s17, CAST(sum((h // 131072) % 2) AS BIGINT) AS n17,\n                CAST(sum(CASE WHEN (h // 262144) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s18, CAST(sum((h // 262144) % 2) AS BIGINT) AS n18,\n                CAST(sum(CASE WHEN (h // 524288) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s19, CAST(sum((h // 524288) % 2) AS BIGINT) AS n19,\n                CAST(sum(CASE WHEN (h // 1048576) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s20, CAST(sum((h // 1048576) % 2) AS BIGINT) AS n20,\n                CAST(sum(CASE WHEN (h // 2097152) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s21, CAST(sum((h // 2097152) % 2) AS BIGINT) AS n21,\n                CAST(sum(CASE WHEN (h // 4194304) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s22, CAST(sum((h // 4194304) % 2) AS BIGINT) AS n22,\n                CAST(sum(CASE WHEN (h // 8388608) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s23, CAST(sum((h // 8388608) % 2) AS BIGINT) AS n23,\n                CAST(sum(CASE WHEN (h // 16777216) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s24, CAST(sum((h // 16777216) % 2) AS BIGINT) AS n24,\n                CAST(sum(CASE WHEN (h // 33554432) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s25, CAST(sum((h // 33554432) % 2) AS BIGINT) AS n25,\n                CAST(sum(CASE WHEN (h // 67108864) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s26, CAST(sum((h // 67108864) % 2) AS BIGINT) AS n26,\n                CAST(sum(CASE WHEN (h // 134217728) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s27, CAST(sum((h // 134217728) % 2) AS BIGINT) AS n27,\n                CAST(sum(CASE WHEN (h // 268435456) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s28, CAST(sum((h // 268435456) % 2) AS BIGINT) AS n28,\n                CAST(sum(CASE WHEN (h // 536870912) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s29, CAST(sum((h // 536870912) % 2) AS BIGINT) AS n29,\n                CAST(sum(CASE WHEN (h // 1073741824) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s30, CAST(sum((h // 1073741824) % 2) AS BIGINT) AS n30,\n                CAST(sum(CASE WHEN (h // 2147483648) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s31, CAST(sum((h // 2147483648) % 2) AS BIGINT) AS n31,\n                CAST(sum(CASE WHEN (h // 4294967296) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s32, CAST(sum((h // 4294967296) % 2) AS BIGINT) AS n32,\n                CAST(sum(CASE WHEN (h // 8589934592) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s33, CAST(sum((h // 8589934592) % 2) AS BIGINT) AS n33,\n                CAST(sum(CASE WHEN (h // 17179869184) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s34, CAST(sum((h // 17179869184) % 2) AS BIGINT) AS n34,\n                CAST(sum(CASE WHEN (h // 34359738368) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s35, CAST(sum((h // 34359738368) % 2) AS BIGINT) AS n35,\n                CAST(sum(CASE WHEN (h // 68719476736) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s36, CAST(sum((h // 68719476736) % 2) AS BIGINT) AS n36,\n                CAST(sum(CASE WHEN (h // 137438953472) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s37, CAST(sum((h // 137438953472) % 2) AS BIGINT) AS n37,\n                CAST(sum(CASE WHEN (h // 274877906944) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s38, CAST(sum((h // 274877906944) % 2) AS BIGINT) AS n38,\n                CAST(sum(CASE WHEN (h // 549755813888) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s39, CAST(sum((h // 549755813888) % 2) AS BIGINT) AS n39,\n                CAST(sum(CASE WHEN (h // 1099511627776) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s40, CAST(sum((h // 1099511627776) % 2) AS BIGINT) AS n40,\n                CAST(sum(CASE WHEN (h // 2199023255552) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s41, CAST(sum((h // 2199023255552) % 2) AS BIGINT) AS n41,\n                CAST(sum(CASE WHEN (h // 4398046511104) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s42, CAST(sum((h // 4398046511104) % 2) AS BIGINT) AS n42,\n                CAST(sum(CASE WHEN (h // 8796093022208) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s43, CAST(sum((h // 8796093022208) % 2) AS BIGINT) AS n43,\n                CAST(sum(CASE WHEN (h // 17592186044416) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s44, CAST(sum((h // 17592186044416) % 2) AS BIGINT) AS n44,\n                CAST(sum(CASE WHEN (h // 35184372088832) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s45, CAST(sum((h // 35184372088832) % 2) AS BIGINT) AS n45,\n                CAST(sum(CASE WHEN (h // 70368744177664) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s46, CAST(sum((h // 70368744177664) % 2) AS BIGINT) AS n46,\n                CAST(sum(CASE WHEN (h // 140737488355328) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s47, CAST(sum((h // 140737488355328) % 2) AS BIGINT) AS n47,\n                CAST(sum(CASE WHEN (h // 281474976710656) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s48, CAST(sum((h // 281474976710656) % 2) AS BIGINT) AS n48,\n                CAST(sum(CASE WHEN (h // 562949953421312) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s49, CAST(sum((h // 562949953421312) % 2) AS BIGINT) AS n49,\n                CAST(sum(CASE WHEN (h // 1125899906842624) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s50, CAST(sum((h // 1125899906842624) % 2) AS BIGINT) AS n50,\n                CAST(sum(CASE WHEN (h // 2251799813685248) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s51, CAST(sum((h // 2251799813685248) % 2) AS BIGINT) AS n51,\n                CAST(sum(CASE WHEN (h // 4503599627370496) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s52, CAST(sum((h // 4503599627370496) % 2) AS BIGINT) AS n52,\n                CAST(sum(CASE WHEN (h // 9007199254740992) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s53, CAST(sum((h // 9007199254740992) % 2) AS BIGINT) AS n53,\n                CAST(sum(CASE WHEN (h // 18014398509481984) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s54, CAST(sum((h // 18014398509481984) % 2) AS BIGINT) AS n54,\n                CAST(sum(CASE WHEN (h // 36028797018963968) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s55, CAST(sum((h // 36028797018963968) % 2) AS BIGINT) AS n55,\n                CAST(sum(CASE WHEN (h // 72057594037927936) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s56, CAST(sum((h // 72057594037927936) % 2) AS BIGINT) AS n56,\n                CAST(sum(CASE WHEN (h // 144115188075855872) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s57, CAST(sum((h // 144115188075855872) % 2) AS BIGINT) AS n57,\n                CAST(sum(CASE WHEN (h // 288230376151711744) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s58, CAST(sum((h // 288230376151711744) % 2) AS BIGINT) AS n58,\n                CAST(sum(CASE WHEN (h // 576460752303423488) % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS s59, CAST(sum((h // 576460752303423488) % 2) AS BIGINT) AS n59\n         FROM b\n       ), m AS (\n         SELECT s_all, n_all,\n                list_sort([s0::DOUBLE / n0, s1::DOUBLE / n1, s2::DOUBLE / n2, s3::DOUBLE / n3, s4::DOUBLE / n4, s5::DOUBLE / n5, s6::DOUBLE / n6, s7::DOUBLE / n7, s8::DOUBLE / n8, s9::DOUBLE / n9, s10::DOUBLE / n10, s11::DOUBLE / n11, s12::DOUBLE / n12, s13::DOUBLE / n13, s14::DOUBLE / n14, s15::DOUBLE / n15, s16::DOUBLE / n16, s17::DOUBLE / n17, s18::DOUBLE / n18, s19::DOUBLE / n19, s20::DOUBLE / n20, s21::DOUBLE / n21, s22::DOUBLE / n22, s23::DOUBLE / n23, s24::DOUBLE / n24, s25::DOUBLE / n25, s26::DOUBLE / n26, s27::DOUBLE / n27, s28::DOUBLE / n28, s29::DOUBLE / n29, s30::DOUBLE / n30, s31::DOUBLE / n31, s32::DOUBLE / n32, s33::DOUBLE / n33, s34::DOUBLE / n34, s35::DOUBLE / n35, s36::DOUBLE / n36, s37::DOUBLE / n37, s38::DOUBLE / n38, s39::DOUBLE / n39, s40::DOUBLE / n40, s41::DOUBLE / n41, s42::DOUBLE / n42, s43::DOUBLE / n43, s44::DOUBLE / n44, s45::DOUBLE / n45, s46::DOUBLE / n46, s47::DOUBLE / n47, s48::DOUBLE / n48, s49::DOUBLE / n49, s50::DOUBLE / n50, s51::DOUBLE / n51, s52::DOUBLE / n52, s53::DOUBLE / n53, s54::DOUBLE / n54, s55::DOUBLE / n55, s56::DOUBLE / n56, s57::DOUBLE / n57, s58::DOUBLE / n58, s59::DOUBLE / n59]) AS ms\n         FROM g\n       )\n       SELECT n_all AS n,\n              CAST(60 AS BIGINT) AS n_resamples,\n              CAST(floor(s_all::DOUBLE / n_all * 10000) AS BIGINT) AS mean_e4,\n              CAST(floor((s_all::DOUBLE / n_all\n                          - (s_all::DOUBLE / n_all - ms[2]) / sqrt(2.0))\n                         * 10000) AS BIGINT) AS ci_lo_e4,\n              CAST(floor((s_all::DOUBLE / n_all\n                          + (ms[59] - s_all::DOUBLE / n_all) / sqrt(2.0))\n                         * 10000) AS BIGINT) AS ci_hi_e4\n       FROM m"
+
+
+@register(
+    "q_bootstrap_ci",
+    _hsr_oracle(),
+    "HALF-SAMPLE REPLICATION confidence interval for mean purchase spend "
+    "— the deterministic, engine-portable stand-in for the bootstrap: "
+    "replicate r (r < 60) is the half-sample selected by bit r of an "
+    "md5-derived 60-bit row hash (the q_group_kfold portability "
+    "precedent), so membership is a pure function of event_id on both "
+    "engines — no RNG, no resampling pass. The spread of the 60 "
+    "half-sample means estimates the sampling error (a half-sample mean "
+    "has ~2x the variance of the full mean, hence the 1/sqrt(2) shrink "
+    "of the [2.5%, 97.5%] percentile band around the full mean — the "
+    "classic random-groups estimator). ALL 60 replicate sums land in "
+    "ONE scan as conditional aggregates (map-side combined, constant "
+    "state — no 60x fan-out, no second pass), the percentile pick is "
+    "an array_sort over 60 doubles in a 1-row frame, and every mean is "
+    "an exact-BIGINT / exact-BIGINT division -> bit-identical doubles "
+    "cross-engine. Shape: one events scan -> 1 row x (2*60+2) exact "
+    "integer aggregates -> scalar arithmetic; at 100 TB this is a single "
+    "map-side-combined pass, the same cost as one count(*).",
+)
+def q_bootstrap_ci(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = ev.select(h.alias("h"), cents(F.col("value")).alias("c"))
+    aggs = [
+        F.sum("c").alias("s_all"),
+        F.count(F.lit(1)).alias("n_all"),
+    ]
+    for r in range(_HSR_B):
+        bit = F.expr(f"(h div {1 << r}) % 2")
+        aggs.append(F.sum(F.col("c") * bit).alias(f"s{r}"))
+        aggs.append(F.sum(bit).alias(f"n{r}"))
+    g = base.agg(*aggs)
+    means = [
+        F.col(f"s{r}").cast("double") / F.col(f"n{r}")
+        for r in range(_HSR_B)
+    ]
+    ms = F.array_sort(F.array(*means))
+    mean = F.col("s_all").cast("double") / F.col("n_all")
+    lo = F.element_at(ms, 2)
+    hi = F.element_at(ms, _HSR_B - 1)
+    rt2 = F.sqrt(F.lit(2.0))
+    return g.select(
+        F.col("n_all").alias("n"),
+        F.lit(_HSR_B).cast("long").alias("n_resamples"),
+        F.floor(mean * 10000).cast("long").alias("mean_e4"),
+        F.floor((mean - (mean - lo) / rt2) * 10000)
+        .cast("long")
+        .alias("ci_lo_e4"),
+        F.floor((mean + (hi - mean) / rt2) * 10000)
+        .cast("long")
+        .alias("ci_hi_e4"),
+    )
+
+
+# =========================================================================
+# Round 11 (wave 3): isotonic calibration — PAV via the max-min identity
+# over a bounded bin domain (completes the calibration family:
+# q_calibration_bins / q_ece / q_brier_score)
+# =========================================================================
+
+
+@register(
+    "q_isotonic_calibrate",
+    """WITH sc AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                     AS BIGINT) AS pos
+         FROM events GROUP BY c
+       ), mx AS (SELECT max(c) AS mc FROM sc),
+       bins AS (
+         SELECT ((c * 1000000 // (mc + 1)) * 200) // 1000000 AS bin,
+                CAST(sum(n) AS BIGINT) AS n,
+                CAST(sum(pos) AS BIGINT) AS pos
+         FROM sc, mx GROUP BY bin
+       ), cum AS (
+         SELECT bin, n, pos,
+                CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+         FROM bins
+       ), pairs AS (
+         SELECT i.bin AS bi, j.bin AS bj,
+                (j.cp - (i.cp - i.pos))::DOUBLE
+                / (j.cn - (i.cn - i.n)) AS avg_ij
+         FROM cum i, cum j WHERE i.bin <= j.bin
+       ), rm AS (
+         SELECT bi, bj,
+                min(avg_ij) OVER (PARTITION BY bi ORDER BY bj DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS m
+         FROM pairs
+       ), fit AS (
+         SELECT bj AS bin, max(m) AS fitted FROM rm GROUP BY bj
+       )
+       SELECT b.bin AS bin, b.n AS n, b.pos AS pos,
+              (b.pos * 1000000) // b.n AS raw_ppm,
+              CAST(floor(f.fitted * 1000000) AS BIGINT) AS fitted_ppm
+       FROM bins b JOIN fit f ON b.bin = f.bin""",
+    "ISOTONIC CALIBRATION (pool-adjacent-violators) of the purchase rate "
+    "against the normalized spend score, computed via the minimax "
+    "identity fitted(k) = max_{i<=k} min_{j>=k} avg(pos over bins i..j) "
+    "— the closed form of PAV that needs no sequential pooling loop, so "
+    "it distributes. The score is compressed to a 200-bin domain first "
+    "(distinct-cents agg -> ppm normalize -> bin), so the O(B^2) pair "
+    "frame is a CONSTANT ~20k rows regardless of corpus size — the "
+    "binned-isotonic contract every large-scale calibrator uses; the "
+    "fit is exact over the binned rates (prefix sums are exact BIGINTs, "
+    "each interval average is one exact-int/exact-int division -> "
+    "bit-identical doubles, min/max over identical double sets are "
+    "identical). Completes the calibration family next to "
+    "q_calibration_bins (reliability table), q_ece (summary), and "
+    "q_brier_score (proper score); output is monotone in the bin by "
+    "construction. Shape: one events scan -> value-domain agg -> 200-row "
+    "bin agg -> bounded pair join + two domain windows -> <=200 rows.",
+)
+def q_isotonic_calibrate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pos = (F.col("event_type") == "purchase").cast("long")
+    sc = (
+        ev.select(cents(F.col("value")).alias("c"), pos.alias("p"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p").alias("pos"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bins = (
+        sc.withColumn("mc", F.max("c").over(w_all))
+        .select(
+            F.expr("((c * 1000000 div (mc + 1)) * 200) div 1000000").alias(
+                "bin"
+            ),
+            "n",
+            "pos",
+        )
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
+    )
+    # Three consumers (both pair sides + the output join) of a <=200-row
+    # frame: materialize once so events are scanned exactly once.
+    bins = bins.localCheckpoint()
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("pos").over(w_cum).alias("cp"),
+    )
+    i = cum.select(
+        F.col("bin").alias("bi"),
+        (F.col("cp") - F.col("pos")).alias("lo_p"),
+        (F.col("cn") - F.col("n")).alias("lo_n"),
+    )
+    j = cum.select(
+        F.col("bin").alias("bj"),
+        F.col("cp").alias("hi_p"),
+        F.col("cn").alias("hi_n"),
+    )
+    pairs = i.join(F.broadcast(j), F.col("bi") <= F.col("bj")).select(
+        "bi",
+        "bj",
+        (
+            (F.col("hi_p") - F.col("lo_p")).cast("double")
+            / (F.col("hi_n") - F.col("lo_n"))
+        ).alias("avg_ij"),
+    )
+    w_rm = Window.partitionBy("bi").orderBy(F.desc("bj")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rm = pairs.select("bj", F.min("avg_ij").over(w_rm).alias("m"))
+    fit = rm.groupBy("bj").agg(F.max("m").alias("fitted"))
+    return (
+        bins.join(fit, bins["bin"] == fit["bj"])
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.expr("(pos * 1000000) div n").alias("raw_ppm"),
+            F.floor(F.col("fitted") * 1000000)
+            .cast("long")
+            .alias("fitted_ppm"),
+        )
+    )
+
+
+# =========================================================================
+# Round 11 (wave 3): quantile normalization — force each group's value
+# distribution onto the cross-group average quantile profile
+# =========================================================================
+
+
+@register(
+    "q_quantile_normalize",
+    """WITH r AS (
+         SELECT event_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS c,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY CAST(round(value * 100)
+                                                 AS BIGINT), event_id)
+                    AS rk,
+                CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                    AS nt
+         FROM events
+       ), binned AS (
+         SELECT event_id, event_type, c,
+                ((rk - 1) * 100) // nt AS bin
+         FROM r
+       ), gm AS (
+         SELECT event_type, bin,
+                (sum(c) * 1000000) // count(*) AS m_e6
+         FROM binned GROUP BY event_type, bin
+       ), prof AS (
+         SELECT bin,
+                CAST(sum(m_e6) // count(*) AS BIGINT) AS norm_e6
+         FROM gm GROUP BY bin
+       )
+       SELECT b.event_id, b.event_type, b.c AS cents,
+              CAST(b.bin AS BIGINT) AS bin, p.norm_e6
+       FROM binned b JOIN prof p ON b.bin = p.bin""",
+    "QUANTILE NORMALIZATION of per-event spend across event types — the "
+    "distribution-forcing feature transform (microarray-normalization "
+    "classic, now standard for cross-source feature alignment in "
+    "training-data pipelines): each row is mapped to the cross-group "
+    "AVERAGE value at its own within-group quantile, so every group ends "
+    "up with an identical marginal distribution while preserving "
+    "within-group rank order. Within-group rank is the scale-safe "
+    "distributed row number (global_row_number over (type, value, id) "
+    "minus a broadcast per-type offset — NO per-type single-partition "
+    "window sort); 100 quantile bins bound the profile frame at "
+    "|types| x 100 rows; the profile itself is all exact integer "
+    "arithmetic (scaled-e6 per-(type,bin) means via BIGINT div, then an "
+    "exact integer average across types — no float-sum order hazard). "
+    "Shape: one events scan -> range-partitioned rank -> (type,bin) agg "
+    "-> 100-row broadcast profile joined back -> row-level output.",
+)
+def q_quantile_normalize(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.topk import (
+        global_row_number,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("c")
+    )
+    # Scale-safe within-type rank: a GLOBAL distributed row number over
+    # (type, c, id) — types are contiguous under that order — minus the
+    # type's broadcast min-rank offset. Equivalent to row_number() OVER
+    # (PARTITION BY type ORDER BY c, id) without the per-type sort window.
+    g = global_row_number(
+        ev, ["event_type", "c", "event_id"], out_col="__rn"
+    )
+    offs = g.groupBy("event_type").agg(
+        F.min("__rn").alias("__o"), F.count(F.lit(1)).alias("nt")
+    )
+    binned = (
+        g.join(F.broadcast(offs), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "c",
+            F.expr("((__rn - __o) * 100) div nt").alias("bin"),
+        )
+    )
+    gm = binned.groupBy("event_type", "bin").agg(
+        F.expr("(sum(c) * 1000000) div count(*)").alias("m_e6")
+    )
+    prof = gm.groupBy("bin").agg(
+        F.expr("sum(m_e6) div count(*)").alias("norm_e6")
+    )
+    return binned.join(F.broadcast(prof), "bin").select(
+        "event_id",
+        "event_type",
+        F.col("c").alias("cents"),
+        F.col("bin").cast("long").alias("bin"),
+        "norm_e6",
+    )

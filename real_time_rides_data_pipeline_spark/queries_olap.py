@@ -1586,3 +1586,119 @@ def q_semi_additive_snapshot(spark, sf_dir):
         F.sum("c").alias("eod_total_cents"),
         F.max("c").alias("max_user_cents"),
     )
+
+
+# =========================================================================
+# Round 11 (wave 3): Pareto 80/20 concentration — "how many users drive
+# 80% of revenue", bucket-resolution, bounded-domain windows
+# =========================================================================
+
+
+@register(
+    "q_pareto_8020",
+    """WITH pu AS (
+         SELECT event_type, user_id,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS c
+         FROM events GROUP BY event_type, user_id
+       ), mx AS (SELECT max(c) AS mxc FROM pu),
+       bk AS (
+         SELECT event_type, (c * 10000) // (mxc + 1) AS b,
+                CAST(count(*) AS BIGINT) AS nu,
+                CAST(sum(c) AS BIGINT) AS sc
+         FROM pu, mx GROUP BY event_type, b
+       ), cum AS (
+         SELECT event_type, b, nu, sc,
+                CAST(sum(nu) OVER (PARTITION BY event_type ORDER BY b DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cnu,
+                CAST(sum(sc) OVER (PARTITION BY event_type ORDER BY b DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS csc,
+                CAST(sum(nu) OVER (PARTITION BY event_type) AS BIGINT)
+                    AS tot_nu,
+                CAST(sum(sc) OVER (PARTITION BY event_type) AS BIGINT)
+                    AS tot_sc
+         FROM bk
+       )
+       SELECT event_type,
+              max(tot_nu) AS n_users,
+              CAST(min(CASE WHEN 100 * csc >= 80 * tot_sc THEN cnu END)
+                   AS BIGINT) AS users_to_80,
+              (min(CASE WHEN 100 * csc >= 80 * tot_sc THEN cnu END)
+               * 1000000) // max(tot_nu) AS users_to_80_ppm,
+              CAST(floor(min(CASE WHEN 100 * csc >= 80 * tot_sc
+                                  THEN csc END)::DOUBLE
+                         * 1000000 / max(tot_sc)) AS BIGINT)
+                  AS share_at_cut_ppm
+       FROM cum GROUP BY event_type""",
+    "PARETO 80/20 concentration: the smallest top-spender set covering "
+    ">=80% of revenue, per event type — the 'how concentrated is this "
+    "workload/market/corpus' readout (same family as q_hhi_concentration "
+    "but in head-count units). SCALE DESIGN: user totals are bucketed "
+    "into 10,000 spend buckets against a broadcast global max FIRST, so "
+    "the cumulative windows run over the BOUNDED (type x bucket) domain "
+    "— never a per-user global sort (the answer is bucket-resolution, "
+    "exact at any corpus size for the bucketed statement; the "
+    "rank-exact variant would need the q_rfm_segments range-partitioned "
+    "rank). The crossing point needs NO row_number: cumulative revenue "
+    "is monotone along the descending-bucket traversal, so the "
+    "qualifying rows are a suffix and conditional MIN aggregates read "
+    "off the crossing bucket's cumulative user count and share exactly. "
+    "All comparisons are exact integer cross-multiplications "
+    "(100*cum >= 80*total). Shape: one events scan -> (type, user) agg "
+    "-> 1-row broadcast max -> (type, bucket) agg -> domain windows -> "
+    "|types| rows.",
+)
+def q_pareto_8020(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("event_type", "user_id").agg(
+        F.sum(cents(F.col("value"))).alias("c")
+    )
+    # Two consumers (the broadcast max + the bucket agg): materialize the
+    # per-user aggregate once so events are scanned exactly once.
+    pu = pu.localCheckpoint()
+    mx = pu.agg(F.max("c").alias("mxc"))
+    bk = (
+        pu.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.expr("(c * 10000) div (mxc + 1)").alias("b"),
+            "c",
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("nu"), F.sum("c").alias("sc"))
+    )
+    w_desc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = bk.select(
+        "event_type",
+        F.sum("nu").over(w_desc).alias("cnu"),
+        F.sum("sc").over(w_desc).alias("csc"),
+        F.sum("nu").over(w_all).alias("tot_nu"),
+        F.sum("sc").over(w_all).alias("tot_sc"),
+    )
+    qual = 100 * F.col("csc") >= 80 * F.col("tot_sc")
+    g = cum.groupBy("event_type").agg(
+        F.max("tot_nu").alias("n_users"),
+        F.min(F.when(qual, F.col("cnu"))).alias("users_to_80"),
+        F.min(F.when(qual, F.col("csc"))).alias("csc_cut"),
+        F.max("tot_sc").alias("tot_sc"),
+    )
+    return g.select(
+        "event_type",
+        "n_users",
+        "users_to_80",
+        F.expr("(users_to_80 * 1000000) div n_users").alias(
+            "users_to_80_ppm"
+        ),
+        F.floor(
+            F.col("csc_cut").cast("double") * 1000000 / F.col("tot_sc")
+        )
+        .cast("long")
+        .alias("share_at_cut_ppm"),
+    )

@@ -1551,3 +1551,123 @@ def test_mann_whitney_domain_bounded(spark):
     assert plan.count("HashAggregate") >= 2, plan
     assert "Window" in plan, plan
     assert "Join" not in plan, plan
+
+
+# ---- round-11 wave-3 registrations ------------------------------------
+
+
+def test_spearman_ranks_are_distributed(spark):
+    """Both rank passes are the range-partitioned global row number; the
+    registered key's run-materialization truncates lineage (and pins the
+    single events scan), so rangepartitioning is asserted on the
+    un-materialized twin (the q_ntile_first_last precedent). The final
+    moment fold is one aggregate over the joined rank frame."""
+    plan = _plan(spark, "q_spearman_corr")
+    assert "ntile(" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+    from real_time_rides_data_pipeline_spark.operators.topk import (
+        global_row_number,
+    )
+    from real_time_rides_data_pipeline_spark.registry import _t
+
+    ev = _t(spark, SMOKE_SF, "events").select("event_id")
+    full = explain_str(
+        global_row_number(ev, ["event_id"], materialize=False)
+    )
+    assert "rangepartitioning(" in full, full
+
+
+def test_cohens_d_one_scan_moment_agg(spark):
+    """Same six-exact-moment shape as Welch: one events scan, map-side
+    combined group agg, no join anywhere."""
+    plan = _plan(spark, "q_cohens_d")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_bootstrap_ci_single_pass_no_fanout(spark):
+    """All 60 half-sample replicate sums land in ONE conditional
+    aggregate over one scan: no explode, no join, no window — the
+    whole operator is a single map-side-combined pass."""
+    plan = _plan(spark, "q_bootstrap_ci")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode fan-out
+    assert "Window" not in plan, plan
+
+
+def test_isotonic_pairs_bounded_to_bin_domain(spark):
+    """The O(B^2) PAV pair frame builds on the materialized <=200-row bin
+    aggregate (lineage-truncated, so events are scanned exactly once at
+    materialization): the pair join is a broadcast nested loop over the
+    bounded bin frame and no rank/ntile window appears anywhere."""
+    plan = _plan(spark, "q_isotonic_calibrate")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "row_number" not in plan, plan
+    assert plan.count("events.parquet") == 0, plan  # behind the checkpoint
+
+
+def test_quantile_normalize_rank_distributed(spark):
+    """The within-type rank is the range-partitioned global row number
+    (lineage-truncated in the registered key — the rangepartitioning
+    node is pinned by test_spearman_ranks_are_distributed's twin); the
+    profile join back to rows must be a broadcast, and no per-type
+    window rank may appear."""
+    plan = _plan(spark, "q_quantile_normalize")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ntile(" not in plan, plan
+    assert plan.count("events.parquet") == 0, plan  # behind the checkpoint
+
+
+def test_wow_growth_window_over_week_domain(spark):
+    """The lag window runs over the (type, week) aggregate — one scan,
+    agg below the window, no join."""
+    plan = _plan(spark, "q_wow_growth")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_ewma_crossover_spine_broadcast(spark):
+    """The hourly series joins the dense spine via broadcast; every
+    window runs over the bounded hour domain above the materialized
+    hour-grain aggregate (events scanned once, at materialization)."""
+    plan = _plan(spark, "q_ewma_crossover")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan, plan
+    assert plan.count("events.parquet") == 0, plan  # behind the checkpoint
+
+
+def test_hhi_no_join_two_level_agg(spark):
+    """HHI folds (type, user) -> type moments: one scan, two stacked
+    hash aggregates, no window, no join."""
+    plan = _plan(spark, "q_hhi_concentration")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_pareto_windows_over_bucket_domain(spark):
+    """The cumulative windows run over the (type, bucket) aggregate
+    above the materialized per-user frame (events scanned once, at
+    materialization); no row_number appears anywhere (the conditional-
+    MIN crossing-point identity)."""
+    plan = _plan(spark, "q_pareto_8020")
+    assert "Window" in plan, plan
+    assert "row_number" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("events.parquet") == 0, plan  # behind the checkpoint
+
+
+def test_readability_pure_scan_map(spark):
+    """Readability is a pure scan-side map: no shuffle of any kind —
+    no aggregate, no join, no window."""
+    plan = _plan(spark, "q_readability")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "HashAggregate" not in plan, plan
