@@ -2237,3 +2237,265 @@ def q_hhi_concentration(spark, sf_dir):
         F.expr("(mx * 1000000) div tot").alias("top1_ppm"),
         F.floor(totd * totd / sqd * 100).cast("long").alias("eff_users_e2"),
     )
+
+
+# =========================================================================
+# Round 11 (wave 4): single mean-shift changepoint — binary-segmentation
+# step via exact prefix-sum cross-multiplication
+# =========================================================================
+
+
+@register(
+    "q_changepoint_mean",
+    """WITH h AS (
+         SELECT date_trunc('hour', ts) AS hour_ts,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS hc
+         FROM events GROUP BY 1
+       ), c AS (
+         SELECT hour_ts, hc,
+                CAST(sum(hc) OVER (ORDER BY hour_ts) AS BIGINT) AS sl,
+                CAST(row_number() OVER (ORDER BY hour_ts) AS BIGINT) AS nl,
+                CAST(sum(hc) OVER () AS BIGINT) AS s,
+                CAST(count(*) OVER () AS BIGINT) AS n
+         FROM h
+       ), g AS (
+         SELECT hour_ts, sl, nl, s, n,
+                (sl * (n - nl) - (s - sl) * nl) AS d
+         FROM c WHERE nl < n
+       )
+       SELECT hour_ts AS split_hour_ts,
+              nl AS n_left, (n - nl) AS n_right,
+              CAST(floor(sl::DOUBLE / nl * 10000) AS BIGINT)
+                  AS mean_left_e4,
+              CAST(floor((s - sl)::DOUBLE / (n - nl) * 10000) AS BIGINT)
+                  AS mean_right_e4,
+              CAST(floor(d::DOUBLE * d / (n::DOUBLE * nl * (n - nl))
+                         * 10000) AS BIGINT) AS gain_e4
+       FROM g
+       ORDER BY d::DOUBLE * d / (n::DOUBLE * nl * (n - nl)) DESC,
+                hour_ts
+       LIMIT 1""",
+    "SINGLE MEAN-SHIFT CHANGEPOINT over the hourly revenue series — the "
+    "binary-segmentation step (the building block of every CP detector; "
+    "q_cusum_drift localizes gradual drift, this localizes the sharpest "
+    "level break): the split maximizing the between-segment SSE "
+    "reduction gain(t) = (mean_L - mean_R)^2 * n_L n_R / n, computed "
+    "WITHOUT any per-split rescan via prefix sums: the cross-multiplied "
+    "numerator d = SL*(n-nl) - (S-SL)*nl is an EXACT BIGINT (prefix "
+    "cents x hour counts stay under 2^63 far past 100 TB since the "
+    "hour domain is bounded), and gain = d^2/(n*nl*(n-nl)) is one "
+    "identical double tree per engine, so the argmax picks the same "
+    "split everywhere (ties broken by hour). Shape: one events scan -> "
+    "hour-grain agg -> cumulative windows over the BOUNDED hour domain "
+    "-> TakeOrderedAndProject top-1.",
+)
+def q_changepoint_mean(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.sum(cents(F.col("value"))).alias("hc"))
+    w_cum = Window.orderBy("hour_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = h.select(
+        "hour_ts",
+        F.sum("hc").over(w_cum).alias("sl"),
+        F.row_number().over(Window.orderBy("hour_ts"))
+        .cast("long")
+        .alias("nl"),
+        F.sum("hc").over(w_all).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).filter(F.col("nl") < F.col("n"))
+    d = F.col("sl") * (F.col("n") - F.col("nl")) - (
+        F.col("s") - F.col("sl")
+    ) * F.col("nl")
+    gain = (
+        d.cast("double")
+        * d
+        / (
+            F.col("n").cast("double")
+            * F.col("nl")
+            * (F.col("n") - F.col("nl"))
+        )
+    )
+    g = c.select(
+        F.col("hour_ts").alias("split_hour_ts"),
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).alias("n_right"),
+        F.floor(F.col("sl").cast("double") / F.col("nl") * 10000)
+        .cast("long")
+        .alias("mean_left_e4"),
+        F.floor(
+            (F.col("s") - F.col("sl")).cast("double")
+            / (F.col("n") - F.col("nl"))
+            * 10000
+        )
+        .cast("long")
+        .alias("mean_right_e4"),
+        gain.alias("__gain"),
+        F.floor(gain * 10000).cast("long").alias("gain_e4"),
+    )
+    return (
+        g.orderBy(F.desc("__gain"), F.asc("split_hour_ts"))
+        .limit(1)
+        .drop("__gain")
+    )
+
+
+# =========================================================================
+# Round 11 (wave 4): Goh-Barabasi burstiness index — per-user
+# inter-arrival dispersion from exact integer microsecond moments
+# =========================================================================
+
+
+@register(
+    "q_burstiness_index",
+    """WITH d AS (
+         SELECT user_id,
+                epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS gap
+         FROM events
+       ), m AS (
+         SELECT user_id,
+                CAST(count(gap) AS BIGINT) AS n,
+                CAST(sum(gap) AS BIGINT) AS s1,
+                sum(CAST(gap AS HUGEINT) * gap) AS s2
+         FROM d WHERE gap IS NOT NULL GROUP BY user_id
+       ), v AS (
+         SELECT user_id, n, s1,
+                s1::DOUBLE / n AS mu,
+                sqrt(greatest(s2::DOUBLE / n
+                              - (s1::DOUBLE / n) * (s1::DOUBLE / n),
+                              0.0)) AS sigma
+         FROM m WHERE n >= 3
+       )
+       SELECT user_id, n AS n_gaps,
+              CAST(floor(mu) AS BIGINT) AS mean_gap_us,
+              CAST(floor((sigma - mu) / nullif(sigma + mu, 0.0) * 1000000)
+                   AS BIGINT) AS burstiness_e6
+       FROM v""",
+    "GOH-BARABASI BURSTINESS INDEX B = (sigma - mu)/(sigma + mu) of "
+    "per-user inter-arrival times — the standard point-process "
+    "dispersion readout (B -> -1 periodic, 0 Poisson, +1 bursty; the "
+    "per-user scalar that q_burst_detect's windowed alarm aggregates "
+    "over). Gaps are EXACT integer microseconds from one lag window per "
+    "user (total order (ts, event_id)); the moment sums are exact "
+    "(sum-of-squares widened to DECIMAL(38,0)/HUGEINT — a 30-day gap "
+    "squared is 7e24, past int64, the q_gini octave lesson applied at "
+    "registration); sigma/mu/B derive through one identical double tree "
+    "with a greatest(.,0) guard so variance~0 users cannot produce a "
+    "cross-engine sqrt(-eps) divergence. Shape: one events scan -> "
+    "per-user lag window -> per-user moment agg -> map; at 100 TB the "
+    "window keys on user_id (millions of small partitions, no skew).",
+)
+def q_burstiness_index(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    d = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    m = d.groupBy("user_id").agg(
+        F.count("gap").alias("n"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap")).alias(
+            "s2"
+        ),
+    ).filter(F.col("n") >= 3)
+    mu = F.col("s1").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n") - mu * mu, F.lit(0.0)
+        )
+    )
+    v = m.select("user_id", "n", mu.alias("mu"), sigma.alias("sigma"))
+    return v.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.floor(F.col("mu")).cast("long").alias("mean_gap_us"),
+        F.floor(
+            (F.col("sigma") - F.col("mu"))
+            / F.nullif(F.col("sigma") + F.col("mu"), F.lit(0.0))
+            * 1000000
+        )
+        .cast("long")
+        .alias("burstiness_e6"),
+    )
+
+
+# =========================================================================
+# Round 11 (wave 4): weekly acquisition curve — new vs returning users
+# and the cumulative user base
+# =========================================================================
+
+
+@register(
+    "q_new_users_weekly",
+    """WITH uw AS (
+         SELECT DISTINCT user_id,
+                (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS week_idx
+         FROM events
+       ), fu AS (
+         SELECT user_id, min(week_idx) AS first_week FROM uw
+         GROUP BY user_id
+       ), wk AS (
+         SELECT uw.week_idx,
+                CAST(count(*) AS BIGINT) AS active_users,
+                CAST(count(*) FILTER (WHERE fu.first_week = uw.week_idx)
+                     AS BIGINT) AS new_users
+         FROM uw JOIN fu USING (user_id)
+         GROUP BY uw.week_idx
+       )
+       SELECT CAST(week_idx AS BIGINT) AS week_idx, active_users,
+              new_users,
+              (active_users - new_users) AS returning_users,
+              CAST(sum(new_users) OVER (ORDER BY week_idx) AS BIGINT)
+                  AS cum_users
+       FROM wk""",
+    "WEEKLY ACQUISITION CURVE: active vs first-seen (new) vs returning "
+    "users per week plus the cumulative user base — the growth-"
+    "accounting readout that complements q_retention_cohorts (cohorts "
+    "answer 'do they come back', this answers 'how fast does the base "
+    "grow and how much of each week is new blood'). Week keys are the "
+    "anchored integer day count (the q_wow_growth portability "
+    "convention, NOT date_trunc('week')). Shape: one events scan -> "
+    "(user, week) distinct -> per-user min agg joined back on user_id "
+    "(hash join, millions of keys, no skew) -> week-domain agg + one "
+    "cumulative window over |weeks| rows. All counts exact integers.",
+)
+def q_new_users_weekly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7"
+        ).alias("week_idx"),
+    ).distinct()
+    fu = uw.groupBy("user_id").agg(F.min("week_idx").alias("first_week"))
+    wk = (
+        uw.join(fu, "user_id")
+        .groupBy("week_idx")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(
+                (F.col("first_week") == F.col("week_idx")).cast("long")
+            ).alias("new_users"),
+        )
+    )
+    w_cum = Window.orderBy("week_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return wk.select(
+        F.col("week_idx").cast("long").alias("week_idx"),
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias(
+            "returning_users"
+        ),
+        F.sum("new_users").over(w_cum).alias("cum_users"),
+    )

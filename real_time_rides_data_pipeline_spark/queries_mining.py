@@ -2118,3 +2118,95 @@ def q_survival_km(spark, sf_dir):
         F.col("x.d").cast("long").alias("d_converted"),
         F.floor(surv * 1000000).cast("long").alias("surv_e6"),
     )
+
+
+# =========================================================================
+# Round 11 (wave 4): market-basket lift — pairwise co-occurrence
+# association between event types across users
+# =========================================================================
+
+
+@register(
+    "q_basket_lift",
+    """WITH ut AS (
+         SELECT DISTINCT user_id, event_type FROM events
+       ), n AS (
+         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ut
+       ), tc AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut
+         GROUP BY event_type
+       ), pairs AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                CAST(count(*) AS BIGINT) AS n_both
+         FROM ut a JOIN ut b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY type_a, type_b
+       )
+       SELECT p.type_a, p.type_b,
+              ta.n_t AS n_a, tb.n_t AS n_b, p.n_both,
+              (p.n_both * 1000000) // n.nu AS support_ppm,
+              CAST(floor(p.n_both::DOUBLE * n.nu * 1000000
+                         / (ta.n_t::DOUBLE * tb.n_t)) AS BIGINT)
+                  AS lift_e6
+       FROM pairs p
+       JOIN tc ta ON ta.event_type = p.type_a
+       JOIN tc tb ON tb.event_type = p.type_b
+       CROSS JOIN n""",
+    "MARKET-BASKET LIFT between event types: for every type pair, "
+    "lift = P(A and B) / (P(A) P(B)) over the user population plus raw "
+    "support — the association-rule readout (recommendation mining, "
+    "feature co-occurrence screening) that complements q_pmi_bigrams' "
+    "token-level association with user-level behavior. Scale shape: "
+    "the self-join runs on the (user, type) DISTINCT frame keyed on "
+    "user_id — each user contributes at most |types| rows, so the "
+    "join output is bounded by |users| x C(|types|,2), never user^2; "
+    "type totals and the population count are a broadcast-tiny "
+    "|types|-row frame and a 1-row frame. Counts are exact integers; "
+    "lift is one identical double tree floored to e6 (the e6-scaled "
+    "integer cross-product overflows int64 exactly at the corpus sizes "
+    "this targets, the q_gini lesson). Shape: one events scan -> "
+    "distinct -> keyed self-join -> |types|^2-bounded aggregate.",
+)
+def q_basket_lift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    # Three consumers (pair join both sides + type totals + population):
+    # materialize the |users|x|types| distinct frame once.
+    ut = ut.localCheckpoint()
+    n = ut.agg(F.count_distinct("user_id").alias("nu"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tc.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    tb = tc.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.expr("(n_both * 1000000) div nu").alias("support_ppm"),
+        F.floor(
+            F.col("n_both").cast("double")
+            * F.col("nu")
+            * 1000000
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        )
+        .cast("long")
+        .alias("lift_e6"),
+    )

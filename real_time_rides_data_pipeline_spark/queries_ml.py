@@ -2942,3 +2942,141 @@ def q_quantile_normalize(spark, sf_dir):
         F.col("bin").cast("long").alias("bin"),
         "norm_e6",
     )
+
+
+# =========================================================================
+# Round 11 (wave 4): F1-optimal decision threshold — the sweep that turns
+# a scored classifier into a deployed one
+# =========================================================================
+
+
+@register(
+    "q_f1_threshold",
+    """WITH sc AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                     AS BIGINT) AS pos
+         FROM events GROUP BY c
+       ), cum AS (
+         SELECT c,
+                CAST(sum(pos) OVER (ORDER BY c DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS tp,
+                CAST(sum(n) OVER (ORDER BY c DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS pp,
+                CAST(sum(pos) OVER () AS BIGINT) AS p
+         FROM sc
+       )
+       SELECT c AS threshold_cents,
+              tp, (pp - tp) AS fp, (p - tp) AS fn,
+              CAST(floor(2.0 * tp / (pp + p) * 1000000) AS BIGINT)
+                  AS f1_e6
+       FROM cum
+       ORDER BY 2.0 * tp / (pp + p) DESC, c
+       LIMIT 1""",
+    "F1-OPTIMAL DECISION THRESHOLD sweep: evaluate F1 at EVERY distinct "
+    "score cut ('predict positive iff score >= c') in one pass and "
+    "return the best — the step that turns q_auc_roc's ranking eval "
+    "into a deployable classifier (threshold picking is where offline "
+    "eval meets production). The sweep needs NO per-threshold rescan: "
+    "over the distinct-cents compression, TP and predicted-positive "
+    "counts at every cut are one descending cumulative window, and the "
+    "identity F1 = 2TP/(2TP+FP+FN) = 2TP/(PP+P) makes each candidate "
+    "one exact-int division -> identical doubles -> identical argmax "
+    "(ties broken toward the lower threshold = higher recall). Shape: "
+    "one events scan -> value-domain agg -> ONE cumulative window over "
+    "the bounded domain -> TakeOrderedAndProject top-1.",
+)
+def q_f1_threshold(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pos = (F.col("event_type") == "purchase").cast("long")
+    sc = (
+        ev.select(cents(F.col("value")).alias("c"), pos.alias("p"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p").alias("pos"))
+    )
+    w_desc = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = sc.select(
+        "c",
+        F.sum("pos").over(w_desc).alias("tp"),
+        F.sum("n").over(w_desc).alias("pp"),
+        F.sum("pos").over(w_all).alias("p"),
+    )
+    f1 = 2.0 * F.col("tp") / (F.col("pp") + F.col("p"))
+    g = cum.select(
+        F.col("c").alias("threshold_cents"),
+        "tp",
+        (F.col("pp") - F.col("tp")).alias("fp"),
+        (F.col("p") - F.col("tp")).alias("fn"),
+        f1.alias("__f1"),
+        F.floor(f1 * 1000000).cast("long").alias("f1_e6"),
+    )
+    return (
+        g.orderBy(F.desc("__f1"), F.asc("threshold_cents"))
+        .limit(1)
+        .drop("__f1")
+    )
+
+
+# =========================================================================
+# Round 11 (wave 4): two-sample Poisson rate test — the COUNT-based A/B
+# readout completing the battery (means: Welch; distributions:
+# Mann-Whitney; effect size: Cohen's d; rates: this)
+# =========================================================================
+
+
+@register(
+    "q_poisson_rate_test",
+    """WITH g AS (
+         SELECT CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                     AS BIGINT) AS n1,
+                CAST(count(*) FILTER (WHERE event_type = 'error')
+                     AS BIGINT) AS n2,
+                epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+         FROM events WHERE event_type IN ('purchase', 'error')
+       )
+       SELECT n1, n2,
+              CAST(span_us AS BIGINT) AS span_us,
+              (n1 * 1000000) // n2 AS rate_ratio_e6,
+              CAST(floor((n1 - n2) / sqrt(n1 + n2) * 1000000) AS BIGINT)
+                  AS z_e6,
+              abs((n1 - n2) / sqrt(n1 + n2)) > 1.96 AS significant_05
+       FROM g""",
+    "TWO-SAMPLE POISSON RATE TEST (conditional test, normal "
+    "approximation): are purchases and errors arriving at the same "
+    "rate over the shared exposure window? z = (n1-n2)/sqrt(n1+n2) — "
+    "the COUNT-based member of the A/B battery (q_welch_ttest compares "
+    "means, q_mann_whitney distributions, q_cohens_d effect size; rate "
+    "comparisons over equal exposure are the fourth standard readout). "
+    "Both counts and the exposure span are EXACT integers from ONE "
+    "map-side-combined conditional aggregate; z is one identical "
+    "-,+,/,sqrt tree per engine. The rate ratio is an exact integer "
+    "div. Shape: one events scan -> 1-row agg -> scalar arithmetic; "
+    "the cheapest possible test at any scale.",
+)
+def q_poisson_rate_test(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    us = F.unix_micros(F.col("ts"))
+    g = ev.agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n1"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n2"),
+        (F.max(us) - F.min(us)).alias("span_us"),
+    )
+    z = (F.col("n1") - F.col("n2")) / F.sqrt(F.col("n1") + F.col("n2"))
+    return g.select(
+        "n1",
+        "n2",
+        F.col("span_us").cast("long").alias("span_us"),
+        F.expr("(n1 * 1000000) div n2").alias("rate_ratio_e6"),
+        F.floor(z * 1000000).cast("long").alias("z_e6"),
+        (F.abs(z) > 1.96).alias("significant_05"),
+    )

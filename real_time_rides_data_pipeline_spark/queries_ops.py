@@ -1537,3 +1537,99 @@ def q_containment_join(spark, sf_dir):
         "id_sup",
         F.expr("(inter * 1000000) div sz").alias("containment_ppm"),
     )
+
+
+# =========================================================================
+# Round 11 (wave 4): total-variation drift — the L1 companion to
+# q_ks_drift's sup-norm test, exact by integer cross-multiplication
+# =========================================================================
+
+
+@register(
+    "q_tv_drift",
+    """WITH b AS (
+         SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx,
+                max(CAST(round(value * 100) AS BIGINT)) AS mc
+         FROM events
+       ), binned AS (
+         SELECT (CAST(round(value * 100) AS BIGINT) * 20) // (mc + 1)
+                    AS bin,
+                CASE WHEN epoch_us(ts) <= (mn + mx) // 2 THEN 1 ELSE 0 END
+                    AS first_half
+         FROM events, b
+       ), cells AS (
+         SELECT bin,
+                CAST(sum(first_half) AS BIGINT) AS a,
+                CAST(sum(1 - first_half) AS BIGINT) AS bb
+         FROM binned GROUP BY bin
+       ), t AS (
+         SELECT CAST(sum(a) AS BIGINT) AS n1,
+                CAST(sum(bb) AS BIGINT) AS n2,
+                CAST(sum(abs(a * (SELECT sum(bb) FROM cells)
+                             - bb * (SELECT sum(a) FROM cells)))
+                     AS BIGINT) AS num
+         FROM cells
+       )
+       SELECT n1 AS n_first, n2 AS n_second,
+              CAST(floor(num::DOUBLE * 1000000 / (2.0 * n1 * n2))
+                   AS BIGINT) AS tv_e6
+       FROM t""",
+    "TOTAL-VARIATION drift between the first-half and second-half value "
+    "distributions over 20 equal-width bins — the L1 drift monitor next "
+    "to q_ks_drift's sup-norm (KS fires on one shifted quantile, TV on "
+    "mass moved anywhere; production drift suites run both). EXACT up "
+    "to the final scale: TV = 0.5*sum|a_i/N1 - b_i/N2| cross-multiplies "
+    "to sum|a_i*N2 - b_i*N1| / (2*N1*N2), and the numerator is a sum of "
+    "exact BIGINT absolute differences (no per-bin float division, no "
+    "summation-order hazard) with ONE double division at the end. The "
+    "half-split point and the bin width come from a broadcast 1-row "
+    "min/max frame. Shape: two events scans (bounds + binning — the "
+    "bounds row must exist before the bin map can run) -> 20-cell agg "
+    "-> 1 row; at 100 TB both passes are map-side-combined scans.",
+)
+def q_tv_drift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    b = ev.agg(
+        F.min(us).alias("mn"),
+        F.max(us).alias("mx"),
+        F.max(cents(F.col("value"))).alias("mc"),
+    )
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        F.expr(
+            "(CAST(round(value * 100) AS BIGINT) * 20) div (mc + 1)"
+        ).alias("bin"),
+        F.when(us <= F.expr("(mn + mx) div 2"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("first_half"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("first_half").alias("a"),
+        F.sum(1 - F.col("first_half")).alias("bb"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = cells.select(
+        "a",
+        "bb",
+        F.sum("a").over(w_all).alias("n1"),
+        F.sum("bb").over(w_all).alias("n2"),
+    ).agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(
+            F.abs(F.col("a") * F.col("n2") - F.col("bb") * F.col("n1"))
+        ).alias("num"),
+    )
+    return t.select(
+        F.col("n1").alias("n_first"),
+        F.col("n2").alias("n_second"),
+        F.floor(
+            F.col("num").cast("double")
+            * 1000000
+            / (2.0 * F.col("n1") * F.col("n2"))
+        )
+        .cast("long")
+        .alias("tv_e6"),
+    )

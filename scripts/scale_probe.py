@@ -142,6 +142,25 @@ KEYS = [
     "q_theil_sen",           # hour compression + domain-bounded pair join
     "q_survival_km",         # per-user agg + day-domain sorted fold
     "q_mann_whitney",        # distinct-cents ranks + one cum window
+    # round-11 wave-3 additions.
+    "q_spearman_corr",       # |users| agg + 2 range-partitioned rank passes
+    "q_cohens_d",            # 2-group integer moments + scalar math
+    "q_bootstrap_ci",        # one-scan 60-replicate conditional agg
+    "q_isotonic_calibrate",  # 200-bin compression + bounded pair frame
+    "q_quantile_normalize",  # distributed rank + 100-bin broadcast profile
+    "q_wow_growth",          # (type, week) agg + bounded lag window
+    "q_ewma_crossover",      # hour-grain agg + bounded dyadic-lag windows
+    "q_hhi_concentration",   # (type, user) agg + |types| moment agg
+    "q_pareto_8020",         # (type, bucket) agg + bounded cum windows
+    "q_readability",         # pure scan-side regexp map (linear reference)
+    # round-11 wave-4 additions.
+    "q_changepoint_mean",    # hour compression + prefix windows + top-1
+    "q_burstiness_index",    # per-user lag window + moment agg
+    "q_f1_threshold",        # distinct-cents sweep + desc cum window
+    "q_poisson_rate_test",   # 1-row conditional agg
+    "q_tv_drift",            # broadcast bounds + 20-cell agg
+    "q_new_users_weekly",    # (user, week) distinct + user-keyed join
+    "q_basket_lift",         # distinct frame + user-keyed pair self-join
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

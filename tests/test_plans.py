@@ -1671,3 +1671,80 @@ def test_readability_pure_scan_map(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+# ---- round-11 wave-4 registrations ------------------------------------
+
+
+def test_changepoint_windows_over_hour_domain(spark):
+    """The prefix/total windows and the top-1 pick run over the hour
+    aggregate: one scan, agg below the windows, TakeOrdered top-1, no
+    join."""
+    plan = _plan(spark, "q_changepoint_mean")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_burstiness_window_keys_on_user(spark):
+    """The lag window partitions by user_id (no empty-frame global sort
+    over raw events); moments fold per user."""
+    plan = _plan(spark, "q_burstiness_index")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_f1_threshold_domain_bounded(spark):
+    """The threshold sweep runs over the distinct-cents compression:
+    one scan, agg pair below the cumulative window, TakeOrdered top-1,
+    no join."""
+    plan = _plan(spark, "q_f1_threshold")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_poisson_rate_one_row_agg(spark):
+    """Rate test folds to one conditional aggregate row: one scan, no
+    join, no window."""
+    plan = _plan(spark, "q_poisson_rate_test")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_tv_drift_broadcast_bounds(spark):
+    """The bounds row reaches the bin map via broadcast (1-row
+    crossJoin); the cell aggregate is 20 rows; no sort of raw data."""
+    plan = _plan(spark, "q_tv_drift")
+    assert plan.count("events.parquet") == 2, plan  # bounds + binning
+    assert "Broadcast" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_new_users_weekly_hash_join_on_user(spark):
+    """First-seen joins back on user_id as a hash join (shuffle or
+    broadcast at smoke SF — never a nested loop); the cumulative window
+    runs over the |weeks| aggregate."""
+    plan = _plan(spark, "q_new_users_weekly")
+    assert "Join" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_basket_lift_keyed_self_join(spark):
+    """The pair join keys on user_id over the materialized distinct
+    frame (hash join, not a cartesian); type totals and the population
+    row arrive via broadcast."""
+    plan = _plan(spark, "q_basket_lift")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row population crossJoin only
+    assert plan.count("events.parquet") == 0, plan  # behind the checkpoint
