@@ -2499,3 +2499,133 @@ def q_new_users_weekly(spark, sf_dir):
         ),
         F.sum("new_users").over(w_cum).alias("cum_users"),
     )
+
+
+# =========================================================================
+# Round 11 (wave 5): windowFunnel — max funnel depth over ANY anchor
+# within a time window (the ClickHouse-semantics sequence matcher)
+# =========================================================================
+
+
+@register(
+    "q_window_funnel",
+    """WITH e AS (
+         SELECT user_id, event_id, event_type,
+                epoch_us(ts) AS t
+         FROM events
+         WHERE event_type IN ('view', 'click', 'purchase')
+       ), w AS (
+         SELECT user_id, event_id, event_type, t,
+                max(CASE WHEN event_type = 'view' THEN t END)
+                    OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS lv
+         FROM e
+       ), w2 AS (
+         SELECT user_id, event_type, t, lv,
+                max(CASE WHEN event_type = 'click' THEN lv END)
+                    OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS anchor
+         FROM w
+       ), u AS (
+         SELECT user_id,
+                max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS l1,
+                max(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                              AND t - lv <= 21600000000
+                         THEN 1 ELSE 0 END) AS l2,
+                max(CASE WHEN event_type = 'purchase'
+                              AND anchor IS NOT NULL
+                              AND t - anchor <= 21600000000
+                         THEN 1 ELSE 0 END) AS l3
+         FROM w2 GROUP BY user_id
+       )
+       SELECT CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(l1) AS BIGINT) AS l1_users,
+              CAST(sum(l2) AS BIGINT) AS l2_users,
+              CAST(sum(l3) AS BIGINT) AS l3_users,
+              CAST((sum(l2) * 1000000) // sum(l1) AS BIGINT)
+                  AS conv_l2_ppm,
+              CAST((sum(l3) * 1000000) // sum(l2) AS BIGINT)
+                  AS conv_l3_ppm,
+              CAST((sum(l3) * 1000000) // sum(l1) AS BIGINT)
+                  AS full_funnel_ppm
+       FROM u""",
+    "windowFunnel (ClickHouse semantics): the maximum funnel depth "
+    "view -> click -> purchase reachable through ANY anchor chain whose "
+    "total span fits a 6-hour window — a user whose first view led "
+    "nowhere but whose later view->click->purchase completed in-window "
+    "still counts, which is exactly what separates this from "
+    "q_funnel_steps' first-touch anchor (and the time bound separates "
+    "both from unbounded sequence matching). The per-user DP needs no "
+    "sequential fold: over the (ts, event_id) total order, the best "
+    "level-2 witness at a click is the LATEST preceding view (running "
+    "max), and the best level-3 witness at a purchase is the maximum "
+    "over preceding clicks of THEIR latest-preceding-view anchor — two "
+    "stacked running-max windows on ONE user_id shuffle turn the "
+    "existential chain search into associative aggregates (the "
+    "q_clamped_running_balance trick: a sequential-looking recurrence "
+    "with a window-aggregate closed form). Exact integer microseconds "
+    "throughout; summary is one |users|-domain agg. Shape: one events "
+    "scan -> stacked windows on one shuffle -> per-user agg -> 1 row.",
+)
+def q_window_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    W = 21600000000  # 6 hours in microseconds
+    t = F.unix_micros(F.col("ts"))
+    e = ev.select("user_id", "event_id", "event_type", t.alias("t"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w1 = e.withColumn(
+        "lv",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("t"))
+        ).over(w_prev),
+    )
+    w2 = w1.withColumn(
+        "anchor",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("lv"))
+        ).over(w_prev),
+    )
+    u = w2.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "view").cast("long")
+        ).alias("l1"),
+        F.max(
+            (
+                (F.col("event_type") == "click")
+                & F.col("lv").isNotNull()
+                & (F.col("t") - F.col("lv") <= W)
+            ).cast("long")
+        ).alias("l2"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & F.col("anchor").isNotNull()
+                & (F.col("t") - F.col("anchor") <= W)
+            ).cast("long")
+        ).alias("l3"),
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("l1").alias("l1_users"),
+        F.sum("l2").alias("l2_users"),
+        F.sum("l3").alias("l3_users"),
+    ).select(
+        "n_users",
+        "l1_users",
+        "l2_users",
+        "l3_users",
+        F.expr("(l2_users * 1000000) div l1_users").alias("conv_l2_ppm"),
+        F.expr("(l3_users * 1000000) div l2_users").alias("conv_l3_ppm"),
+        F.expr("(l3_users * 1000000) div l1_users").alias(
+            "full_funnel_ppm"
+        ),
+    )

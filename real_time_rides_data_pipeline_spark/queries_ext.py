@@ -2235,3 +2235,71 @@ def q_csv_roundtrip(spark, sf_dir):
         .csv(path)
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
+
+
+# =========================================================================
+# Round 11 (wave 5): ViT patch-grid schedule — the tiling plan every
+# vision-transformer preprocessing pipeline materializes per image
+# =========================================================================
+
+
+@register(
+    "q_patchify_meta",
+    """WITH m AS (
+         SELECT doc_id,
+                octet_length(encode(text)) % 64 + 16 AS width,
+                (octet_length(encode(text)) // 64) % 64 + 16 AS height
+         FROM documents
+       ), g AS (
+         SELECT doc_id, width, height,
+                width // 16 AS wp, height // 16 AS hp
+         FROM m
+       )
+       SELECT doc_id,
+              CAST(k AS BIGINT) AS patch_idx,
+              CAST(k % wp AS BIGINT) AS px,
+              CAST(k // wp AS BIGINT) AS py,
+              CAST((k % wp) * 16 AS BIGINT) AS x0,
+              CAST((k // wp) * 16 AS BIGINT) AS y0,
+              CAST(k * 768 AS BIGINT) AS byte_offset
+       FROM g, unnest(range(wp * hp)) AS t(k)""",
+    "ViT PATCH-GRID schedule: per image, the full 16x16 patch tiling "
+    "plan (patch index, grid coordinates, pixel origin, and the byte "
+    "offset of each 16x16x3 patch in the decoded buffer) — the "
+    "preprocessing fan-out every vision-transformer training pipeline "
+    "materializes before the pixel decode, and the third member of the "
+    "multimodal plumbing family (q_multimodal_meta parses headers, "
+    "q_frame_sample samples temporal frames, this tiles the spatial "
+    "plane). The width/height come through the SAME Arrow-batched "
+    "mapInPandas metadata path as q_multimodal_meta (decode stays the "
+    "documented PIL drop-in stub; the tiling arithmetic and the "
+    "explode are real and exact), and the fan-out is a JVM-side "
+    "posexplode of a sequence — rows per image = (w div 16)*(h div 16), "
+    "bounded by the header, no Python in the hot path. Shape: one "
+    "documents scan -> mapInPandas header parse -> sequence explode -> "
+    "row-per-patch output; at 100 TB the explode factor is the patch "
+    "count, exactly the fan-out the downstream trainer consumes.",
+)
+def q_patchify_meta(spark, sf_dir):
+    d = MM.with_binary_payload(_t(spark, sf_dir, "documents", parallel=True))
+    meta = MM.extract_image_metadata(d).select(
+        "doc_id",
+        (F.col("width").cast("long") / 16).cast("long").alias("wp"),
+        (F.col("height").cast("long") / 16).cast("long").alias("hp"),
+    )
+    g = meta.select(
+        "doc_id",
+        "wp",
+        F.explode(
+            F.sequence(F.lit(0), F.col("wp") * F.col("hp") - 1)
+        ).alias("k"),
+    )
+    return g.select(
+        "doc_id",
+        F.col("k").cast("long").alias("patch_idx"),
+        F.expr("k % wp").cast("long").alias("px"),
+        F.expr("k div wp").cast("long").alias("py"),
+        F.expr("(k % wp) * 16").cast("long").alias("x0"),
+        F.expr("(k div wp) * 16").cast("long").alias("y0"),
+        (F.col("k") * 768).cast("long").alias("byte_offset"),
+    )

@@ -161,6 +161,9 @@ KEYS = [
     "q_tv_drift",            # broadcast bounds + 20-cell agg
     "q_new_users_weekly",    # (user, week) distinct + user-keyed join
     "q_basket_lift",         # distinct frame + user-keyed pair self-join
+    # round-11 wave-5 additions.
+    "q_window_funnel",       # stacked running-max windows, one shuffle
+    "q_patchify_meta",       # Arrow header parse + JVM sequence explode
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

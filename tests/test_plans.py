@@ -1748,3 +1748,24 @@ def test_basket_lift_keyed_self_join(spark):
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row population crossJoin only
     assert plan.count("events.parquet") == 0, plan  # behind the checkpoint
+
+
+def test_window_funnel_stacked_windows_one_shuffle(spark):
+    """The chain search compiles to stacked running-max windows on one
+    user_id sort order plus per-user/global aggregates — no join, no
+    explode, exactly one events scan."""
+    plan = _plan(spark, "q_window_funnel")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_patchify_explode_jvm_side(spark):
+    """The patch fan-out is a JVM-side Generate (sequence explode) above
+    the Arrow metadata pass: one documents scan, no join, no window."""
+    plan = _plan(spark, "q_patchify_meta")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Generate" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan

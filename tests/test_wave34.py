@@ -375,3 +375,65 @@ def test_basket_lift_hand_case(spark, tmp_path):
     assert row["n_a"] == 2 and row["n_b"] == 2 and row["n_both"] == 1
     assert row["lift_e6"] == 750000
     assert row["support_ppm"] == 333333
+
+
+# --- windowFunnel: any-anchor semantics + window exclusion -----------------
+
+
+def test_window_funnel_any_anchor(spark, tmp_path):
+    """User 1: first view dead-ends, later view->click->purchase completes
+    in-window -> level 3 (q_funnel_steps' first-touch anchor would miss
+    it if the later chain were the only completion). User 2: chain spans
+    more than 6h -> level 2 only."""
+    rows = _ev_rows([1.0] * 8)
+    rows["user_id"] = [1, 1, 1, 1, 1, 2, 2, 2]
+    rows["event_type"] = [
+        "view", "purchase",            # dead-end anchor for user 1
+        "view", "click", "purchase",   # completing chain, tight
+        "view", "click", "purchase",   # user 2: purchase out of window
+    ]
+    rows["ts"] = pd.to_datetime(
+        [
+            "2026-01-01 00:00:00",
+            # purchase BEFORE any click: not a conversion
+            "2026-01-01 00:30:00",
+            "2026-01-01 10:00:00",
+            "2026-01-01 10:05:00",
+            "2026-01-01 11:00:00",   # span 1h <= 6h -> level 3
+            "2026-01-02 00:00:00",
+            "2026-01-02 00:10:00",   # click in-window -> level 2
+            "2026-01-02 07:00:00",   # purchase 7h after view -> excluded
+        ]
+    )
+    d = _events(spark, tmp_path, rows)
+    row = SPECS["q_window_funnel"].fn(spark, d).collect()[0]
+    assert row["n_users"] == 2
+    assert row["l1_users"] == 2
+    assert row["l2_users"] == 2
+    assert row["l3_users"] == 1  # only user 1 completes in-window
+    assert row["full_funnel_ppm"] == 500000
+
+
+def test_patchify_hand_case(spark, tmp_path):
+    """A 32-byte payload -> width 48, height 16 -> 3x1 patches with exact
+    offsets."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [7],
+            "text": ["x" * 32],  # 32 bytes -> w = 32%64+16 = 48, h = 16
+            "lang": ["en"],
+            "source": ["t"],
+            "n_chars": [32],
+        }
+    )
+    d = tmp_path / "sf_patch"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    rows = sorted(
+        SPECS["q_patchify_meta"].fn(spark, str(d)).collect(),
+        key=lambda r: r["patch_idx"],
+    )
+    assert len(rows) == 3  # (48//16) * (16//16)
+    assert [(r["px"], r["py"], r["x0"], r["byte_offset"]) for r in rows] == [
+        (0, 0, 0, 0), (1, 0, 16, 768), (2, 0, 32, 1536)
+    ]
