@@ -1783,3 +1783,68 @@ def q_readability(spark, sf_dir):
         .cast("long")
         .alias("fk_grade_e4"),
     )
+
+
+# =========================================================================
+# Round 11 (wave 6): dedup survivorship — keep the best copy by source
+# priority, not the first by id (the MDM/curation survivorship policy)
+# =========================================================================
+
+
+@register(
+    "q_dedup_survivorship",
+    """WITH ranked AS (
+         SELECT doc_id, text, source,
+                CASE source WHEN 'wiki' THEN 1 WHEN 'news' THEN 2
+                            WHEN 'web' THEN 3 ELSE 4 END AS prio,
+                row_number() OVER (
+                    PARTITION BY md5(text)
+                    ORDER BY CASE source WHEN 'wiki' THEN 1
+                                         WHEN 'news' THEN 2
+                                         WHEN 'web' THEN 3 ELSE 4 END,
+                             doc_id) AS rn,
+                CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                    AS n_copies
+         FROM documents
+       )
+       SELECT doc_id, source, CAST(prio AS BIGINT) AS prio, n_copies
+       FROM ranked WHERE rn = 1""",
+    "DEDUP SURVIVORSHIP: within each exact-duplicate group, keep the "
+    "copy from the highest-priority source (wiki > news > web > other, "
+    "tie-broken by doc_id) and report how contested it was — the "
+    "master-data survivorship policy that separates production corpus "
+    "dedup from q_exact_dedup's neutral keep-first-by-id (when the same "
+    "text was crawled from three places, WHICH copy survives decides "
+    "the provenance, license, and metadata of the training example). "
+    "Grouping keys on md5(text) rather than raw text so the shuffle "
+    "moves 16-byte keys instead of document bodies — the same "
+    "fingerprint-shuffle discipline as q_exact_dedup; the rank window "
+    "and the group-size count share one partitioning. Shape: one "
+    "documents scan -> fingerprint-keyed window (single shuffle) -> "
+    "filter rn=1; at 100 TB the state per group is one row.",
+)
+def q_dedup_survivorship(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    prio = (
+        F.when(F.col("source") == "wiki", 1)
+        .when(F.col("source") == "news", 2)
+        .when(F.col("source") == "web", 3)
+        .otherwise(4)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("prio", "doc_id")
+    w_all = Window.partitionBy(F.md5("text"))
+    ranked = d.select(
+        "doc_id", "text", "source", prio.alias("prio")
+    ).select(
+        "doc_id",
+        "source",
+        "prio",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_copies"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "source",
+        F.col("prio").cast("long").alias("prio"),
+        "n_copies",
+    )

@@ -1633,3 +1633,95 @@ def q_tv_drift(spark, sf_dir):
         .cast("long")
         .alias("tv_e6"),
     )
+
+
+# =========================================================================
+# Round 11 (wave 6): weekly composition drift — the categorical-mix
+# monitor next to q_tv_drift's value-distribution monitor
+# =========================================================================
+
+
+@register(
+    "q_mix_drift",
+    """WITH wk AS (
+         SELECT (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS week_idx,
+                event_type,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY week_idx, event_type
+       ), tot AS (
+         SELECT week_idx, event_type, n,
+                CAST(sum(n) OVER (PARTITION BY week_idx) AS BIGINT)
+                    AS wn,
+                CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                    AS gn,
+                CAST(sum(n) OVER () AS BIGINT) AS g
+         FROM wk
+       )
+       SELECT CAST(week_idx AS BIGINT) AS week_idx,
+              max(wn) AS n_events,
+              CAST(floor((sum(abs(n * g - gn * wn))
+                          + max(wn) * (max(g) - sum(gn)))::DOUBLE
+                         * 1000000
+                         / (2.0 * max(wn) * max(g)))
+                   AS BIGINT) AS mix_tv_e6
+       FROM tot GROUP BY week_idx""",
+    "WEEKLY COMPOSITION (mix) DRIFT: per week, the total-variation "
+    "distance between that week's event-type mix and the all-time mix — "
+    "the categorical companion to q_tv_drift (which monitors a NUMERIC "
+    "distribution between two halves; this monitors the label mix as a "
+    "weekly series, the 'did the traffic composition shift' alert). "
+    "Exact by the same cross-multiplication: TV = 0.5*sum_t|n_wt/W_w - "
+    "G_t/G| cross-multiplies to sum|n*G - G_t*W| / (2*W*G) with an "
+    "exact BIGINT numerator summed over the bounded |types| cells and "
+    "ONE double division per week. Week keys are the anchored integer "
+    "day count (q_wow_growth convention). Shape: one events scan -> "
+    "(week, type) hash agg -> three spine windows over the bounded "
+    "(weeks x types) domain -> |weeks| rows.",
+)
+def q_mix_drift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wk = (
+        ev.select(
+            F.expr(
+                "datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7"
+            ).alias("week_idx"),
+            "event_type",
+        )
+        .groupBy("week_idx", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_wk = Window.partitionBy("week_idx")
+    w_ty = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
+    tot = wk.select(
+        "week_idx",
+        "n",
+        F.sum("n").over(w_wk).alias("wn"),
+        F.sum("n").over(w_ty).alias("gn"),
+        F.sum("n").over(w_all).alias("g"),
+    )
+    # A type absent from a week contributes |0 - G_t/G| to the TV; those
+    # missing cells never materialize in the (week, type) aggregate, but
+    # their total has the closed form W*(G - sum of present G_t) — no
+    # grid densification join needed (caught by the flipped-week hand
+    # test: without the term a fully-shifted mix read HALF its true TV).
+    return tot.groupBy(
+        F.col("week_idx").cast("long").alias("week_idx")
+    ).agg(
+        F.max("wn").alias("n_events"),
+        F.floor(
+            (
+                F.sum(
+                    F.abs(
+                        F.col("n") * F.col("g")
+                        - F.col("gn") * F.col("wn")
+                    )
+                )
+                + F.max("wn") * (F.max("g") - F.sum("gn"))
+            ).cast("double")
+            * 1000000
+            / (2.0 * F.max("wn") * F.max("g"))
+        )
+        .cast("long")
+        .alias("mix_tv_e6"),
+    )

@@ -164,6 +164,9 @@ KEYS = [
     # round-11 wave-5 additions.
     "q_window_funnel",       # stacked running-max windows, one shuffle
     "q_patchify_meta",       # Arrow header parse + JVM sequence explode
+    # round-11 wave-6 additions.
+    "q_mix_drift",           # (week, type) agg + bounded spine windows
+    "q_dedup_survivorship",  # one md5-fingerprint window shuffle
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

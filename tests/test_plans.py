@@ -1769,3 +1769,28 @@ def test_patchify_explode_jvm_side(spark):
     assert "Generate" in plan, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_mix_drift_windows_over_week_type_domain(spark):
+    """The spine windows and the per-week fold run over the (week, type)
+    aggregate: one scan, agg below the windows, no join."""
+    plan = _plan(spark, "q_mix_drift")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_survivorship_single_fingerprint_shuffle(spark):
+    """Rank and group-size windows share one md5-fingerprint
+    partitioning: one documents scan, ONE exchange, no join."""
+    plan = _plan(spark, "q_dedup_survivorship")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+    import re
+
+    body = plan.split("== Physical Plan ==")[-1].split("===== Subqueries")[0]
+    # two exchange NODES: the tiny-file parallelism repartition + the one
+    # md5-fingerprint hash shuffle both windows share
+    assert len(re.findall(r"\(\d+\) Exchange", body)) <= 2, plan

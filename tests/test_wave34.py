@@ -437,3 +437,61 @@ def test_patchify_hand_case(spark, tmp_path):
     assert [(r["px"], r["py"], r["x0"], r["byte_offset"]) for r in rows] == [
         (0, 0, 0, 0), (1, 0, 16, 768), (2, 0, 32, 1536)
     ]
+
+
+# --- mix drift: uniform weeks = 0 -------------------------------------------
+
+
+def test_mix_drift_uniform_is_zero(spark, tmp_path):
+    """Identical mix every week -> TV = 0 for each week; a fully flipped
+    week reads the exact cross-multiplied distance."""
+    rows = _ev_rows([1.0] * 8)
+    rows["event_type"] = ["view", "click"] * 4
+    rows["ts"] = pd.to_datetime(
+        ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+         "2024-01-08", "2024-01-09", "2024-01-10", "2024-01-11"]
+    )
+    d = _events(spark, tmp_path, rows)
+    out = {r["week_idx"]: r["mix_tv_e6"]
+           for r in SPECS["q_mix_drift"].fn(spark, d).collect()}
+    assert out == {0: 0, 1: 0}
+
+
+def test_mix_drift_flipped_week(spark, tmp_path):
+    """Week 0 all 'view', week 1 all 'click' (equal sizes): each week's
+    mix is distance 1/2 from the 50/50 global mix."""
+    rows = _ev_rows([1.0] * 8)
+    rows["event_type"] = ["view"] * 4 + ["click"] * 4
+    rows["ts"] = pd.to_datetime(
+        ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+         "2024-01-08", "2024-01-09", "2024-01-10", "2024-01-11"]
+    )
+    d = _events(spark, tmp_path, rows)
+    out = {r["week_idx"]: r["mix_tv_e6"]
+           for r in SPECS["q_mix_drift"].fn(spark, d).collect()}
+    assert out == {0: 500000, 1: 500000}
+
+
+# --- survivorship: priority beats id ----------------------------------------
+
+
+def test_survivorship_priority_beats_id(spark, tmp_path):
+    """Same text from web (doc 1) and wiki (doc 2): the wiki copy
+    survives despite the higher doc_id; unique texts survive alone."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["same text", "same text", "unique"],
+            "lang": ["en"] * 3,
+            "source": ["web", "wiki", "web"],
+            "n_chars": [9, 9, 6],
+        }
+    )
+    d = tmp_path / "sf_surv"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in
+            SPECS["q_dedup_survivorship"].fn(spark, str(d)).collect()}
+    assert set(rows) == {2, 3}
+    assert rows[2]["source"] == "wiki" and rows[2]["n_copies"] == 2
+    assert rows[3]["n_copies"] == 1
