@@ -2545,11 +2545,11 @@ def q_new_users_weekly(spark, sf_dir):
               CAST(sum(l1) AS BIGINT) AS l1_users,
               CAST(sum(l2) AS BIGINT) AS l2_users,
               CAST(sum(l3) AS BIGINT) AS l3_users,
-              CAST((sum(l2) * 1000000) // sum(l1) AS BIGINT)
+              CAST((sum(l2) * 1000000) // nullif(sum(l1), 0) AS BIGINT)
                   AS conv_l2_ppm,
-              CAST((sum(l3) * 1000000) // sum(l2) AS BIGINT)
+              CAST((sum(l3) * 1000000) // nullif(sum(l2), 0) AS BIGINT)
                   AS conv_l3_ppm,
-              CAST((sum(l3) * 1000000) // sum(l1) AS BIGINT)
+              CAST((sum(l3) * 1000000) // nullif(sum(l1), 0) AS BIGINT)
                   AS full_funnel_ppm
        FROM u""",
     "windowFunnel (ClickHouse semantics): the maximum funnel depth "
@@ -2623,9 +2623,13 @@ def q_window_funnel(spark, sf_dir):
         "l1_users",
         "l2_users",
         "l3_users",
-        F.expr("(l2_users * 1000000) div l1_users").alias("conv_l2_ppm"),
-        F.expr("(l3_users * 1000000) div l2_users").alias("conv_l3_ppm"),
-        F.expr("(l3_users * 1000000) div l1_users").alias(
+        F.expr("(l2_users * 1000000) div nullif(l1_users, 0)").alias(
+            "conv_l2_ppm"
+        ),
+        F.expr("(l3_users * 1000000) div nullif(l2_users, 0)").alias(
+            "conv_l3_ppm"
+        ),
+        F.expr("(l3_users * 1000000) div nullif(l1_users, 0)").alias(
             "full_funnel_ppm"
         ),
     )

@@ -2284,8 +2284,8 @@ def q_patchify_meta(spark, sf_dir):
     d = MM.with_binary_payload(_t(spark, sf_dir, "documents", parallel=True))
     meta = MM.extract_image_metadata(d).select(
         "doc_id",
-        (F.col("width").cast("long") / 16).cast("long").alias("wp"),
-        (F.col("height").cast("long") / 16).cast("long").alias("hp"),
+        F.expr("cast(width as bigint) div 16").alias("wp"),
+        F.expr("cast(height as bigint) div 16").alias("hp"),
     )
     g = meta.select(
         "doc_id",

@@ -1866,13 +1866,19 @@ def q_iqr_fence(spark, sf_dir):
     "cannot change the sum (the weight difference multiplies a zero "
     "value difference), so the statistic is deterministic, never "
     "rounding luck. Shape: one events scan → per-user agg (|users| "
-    "rows) → one rank window over the user domain → 1 row; at 100 TB "
-    "the window runs over users, not events.",
+    "rows) → RANGE-PARTITIONED global rank (operators/topk.py "
+    "global_row_number — TeraSort two-phase: range shuffle + "
+    "per-partition row_number + broadcast offsets; the only ordered "
+    "single-partition window runs over P partition counts, not "
+    "|users| rows) → 1-row broadcast scalar join for (n, tot) → 1 "
+    "row; at 100 TB |users| is itself huge, so the rank must scale "
+    "with the user domain, and here it does.",
 )
 def q_gini_coefficient(spark, sf_dir):
-    from pyspark.sql import Window
-
     from real_time_rides_data_pipeline_spark.functions.precision import cents
+    from real_time_rides_data_pipeline_spark.operators.topk import (
+        global_row_number,
+    )
 
     ev = _t(spark, sf_dir, "events")
     u = (
@@ -1880,15 +1886,11 @@ def q_gini_coefficient(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.sum("c").alias("spend"))
     )
-    w_rank = Window.orderBy("spend", "user_id")
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    tots = u.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("spend").alias("tot")
     )
-    r = u.select(
-        "spend",
-        F.row_number().over(w_rank).alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("spend").over(w_all).alias("tot"),
+    r = global_row_number(u, ["spend", "user_id"], out_col="i").crossJoin(
+        F.broadcast(tots)
     )
     return r.agg(
         F.min("n").cast("long").alias("n_users"),

@@ -3044,7 +3044,7 @@ def q_f1_threshold(spark, sf_dir):
        )
        SELECT n1, n2,
               CAST(span_us AS BIGINT) AS span_us,
-              (n1 * 1000000) // n2 AS rate_ratio_e6,
+              (n1 * 1000000) // nullif(n2, 0) AS rate_ratio_e6,
               CAST(floor((n1 - n2) / sqrt(n1 + n2) * 1000000) AS BIGINT)
                   AS z_e6,
               abs((n1 - n2) / sqrt(n1 + n2)) > 1.96 AS significant_05
@@ -3076,7 +3076,7 @@ def q_poisson_rate_test(spark, sf_dir):
         "n1",
         "n2",
         F.col("span_us").cast("long").alias("span_us"),
-        F.expr("(n1 * 1000000) div n2").alias("rate_ratio_e6"),
+        F.expr("(n1 * 1000000) div nullif(n2, 0)").alias("rate_ratio_e6"),
         F.floor(z * 1000000).cast("long").alias("z_e6"),
         (F.abs(z) > 1.96).alias("significant_05"),
     )

@@ -1794,3 +1794,40 @@ def test_survivorship_single_fingerprint_shuffle(spark):
     # two exchange NODES: the tiny-file parallelism repartition + the one
     # md5-fingerprint hash shuffle both windows share
     assert len(re.findall(r"\(\d+\) Exchange", body)) <= 2, plan
+
+
+def test_gini_rank_is_range_partitioned(spark):
+    """q_gini_coefficient's global spend rank must run as the TeraSort-style
+    two-phase rank (range shuffle + per-partition row_number + broadcast
+    offsets), never a single-partition ``Window.orderBy`` over the user
+    domain (|users| is unbounded at 100 TB). The registered key's
+    run-materialization truncates lineage, so the rangepartitioning node is
+    asserted on the un-materialized twin; both plans must show every
+    row_number window partitioned (by __pid), with the only unpartitioned
+    ordered window being the P-row offsets cumulative sum."""
+    import re
+
+    from real_time_rides_data_pipeline_spark.operators.topk import (
+        global_row_number,
+    )
+    from real_time_rides_data_pipeline_spark.registry import _t
+
+    ev = _t(spark, SMOKE_SF, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend"))
+    )
+    full = explain_str(
+        global_row_number(u, ["spend", "user_id"], out_col="i",
+                          materialize=False)
+    )
+    assert "rangepartitioning(" in full, full
+    # every row_number windowspec carries the __pid partition key
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                         full):
+        assert "__pid" in m.group(1), full
+
+    plan = _plan(spark, "q_gini_coefficient")
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                         plan):
+        assert "__pid" in m.group(1), plan
