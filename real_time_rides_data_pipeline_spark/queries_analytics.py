@@ -2633,3 +2633,75 @@ def q_window_funnel(spark, sf_dir):
             "full_funnel_ppm"
         ),
     )
+
+
+# =========================================================================
+# Round 12: multi-source BFS distances — the traversal member of the
+# graph family (q_pagerank scores, q_triangle_count/q_degree_dist
+# measure structure, q_dup_clusters finds components, this measures
+# reachability depth)
+# =========================================================================
+
+
+@register(
+    "q_bfs_distance",
+    """WITH RECURSIVE e0 AS (
+         SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         FROM lineitem
+       ), edges AS (
+         SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+       ), bfs(node, d) AS (
+         SELECT * FROM (VALUES (2, 0), (4, 0), (6, 0)) t(node, d)
+         UNION
+         SELECT e.dst, b.d + 1
+         FROM bfs b JOIN edges e ON e.src = b.node
+         WHERE b.d < 3
+       )
+       SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS dist
+       FROM bfs GROUP BY node""",
+    "MULTI-SOURCE BFS to depth 3 over the symmetrized part<->supplier "
+    "co-purchase graph (same encoding as q_pagerank: parts 2k, "
+    "suppliers 2k+1), seeds = parts 1-3 — the hop-distance feature "
+    "behind influence radius, contamination spread, and "
+    "collaborative-filter neighborhoods. Spark runs LEVEL-SYNCHRONOUS "
+    "frontier expansion: per level ONE hash equi-join "
+    "frontier><edges + distinct + one anti-join against the visited "
+    "set, so a node's recorded level IS its minimum distance "
+    "(first-discovery invariant) — exact integers, no floats, no "
+    "tie-breaks needed. The oracle's recursive CTE dedups (node, d) "
+    "pairs per level (UNION, not UNION ALL — path enumeration would "
+    "be combinatorial) and takes min(d). Scale: iteration count is "
+    "the FIXED depth bound (3), each level is edge-partitioned hash "
+    "join work with map-side-combined distinct — the Pregel/"
+    "large-star pattern (operators/graph.py) without the "
+    "driver-unbounded loop; visited/frontier are localCheckpointed "
+    "per level so lineage stays O(1), and the only driver sync is "
+    "the loop counter itself.",
+)
+def q_bfs_distance(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+
+    seeds = spark.createDataFrame(
+        [(2, 0), (4, 0), (6, 0)], "node long, dist long"
+    )
+    dist = seeds.localCheckpoint(eager=False)
+    frontier = dist.select("node")
+    for level in range(1, 4):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(level).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return dist.select(F.col("node").cast("long").alias("node"), "dist")

@@ -1848,3 +1848,204 @@ def q_dedup_survivorship(spark, sf_dir):
         F.col("prio").cast("long").alias("prio"),
         "n_copies",
     )
+
+
+# =========================================================================
+# Round 12 (wave 1): tokenizer fertility, mergeable-histogram quantiles,
+# deterministic contrastive negative sampling
+# =========================================================================
+
+
+@register(
+    "q_tokenizer_fertility",
+    r"""WITH per AS (
+         SELECT lang,
+                CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                     AS BIGINT) AS w,
+                CAST(list_sum(list_transform(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> greatest((length(x) + 3) // 4, 1)))
+                     AS BIGINT) AS t
+         FROM documents
+       )
+       SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(w) AS BIGINT) AS words,
+              CAST(sum(t) AS BIGINT) AS tokens,
+              CAST(sum(t) * 1000000 // sum(w) AS BIGINT)
+                  AS fertility_ppm
+       FROM per GROUP BY lang""",
+    "TOKENIZER FERTILITY by language — subword tokens per whitespace "
+    "word, THE standard multilingual-tokenizer health metric (a language "
+    "whose fertility is 2-3x English's pays that factor in context "
+    "window and training compute; reported per-language in every "
+    "multilingual LLM card). Token counts use the shared deterministic "
+    "BPE-ish proxy (functions/text.bpe_ish_token_count: per word "
+    "ceil(len/4), min 1 — exact integers; the oracle's (len+3)//4 is "
+    "the same value since len < 2^50), words the shared whitespace "
+    "split. fertility_ppm is ONE exact-integer floor division per "
+    "language. Shape: narrow scan-side array lambdas (no Python, no "
+    "explode — the per-doc counts fold inside whole-stage codegen) -> "
+    "one hash agg on the BOUNDED lang domain -> one row per language. "
+    "At 100 TB this is a single map-side-combined pass.",
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    per = d.select(
+        "lang",
+        X.token_count(F.col("text")).cast("long").alias("w"),
+        X.bpe_ish_token_count(F.col("text")).alias("t"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("t").alias("tokens"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "words",
+        "tokens",
+        F.expr("tokens * 1000000 div words").alias("fertility_ppm"),
+    )
+
+
+@register(
+    "q_histogram_quantile_merge",
+    """WITH b AS (
+         SELECT event_id % 16 AS shard,
+                CAST(round(value * 100) AS BIGINT) // 500 AS bin,
+                count(*) AS n
+         FROM events
+         GROUP BY shard, bin
+       ), m AS (
+         SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM b GROUP BY bin
+       ), c AS (
+         SELECT bin, n,
+                sum(n) OVER (ORDER BY bin) AS cum,
+                sum(n) OVER () AS total
+         FROM m
+       )
+       SELECT CAST(min(total) AS BIGINT) AS n_total,
+              CAST(count(*) AS BIGINT) AS n_bins,
+              CAST(min(CASE WHEN 2 * cum >= total THEN bin * 500 END)
+                   AS BIGINT) AS p50_est_cents,
+              CAST(min(CASE WHEN 10 * cum >= 9 * total THEN bin * 500 END)
+                   AS BIGINT) AS p90_est_cents,
+              CAST(min(CASE WHEN 100 * cum >= 99 * total THEN bin * 500 END)
+                   AS BIGINT) AS p99_est_cents
+       FROM c""",
+    "MERGEABLE-HISTOGRAM QUANTILES — the distributed-sketch pattern for "
+    "percentiles at 100 TB: each shard builds a small fixed-bin "
+    "histogram (bin = cents div 500, a BOUNDED domain: ~99 bins for "
+    "this fixture's 1-49002 cent range), histograms MERGE by summing "
+    "per-bin counts (the q_hll_shard_merge property, for quantiles), "
+    "and the quantile estimate reads the merged cumulative curve at the "
+    "bin edge — error bounded by bin width (500 cents) by "
+    "construction. The quantile pick is an exact-integer cross- "
+    "multiplied threshold (2*cum >= total etc) — no doubles anywhere. "
+    "Shape: two-level hash agg (per-shard then merged; map-side "
+    "combine does the shard level for free) -> windows over the "
+    "BOUNDED bin domain -> 1 row. The exact-semantics siblings are "
+    "q_percentile_disc (tiny data) and q_approx_quantile (the "
+    "GK-sketch scale path); this key pins the merge algebra itself.",
+)
+def q_histogram_quantile_merge(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            (F.col("event_id") % 16).alias("shard"),
+            (cents(F.col("value")) / 500).cast("long").alias("bin"),
+        )
+        .groupBy("shard", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = b.groupBy("bin").agg(F.sum("n").alias("n"))
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = m.select(
+        "bin",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    return c.agg(
+        F.min("total").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("total"), F.col("bin") * 500)
+        ).cast("long").alias("p50_est_cents"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("total"), F.col("bin") * 500)
+        ).cast("long").alias("p90_est_cents"),
+        F.min(
+            F.when(
+                100 * F.col("cum") >= 99 * F.col("total"), F.col("bin") * 500
+            )
+        ).cast("long").alias("p99_est_cents"),
+    )
+
+
+@register(
+    "q_negative_sample",
+    """WITH pool AS (
+         SELECT doc_id, source
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+       ), q AS (
+         SELECT doc_id, source FROM documents WHERE doc_id % 10 = 0
+       ), cand AS (
+         SELECT q.doc_id AS query_id, p.doc_id AS neg_id,
+                row_number() OVER (
+                  PARTITION BY q.doc_id
+                  ORDER BY md5(concat(q.doc_id, '-', p.doc_id)), p.doc_id
+                ) AS rnk
+         FROM q JOIN pool p
+           ON p.source <> q.source AND p.doc_id <> q.doc_id
+       )
+       SELECT query_id, neg_id, CAST(rnk AS BIGINT) AS rnk
+       FROM cand WHERE rnk <= 4""",
+    "DETERMINISTIC NEGATIVE SAMPLING for contrastive training — for "
+    "each query document, k=4 pseudo-random negatives drawn from a "
+    "hash-defined corpus sample, excluding same-source candidates "
+    "(in-batch negatives from the query's own source are the classic "
+    "false-negative hazard). The scale design is the point: negatives "
+    "come from a BOUNDED BROADCAST pool (md5 first-hex-digit = '0', a "
+    "deterministic ~1/16 corpus sample — at 100 TB you cap the pool "
+    "with more digits), never a corpus x corpus cross join; per-query "
+    "ranking is md5(query-cand) — the seeded-rand discipline of "
+    "SURVEY §4.3.2, bit-identical across engines, tie-broken by "
+    "candidate id. Shape: one documents scan splits into pool (tiny, "
+    "broadcast) and queries; one broadcast theta-join (|Q| x |pool|); "
+    "one per-query top-k window partitioned by query_id.",
+)
+def q_negative_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "source"
+    )
+    pool = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    ).select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_src")
+    )
+    q = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("source").alias("q_src")
+    )
+    cand = q.join(
+        F.broadcast(pool),
+        (F.col("neg_src") != F.col("q_src"))
+        & (F.col("neg_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.md5(F.concat(F.col("query_id"), F.lit("-"), F.col("neg_id"))),
+        "neg_id",
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .select("query_id", "neg_id", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -2212,3 +2212,155 @@ def q_basket_lift(spark, sf_dir):
         .cast("long")
         .alias("lift_e6"),
     )
+
+
+# =========================================================================
+# Round 12: differentially-private-style histogram release — the
+# deterministic-noise attestation twin of the privacy family
+# (q_kanon_suppress generalizes, q_ldiversity/q_tcloseness audit,
+# this releases counts under bounded noise)
+# =========================================================================
+
+
+@register(
+    "q_dp_histogram",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(CAST(concat('0x', substr(md5(event_type), 1, 8))
+                        AS BIGINT) % 2001 - 1000 AS BIGINT) AS noise,
+              CAST(count(*)
+                   + CAST(concat('0x', substr(md5(event_type), 1, 8))
+                          AS BIGINT) % 2001 - 1000 AS BIGINT) AS noisy_n
+       FROM events GROUP BY event_type""",
+    "NOISY HISTOGRAM RELEASE — the private-aggregate-release shape: "
+    "per-category counts plus bounded additive noise, the mechanism "
+    "every DP histogram deploys (count + noise, post-processed "
+    "downstream). This key is the DETERMINISTIC ATTESTATION TWIN per "
+    "the SURVEY §4.3.2 seeded-rand discipline: the noise term is a "
+    "two-sided bounded offset derived from md5(category) (first 8 hex "
+    "digits mod 2001, centered), bit-identical across engines — "
+    "Spark's conv(hex,16,10) and DuckDB's '0x'-cast parse the same "
+    "unsigned 32-bit value — so the release is oracle-checkable. A "
+    "production deployment swaps the hash for a calibrated Laplace/"
+    "discrete-Gaussian draw and tracks the epsilon budget; the "
+    "engine-side plumbing (group, perturb, release; true counts never "
+    "leave the aggregate) is exactly this plan. Shape: one map-side-"
+    "combined hash agg over the BOUNDED category domain + scalar "
+    "hash arithmetic per output row; the cheapest release at any "
+    "scale.",
+)
+def q_dp_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 2001
+        - 1000
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "n",
+            noise.cast("long").alias("noise"),
+            (F.col("n") + noise).cast("long").alias("noisy_n"),
+        )
+    )
+
+
+# =========================================================================
+# Round 12: Holt linear-trend smoothing — the recursive member of the
+# time-series family (q_ewma_crossover is the weighted-FIR twin whose
+# taps truncate; Holt's level+trend state is genuinely recursive, so
+# this key pins the exact integer fold)
+# =========================================================================
+
+
+@register(
+    "q_holt_linear",
+    """WITH RECURSIVE h AS (
+         SELECT CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                     AS BIGINT) AS hr,
+                CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY hr
+       ), idx AS (
+         SELECT row_number() OVER (ORDER BY hr) AS i, c FROM h
+       ), f(i, l, b, sae) AS (
+         SELECT 1, c * 1000000, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         FROM idx WHERE i = 1
+         UNION ALL
+         SELECT f.i + 1,
+                (idx.c * 1000000 + f.l + f.b + 2000000000000) // 2
+                  - 1000000000000,
+                (((idx.c * 1000000 + f.l + f.b + 2000000000000) // 2
+                    - 1000000000000) - f.l + f.b + 2000000000000) // 2
+                  - 1000000000000,
+                f.sae + abs(idx.c * 1000000 - (f.l + f.b))
+         FROM f JOIN idx ON idx.i = f.i + 1
+       )
+       SELECT CAST(i AS BIGINT) AS n_hours,
+              CAST(l AS BIGINT) AS level_e6,
+              CAST(b AS BIGINT) AS trend_e6,
+              CAST(l + b AS BIGINT) AS forecast_e6,
+              CAST(sae AS BIGINT) AS sae_e6
+       FROM f WHERE i = (SELECT max(i) FROM idx)""",
+    "HOLT LINEAR-TREND exponential smoothing (alpha = beta = 1/2) over "
+    "the hourly event-count series: level l_t = (y_t + l + b)/2, trend "
+    "b_t = ((l_t - l) + b)/2, plus the cumulative absolute one-step "
+    "forecast error — the classic short-horizon forecaster and "
+    "data-drift readout. The recurrence is EXACT INTEGER fixed-point: "
+    "counts scale to e6, each halving is floor division with a +2e12 "
+    "offset so the numerator stays positive (floor == truncate == "
+    "arithmetic shift, identical in every engine; an unguarded div "
+    "would diverge between DuckDB's floor // and Spark's "
+    "truncate-toward-zero div the first time the trend goes negative), "
+    "so the 720-step trajectory is bit-identical across engines. "
+    "Shape: one map-side-combined hash agg to the BOUNDED hour domain "
+    "(720 rows here; days x 24 at any scale), one array_sort + "
+    "aggregate() fold over that bounded array inside ONE reduced row — "
+    "the same compressed-domain pattern as q_acf_hourly/q_cusum_drift; "
+    "the unbounded event scan never meets the recursion. The oracle "
+    "runs the identical recurrence as a recursive CTE.",
+)
+def q_holt_linear(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hr = F.expr(
+        "CAST((unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01 00:00:00'))"
+        " div 3600000000 AS BIGINT)"
+    )
+    h = ev.groupBy(hr.alias("hr")).agg(F.count(F.lit(1)).alias("c"))
+    g = h.agg(
+        F.array_sort(F.collect_list(F.struct("hr", "c"))).alias("a")
+    )
+    L6 = F.lit(1000000).cast("long")
+    OFF = F.lit(1000000000000).cast("long")
+
+    def step(acc, x):
+        y = x["c"] * L6
+        lp = F.shiftright(y + acc["l"] + acc["b"] + 2 * OFF, 1) - OFF
+        bp = F.shiftright(lp - acc["l"] + acc["b"] + 2 * OFF, 1) - OFF
+        sae = acc["sae"] + F.abs(y - (acc["l"] + acc["b"]))
+        return F.struct(
+            lp.alias("l"), bp.alias("b"), sae.alias("sae")
+        )
+
+    init = F.struct(
+        (F.element_at(F.col("a"), 1)["c"] * L6).alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("sae"),
+    )
+    folded = g.select(
+        F.size("a").cast("long").alias("n_hours"),
+        F.aggregate(
+            F.slice(F.col("a"), 2, F.size("a") - 1), init, step
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_hours",
+        F.col("st.l").cast("long").alias("level_e6"),
+        F.col("st.b").cast("long").alias("trend_e6"),
+        (F.col("st.l") + F.col("st.b")).cast("long").alias("forecast_e6"),
+        F.col("st.sae").cast("long").alias("sae_e6"),
+    )

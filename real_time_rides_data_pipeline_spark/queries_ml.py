@@ -3080,3 +3080,117 @@ def q_poisson_rate_test(spark, sf_dir):
         F.floor(z * 1000000).cast("long").alias("z_e6"),
         (F.abs(z) > 1.96).alias("significant_05"),
     )
+
+
+# =========================================================================
+# Round 12: product-quantization code assignment — the PQ member of the
+# ANN family (q_cosine_topk brute-force, q_ann_ivf partition pruning,
+# q_lsh_hyperplane bucketing, this compresses vectors to subspace codes)
+# =========================================================================
+
+
+@register(
+    "q_pq_assign",
+    """WITH cb AS (
+         SELECT vec_id AS cid, embedding AS ce
+         FROM embeddings WHERE vec_id < 8
+       ), d AS (
+         SELECT v.vec_id, s.s, cb.cid,
+                CAST(list_sum(list_transform(range(1, 17), i ->
+                  (CAST(round(CAST(v.embedding[s.s * 16 + i] AS DOUBLE)
+                              * 1000000) AS BIGINT)
+                   - CAST(round(CAST(cb.ce[s.s * 16 + i] AS DOUBLE)
+                                * 1000000) AS BIGINT))
+                  * (CAST(round(CAST(v.embedding[s.s * 16 + i] AS DOUBLE)
+                                * 1000000) AS BIGINT)
+                     - CAST(round(CAST(cb.ce[s.s * 16 + i] AS DOUBLE)
+                                  * 1000000) AS BIGINT)))) AS BIGINT) AS dist
+         FROM embeddings v
+         CROSS JOIN cb
+         CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+       ), k AS (
+         SELECT vec_id, s, min(dist * 8 + cid) AS kk
+         FROM d GROUP BY vec_id, s
+       )
+       SELECT vec_id,
+              CAST(max(CASE WHEN s = 0 THEN kk % 8 END) AS BIGINT) AS c0,
+              CAST(max(CASE WHEN s = 1 THEN kk % 8 END) AS BIGINT) AS c1,
+              CAST(max(CASE WHEN s = 2 THEN kk % 8 END) AS BIGINT) AS c2,
+              CAST(max(CASE WHEN s = 3 THEN kk % 8 END) AS BIGINT) AS c3,
+              CAST(sum(kk // 8) AS BIGINT) AS err
+       FROM k GROUP BY vec_id""",
+    "PRODUCT QUANTIZATION code assignment (Jegou et al., PQ for nearest "
+    "neighbor search): the 64-dim embedding splits into 4 subspaces of "
+    "16 dims; each subspace is assigned the nearest of 8 codebook "
+    "centroids, compressing the vector to 4 x 3 bits + a per-vector "
+    "reconstruction error — the memory layout every billion-scale ANN "
+    "index (IVF-PQ) stores instead of raw floats. Codebook = the 8 "
+    "lowest-vec_id embeddings (the deterministic seeded-fit twin of a "
+    "per-subspace k-means; the IVF key owns the sampled-kmeans fit "
+    "path). ALL arithmetic is exact int64: components scale to e6 via "
+    "round() on BOTH legs, subspace distance is a sum of 16 integer "
+    "squares (< 2^46, no overflow), and argmin is the encoded key "
+    "min(dist*8 + cid) — deterministic tie-break toward the lower "
+    "centroid id, decoded with %/div, never a float comparison. "
+    "Shape: one bounded fit-side collect (8 codebook rows, the IVF "
+    "pattern) folded into ONE constant split-string literal "
+    "(functions/vectors.mat_lit); assignment is then a pure scan-side "
+    "map — per row, 4x8 integer subspace distances inside whole-stage "
+    "codegen, no join, no shuffle, no Python. At 100 TB the codebook "
+    "broadcast is bytes and the scan stays embarrassingly parallel.",
+)
+def q_pq_assign(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.vectors import mat_lit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb_rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cb = [
+        [float(x) for x in r.embedding]
+        for r in sorted(cb_rows, key=lambda r: r.vec_id)
+    ]
+
+    iv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+    )
+    base = emb.select("vec_id", iv.alias("iv"))
+
+    def sub_key(s: int):
+        """Encoded argmin key for subspace s: min over 8 centroids of
+        dist*8 + cid (dist = exact integer L2^2 over the 16-dim slice)."""
+        cmat = mat_lit([cb[c][s * 16:(s + 1) * 16] for c in range(8)])
+        sl = F.slice(F.col("iv"), s * 16 + 1, 16)
+        keys = F.transform(
+            cmat,
+            lambda crow, ci: F.aggregate(
+                F.zip_with(
+                    sl,
+                    F.transform(
+                        crow,
+                        lambda y: F.round(y * 1000000).cast("long"),
+                    ),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            * 8
+            + ci.cast("long"),
+        )
+        return F.array_min(keys)
+
+    coded = base.select(
+        "vec_id",
+        *[sub_key(s).alias(f"k{s}") for s in range(4)],
+    )
+    return coded.select(
+        "vec_id",
+        *[(F.col(f"k{s}") % 8).cast("long").alias(f"c{s}") for s in range(4)],
+        sum(
+            F.expr(f"k{s} div 8") for s in range(4)
+        ).cast("long").alias("err"),
+    )
