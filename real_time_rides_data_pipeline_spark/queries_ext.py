@@ -2303,3 +2303,86 @@ def q_patchify_meta(spark, sf_dir):
         F.expr("(k div wp) * 16").cast("long").alias("y0"),
         (F.col("k") * 768).cast("long").alias("byte_offset"),
     )
+
+
+# =========================================================================
+# Round 12: streaming schema evolution — the stream twin of
+# q_union_evolve / q_schema_union, closing the Silver mergeSchema
+# nuance (02_silver_realtime_rides.py:114) under a mid-stream change
+# =========================================================================
+
+
+@register(
+    "q_schema_evolve_stream",
+    """SELECT event_id, user_id, epoch_us(ts) AS us,
+              CAST(NULL AS VARCHAR) AS session_tag
+       FROM events WHERE event_type = 'click' AND event_id % 4 = 1
+       UNION ALL
+       SELECT event_id, user_id, epoch_us(ts),
+              concat('s', CAST(user_id % 10 AS VARCHAR))
+       FROM events WHERE event_type = 'view' AND event_id % 4 = 2""",
+    "STREAMING SCHEMA EVOLUTION — the reference's Silver sink declares "
+    "mergeSchema=true (02_silver_realtime_rides.py:114) precisely so a "
+    "restarted stream whose upstream gained a column can keep appending "
+    "while the table widens. This key replays that lifecycle for real: "
+    "stream run 1 appends the v1 schema (event_id, user_id, us) to the "
+    "sink dir and stops; stream run 2 — a RESTART with the evolved v2 "
+    "schema (+ session_tag), its own checkpoint, same sink path — "
+    "appends; the final read merges footers (mergeSchema=true), so "
+    "run-1 rows surface the new column as NULL. That widened union IS "
+    "the oracle (batch UNION ALL with a NULL-typed column). A "
+    "Structured Streaming source schema is immutable per query, so "
+    "restart-to-evolve is the only correct mechanic — matching the "
+    "reference, where the schema change also rides a notebook restart. "
+    "The sink is foreachBatch -> batch parquet append (the engine's "
+    "MERGE-path mechanic, sinks.py): the direct parquet FILE sink "
+    "cannot host two query lifetimes — each restart would re-number "
+    "batches from 0 in the shared _spark_metadata log and SHADOW the "
+    "other run's files on read (verified here; Delta's transaction "
+    "log is how the reference escapes this). Scale: both runs are "
+    "ordinary append streams (no state store); the merged read costs "
+    "one footer per file, and on Delta the log replaces the footer "
+    "scan (sinks.py twin lights up when delta-spark is present).",
+)
+def q_schema_evolve_stream(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.sources.files import (
+        parquet_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    v1 = ev.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 4 == 1)
+    ).select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    v2 = ev.filter(
+        (F.col("event_type") == "view") & (F.col("event_id") % 4 == 2)
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.concat(F.lit("s"), (F.col("user_id") % 10)).alias("session_tag"),
+    )
+    work = tempfile.mkdtemp(prefix="sev_")
+    in1, in2, out = f"{work}/in1", f"{work}/in2", f"{work}/out"
+    v1.coalesce(1).write.parquet(in1)
+    v2.coalesce(1).write.parquet(in2)
+    # Stateless append streams: width irrelevant, keep the tiny default.
+    writer = scoped_writer_session(spark, shuffle_partitions=2)
+    for i, (src, schema) in enumerate(((in1, v1.schema), (in2, v2.schema))):
+        q = (
+            parquet_stream(writer, src, schema, max_files_per_trigger=1)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", f"{work}/cp{i}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.read.option("mergeSchema", "true").parquet(out)

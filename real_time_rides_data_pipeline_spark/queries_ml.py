@@ -3133,14 +3133,23 @@ def q_poisson_rate_test(spark, sf_dir):
     "min(dist*8 + cid) — deterministic tie-break toward the lower "
     "centroid id, decoded with %/div, never a float comparison. "
     "Shape: one bounded fit-side collect (8 codebook rows, the IVF "
-    "pattern) folded into ONE constant split-string literal "
-    "(functions/vectors.mat_lit); assignment is then a pure scan-side "
-    "map — per row, 4x8 integer subspace distances inside whole-stage "
-    "codegen, no join, no shuffle, no Python. At 100 TB the codebook "
+    "pattern) closed over a vectorized mapInArrow kernel (the "
+    "operators/pca.py linalg pattern): per Arrow batch, numpy computes "
+    "all 4x8 integer subspace distances as one int64 broadcasted "
+    "(n,8,16) op — no join, no shuffle, one narrow map. A pure-JVM "
+    "array-lambda twin was measured first and REJECTED: higher-order "
+    "functions do not enter whole-stage codegen, so the 4x8x16 "
+    "interpreted closure cost ~0.4 ms/row (61 s at the 64x octave); "
+    "the Arrow kernel amortizes to C-speed SIMD. Scaling uses "
+    "half-away-from-zero rounding to match round() on both engine "
+    "legs; exact halves cannot occur (x*1e6 = (2k+1)/2 requires a "
+    "factor 5^6 denominator no binary float has), so floor(v+0.5) is "
+    "bit-identical to either tie rule. At 100 TB the codebook "
     "broadcast is bytes and the scan stays embarrassingly parallel.",
 )
 def q_pq_assign(spark, sf_dir):
-    from real_time_rides_data_pipeline_spark.functions.vectors import mat_lit
+    import numpy as np
+    import pyarrow as pa
 
     emb = _t(spark, sf_dir, "embeddings")
     cb_rows = (
@@ -3148,49 +3157,42 @@ def q_pq_assign(spark, sf_dir):
         .select("vec_id", "embedding")
         .collect()
     )
-    cb = [
-        [float(x) for x in r.embedding]
-        for r in sorted(cb_rows, key=lambda r: r.vec_id)
-    ]
 
-    iv = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
-    )
-    base = emb.select("vec_id", iv.alias("iv"))
+    def half_away_e6(x):
+        """round(x*1e6) with SQL round-half-away semantics, exact int64."""
+        v = np.asarray(x, dtype=np.float64) * 1000000.0
+        return np.where(
+            v >= 0, np.floor(v + 0.5), -np.floor(-v + 0.5)
+        ).astype(np.int64)
 
-    def sub_key(s: int):
-        """Encoded argmin key for subspace s: min over 8 centroids of
-        dist*8 + cid (dist = exact integer L2^2 over the 16-dim slice)."""
-        cmat = mat_lit([cb[c][s * 16:(s + 1) * 16] for c in range(8)])
-        sl = F.slice(F.col("iv"), s * 16 + 1, 16)
-        keys = F.transform(
-            cmat,
-            lambda crow, ci: F.aggregate(
-                F.zip_with(
-                    sl,
-                    F.transform(
-                        crow,
-                        lambda y: F.round(y * 1000000).cast("long"),
-                    ),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            * 8
-            + ci.cast("long"),
-        )
-        return F.array_min(keys)
+    csub = half_away_e6(
+        [list(r.embedding) for r in sorted(cb_rows, key=lambda r: r.vec_id)]
+    ).reshape(8, 4, 16)
 
-    coded = base.select(
-        "vec_id",
-        *[sub_key(s).alias(f"k{s}") for s in range(4)],
-    )
-    return coded.select(
-        "vec_id",
-        *[(F.col(f"k{s}") % 8).cast("long").alias(f"c{s}") for s in range(4)],
-        sum(
-            F.expr(f"k{s} div 8") for s in range(4)
-        ).cast("long").alias("err"),
+    def assign(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = np.asarray(b.column(0), dtype=np.int64)
+            vs = half_away_e6(
+                np.asarray(b.column(1).flatten(), dtype=np.float64)
+            ).reshape(n, 4, 16)
+            out = {"vec_id": ids}
+            err = np.zeros(n, dtype=np.int64)
+            for s_ in range(4):
+                # (n, 8) exact int64 squared L2 per centroid
+                d = ((vs[:, None, s_, :] - csub[None, :, s_, :]) ** 2).sum(
+                    axis=2
+                )
+                keys = d * 8 + np.arange(8, dtype=np.int64)[None, :]
+                k = keys.min(axis=1)
+                out[f"c{s_}"] = k % 8
+                err += k >> 3
+            out["err"] = err
+            yield pa.RecordBatch.from_pydict(out)
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        assign,
+        "vec_id long, c0 long, c1 long, c2 long, c3 long, err long",
     )

@@ -167,6 +167,16 @@ KEYS = [
     # round-11 wave-6 additions.
     "q_mix_drift",           # (week, type) agg + bounded spine windows
     "q_dedup_survivorship",  # one md5-fingerprint window shuffle
+    # round-12 additions.
+    # q_negative_sample: excluded like q_knn_classify — the broadcast
+    # pool is 1/16 of the corpus under replication, so |Q| x |pool|
+    # output grows quadratically; the operator's 100 TB contract caps
+    # the pool with more hash digits (a FIXED bounded sample).
+    "q_tokenizer_fertility",  # scan-side array folds + lang-domain agg
+    "q_histogram_quantile_merge",  # two-level agg + bounded bin windows
+    "q_pq_assign",           # 8-row fit collect + pure scan-side map
+    "q_bfs_distance",        # 3 frontier hash joins (graph grows)
+    "q_holt_linear",         # bounded hour-domain compression + fold
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

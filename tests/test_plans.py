@@ -1514,13 +1514,17 @@ def test_welch_one_scan_moment_agg(spark):
 
 
 def test_gini_windows_over_user_domain(spark):
-    """The rank/total windows run over the per-user aggregate, never raw
-    events: one scan, agg pair below the window, no join."""
+    """The rank runs over the per-user aggregate, never raw events, and
+    since round 12 it is the RANGE-PARTITIONED two-phase rank joined to
+    broadcast offsets plus a 1-row scalar totals join (see
+    test_gini_rank_is_range_partitioned for the partitioning pin) — so
+    the plan shows the user-domain agg below the rank machinery and
+    only broadcast joins."""
     plan = _plan(spark, "q_gini_coefficient")
-    assert plan.count("events.parquet") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "Window" in plan, plan
-    assert "Join" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
 
 
 def test_theil_sen_pairs_over_compressed_domain(spark):
@@ -1831,3 +1835,54 @@ def test_gini_rank_is_range_partitioned(spark):
     for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
                          plan):
         assert "__pid" in m.group(1), plan
+
+
+def test_pq_assign_is_narrow_map(spark):
+    """PQ assignment must be a single narrow Arrow-vectorized map over
+    the embeddings scan — codebook closed over the kernel, no join, no
+    shuffle, no row-at-a-time Python (MapInArrow is the one sanctioned
+    Python node; see the operator docstring for the rejected JVM-HOF
+    twin's 0.4 ms/row interpretation cost)."""
+    plan = _plan(spark, "q_pq_assign")
+    assert plan.count("embeddings.parquet") >= 1, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan.split("== Physical Plan ==")[-1], plan
+    assert "MapInArrow" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_tokenizer_fertility_single_agg_no_explode(spark):
+    """Fertility folds token counts inside scan-side array lambdas — no
+    Generate (explode), no Python, one aggregate over the lang domain."""
+    plan = _plan(spark, "q_tokenizer_fertility")
+    assert "Generate" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_negative_sample_pool_is_broadcast(spark):
+    """The candidate pool must arrive broadcast (bounded hash sample);
+    the theta-join is BroadcastNestedLoop BY DESIGN (|Q| x |pool| with
+    pool tiny) — what must never appear is a shuffled cartesian."""
+    plan = _plan(spark, "q_negative_sample")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_histogram_quantile_merge_two_level_agg(spark):
+    """Shard histograms then merge: at least two HashAggregate levels,
+    windows only over the bounded bin domain, no join."""
+    plan = _plan(spark, "q_histogram_quantile_merge")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_holt_linear_is_compressed_domain_fold(spark):
+    """The recursion folds inside one reduced row: one events scan, hash
+    agg to the hour domain, no window, no join, no Python."""
+    plan = _plan(spark, "q_holt_linear")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
