@@ -2049,3 +2049,118 @@ def q_negative_sample(spark, sf_dir):
         .filter(F.col("rnk") <= 4)
         .select("query_id", "neg_id", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register(
+    "q_stream_quantile_merge",
+    """WITH m AS (
+         SELECT CAST(round(value * 100) AS BIGINT) // 500 AS bin,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY bin
+       ), c AS (
+         SELECT bin, n,
+                sum(n) OVER (ORDER BY bin) AS cum,
+                sum(n) OVER () AS total
+         FROM m
+       )
+       SELECT CAST(min(total) AS BIGINT) AS n_total,
+              CAST(count(*) AS BIGINT) AS n_bins,
+              CAST(min(CASE WHEN 2 * cum >= total THEN bin * 500 END)
+                   AS BIGINT) AS p50_est_cents,
+              CAST(min(CASE WHEN 10 * cum >= 9 * total THEN bin * 500 END)
+                   AS BIGINT) AS p90_est_cents,
+              CAST(min(CASE WHEN 100 * cum >= 99 * total THEN bin * 500 END)
+                   AS BIGINT) AS p99_est_cents
+       FROM c""",
+    "STREAMING QUANTILE-SKETCH MAINTENANCE — the live twin of "
+    "q_histogram_quantile_merge, proving the histogram's merge algebra "
+    "under incremental ingestion: events replay as a REAL 2-micro-batch "
+    "stream, each batch reduces to its own per-bin counts, and "
+    "foreachBatch folds them through sinks.merge_additive_parquet "
+    "(per-bin SUM — associative, commutative, batch_id-idempotent, "
+    "crash-ordered swap), so the folded state is BIT-IDENTICAL to the "
+    "batch-built histogram and answers to the SAME oracle with the "
+    "same exact cross-multiplied quantile reads. At 100 TB this is the "
+    "continuously-maintained latency/price-percentile dashboard: "
+    "per-shard histograms stream in, |bins| state rows total, "
+    "quantiles on demand with NO rescan of history — the operational "
+    "reason mergeable sketches beat exact sorts for monitoring.",
+)
+def q_stream_quantile_merge(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+    from real_time_rides_data_pipeline_spark.queries_ext import (
+        _replay_input,
+        scoped_writer_session,
+    )
+    from real_time_rides_data_pipeline_spark.sinks import (
+        merge_additive_parquet,
+    )
+    from real_time_rides_data_pipeline_spark.sources.files import (
+        parquet_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    inp = _replay_input(ev, "qsketchstream", sf_dir)  # 2 files → 2 batches
+    run_dir = tempfile.mkdtemp(prefix="qsketch_run_")
+    state, ckpt = f"{run_dir}/hist", f"{run_dir}/ckpt"
+    writer = scoped_writer_session(spark, shuffle_partitions=4)
+    stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = (
+            batch_df.select(
+                (cents(F.col("value")) / 500).cast("long").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        merge_additive_parquet(
+            batch_df.sparkSession,
+            partial,
+            state,
+            keys=("bin",),
+            sum_cols=("n",),
+            batch_id=batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    m = spark.read.parquet(state).select("bin", "n")
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = m.select(
+        "bin",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    return c.agg(
+        F.min("total").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("total"), F.col("bin") * 500)
+        ).cast("long").alias("p50_est_cents"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("total"), F.col("bin") * 500)
+        ).cast("long").alias("p90_est_cents"),
+        F.min(
+            F.when(
+                100 * F.col("cum") >= 99 * F.col("total"), F.col("bin") * 500
+            )
+        ).cast("long").alias("p99_est_cents"),
+    )

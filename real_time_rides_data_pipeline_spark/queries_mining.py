@@ -2364,3 +2364,140 @@ def q_holt_linear(spark, sf_dir):
         (F.col("st.l") + F.col("st.b")).cast("long").alias("forecast_e6"),
         F.col("st.sae").cast("long").alias("sae_e6"),
     )
+
+
+# =========================================================================
+# Round 12: two-stage retrieval — BM25 recall then embedding rerank,
+# the RAG retrieval pipeline end-to-end (stage 1 = q_bm25_topk's exact
+# integer scoring turned query-side, stage 2 = q_cosine_topk's exact
+# rerank over the shortlist)
+# =========================================================================
+
+
+@register(
+    "q_two_stage_retrieval",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         FROM documents
+       ), tf_t AS (
+         SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM tok GROUP BY doc_id, term
+       ), dl_t AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+       ), df_t AS (
+         SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_t GROUP BY term
+       ), corpus AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+         FROM dl_t
+       ), qt AS (
+         SELECT term FROM tf_t WHERE doc_id = 450
+         ORDER BY tf DESC, term LIMIT 3
+       ), scored AS (
+         SELECT t.doc_id,
+                CAST(sum(((t.tf * 2200000000000)
+                          // (t.tf * 1000000
+                              + (120 * (250000
+                                        + (75 * ((l.dl * 1000000)
+                                                 // c.avgdl)) // 100))
+                                // 100))
+                         * (2 * (c.n_docs - d.df) + 1) // (2 * d.df + 1))
+                     AS BIGINT) AS bm25_ppm
+         FROM tf_t t
+         JOIN qt USING (term)
+         JOIN df_t d ON t.term = d.term
+         JOIN dl_t l ON t.doc_id = l.doc_id
+         CROSS JOIN corpus c
+         GROUP BY t.doc_id
+       ), top20 AS (
+         SELECT doc_id, bm25_ppm FROM scored
+         ORDER BY bm25_ppm DESC, doc_id LIMIT 20
+       ), qv AS (
+         SELECT embedding AS qe FROM embeddings WHERE vec_id = 450
+       )
+       SELECT t.doc_id, t.bm25_ppm,
+              floor((list_reduce(list_transform(range(len(a.embedding)),
+                       i -> a.embedding[i+1]::DOUBLE * qv.qe[i+1]::DOUBLE),
+                       (x,y) -> x+y)
+                     / (sqrt(list_reduce(list_transform(a.embedding,
+                          x -> x::DOUBLE*x::DOUBLE), (x,y)->x+y))
+                        * sqrt(list_reduce(list_transform(qv.qe,
+                            x -> x::DOUBLE*x::DOUBLE), (x,y)->x+y))))
+                    * 1000000) / 1000000.0 AS cosine_sim
+       FROM top20 t
+       JOIN embeddings a ON a.vec_id = t.doc_id
+       CROSS JOIN qv
+       ORDER BY cosine_sim DESC, t.doc_id LIMIT 5""",
+    "TWO-STAGE RETRIEVAL — the RAG pipeline end-to-end: stage 1 scores "
+    "the corpus with EXACT-INTEGER BM25 (q_bm25_topk's overflow-audited "
+    "ppm formula, k1=1.2 b=0.75) against a 3-term query — doc 450's "
+    "top-tf terms, the deterministic 'more like this' query, collected "
+    "driver-side as THE QUERY exactly like q_cosine_topk's vector — "
+    "and keeps a top-20 shortlist (TakeOrderedAndProject); stage 2 "
+    "joins ONLY the shortlist to its embeddings (20-row broadcast) and "
+    "reranks by exact cosine vs the query document's vector, emitting "
+    "the final top-5. This inverted-index-then-ANN cascade is how "
+    "production retrieval spends its compute: the cheap lexical stage "
+    "bounds the candidate set, the expensive semantic stage touches "
+    "20 rows, not N. Shuffles: the tf/df/dl aggs and vocab join from "
+    "the BM25 plan (query terms prune tf BEFORE the df join), then "
+    "broadcast-only joins; the embeddings scan is pruned to the "
+    "shortlist via the broadcast hash join at 100 TB.",
+)
+def q_two_stage_retrieval(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.vectors import (
+        as_double,
+        cosine_rounded,
+        vec_lit,
+    )
+
+    d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(dl) DIV count(1)").alias("avgdl"),
+    )
+    # The query: doc 450's top-3 terms by tf (driver-side bounded collect —
+    # 'the query', not data movement; ties broken by term).
+    q_terms = [
+        r.term
+        for r in tf.filter(F.col("doc_id") == 450)
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(3)
+        .collect()
+    ]
+    scored = (
+        tf.filter(F.col("term").isin(q_terms))
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    """((tf * 2200000000000L)
+                        DIV (tf * 1000000L
+                             + (120 * (250000
+                                       + (75 * ((dl * 1000000L) DIV avgdl))
+                                         DIV 100))
+                               DIV 100))
+                       * (2 * (n_docs - df) + 1) DIV (2 * df + 1)"""
+                )
+            ).cast("long").alias("bm25_ppm")
+        )
+    )
+    top20 = scored.orderBy(F.desc("bm25_ppm"), F.asc("doc_id")).limit(20)
+    emb = _t(spark, sf_dir, "embeddings")
+    q_row = emb.filter(F.col("vec_id") == 450).select("embedding").first()
+    qv = vec_lit([float(x) for x in q_row[0]])
+    rer = F.broadcast(top20).join(
+        emb, top20["doc_id"] == emb["vec_id"]
+    ).select(
+        top20["doc_id"],
+        "bm25_ppm",
+        cosine_rounded(as_double(F.col("embedding")), qv).alias("cosine_sim"),
+    )
+    return rer.orderBy(F.desc("cosine_sim"), F.asc("doc_id")).limit(5)

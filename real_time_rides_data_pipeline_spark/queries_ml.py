@@ -3148,51 +3148,99 @@ def q_poisson_rate_test(spark, sf_dir):
     "broadcast is bytes and the scan stays embarrassingly parallel.",
 )
 def q_pq_assign(spark, sf_dir):
-    import numpy as np
-    import pyarrow as pa
+    from real_time_rides_data_pipeline_spark.operators import pq
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb_rows = (
-        emb.filter(F.col("vec_id") < 8)
-        .select("vec_id", "embedding")
-        .collect()
+    csub = pq.subspace_codebook(
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     )
+    return pq.pq_codes(emb, csub)
 
-    def half_away_e6(x):
-        """round(x*1e6) with SQL round-half-away semantics, exact int64."""
-        v = np.asarray(x, dtype=np.float64) * 1000000.0
-        return np.where(
-            v >= 0, np.floor(v + 0.5), -np.floor(-v + 0.5)
-        ).astype(np.int64)
 
-    csub = half_away_e6(
-        [list(r.embedding) for r in sorted(cb_rows, key=lambda r: r.vec_id)]
-    ).reshape(8, 4, 16)
+@register(
+    "q_ann_pq_search",
+    """WITH cb AS (
+         SELECT vec_id AS cid, embedding AS ce
+         FROM embeddings WHERE vec_id < 8
+       ), qv AS (
+         SELECT embedding AS qe FROM embeddings WHERE vec_id = 450
+       ), d AS (
+         SELECT v.vec_id, s.s, cb.cid,
+                CAST(list_sum(list_transform(range(1, 17), i ->
+                  (CAST(round(CAST(v.embedding[s.s * 16 + i] AS DOUBLE)
+                              * 1000000) AS BIGINT)
+                   - CAST(round(CAST(cb.ce[s.s * 16 + i] AS DOUBLE)
+                                * 1000000) AS BIGINT))
+                  * (CAST(round(CAST(v.embedding[s.s * 16 + i] AS DOUBLE)
+                                * 1000000) AS BIGINT)
+                     - CAST(round(CAST(cb.ce[s.s * 16 + i] AS DOUBLE)
+                                  * 1000000) AS BIGINT)))) AS BIGINT) AS dist
+         FROM embeddings v
+         CROSS JOIN cb
+         CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+       ), k AS (
+         SELECT vec_id, s, min(dist * 8 + cid) AS kk
+         FROM d GROUP BY vec_id, s
+       ), lut AS (
+         SELECT s.s, cb.cid,
+                CAST(list_sum(list_transform(range(1, 17), i ->
+                  (CAST(round(CAST(qv.qe[s.s * 16 + i] AS DOUBLE)
+                              * 1000000) AS BIGINT)
+                   - CAST(round(CAST(cb.ce[s.s * 16 + i] AS DOUBLE)
+                                * 1000000) AS BIGINT))
+                  * (CAST(round(CAST(qv.qe[s.s * 16 + i] AS DOUBLE)
+                                * 1000000) AS BIGINT)
+                     - CAST(round(CAST(cb.ce[s.s * 16 + i] AS DOUBLE)
+                                  * 1000000) AS BIGINT)))) AS BIGINT) AS d
+         FROM cb CROSS JOIN qv
+         CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+       ), adc AS (
+         SELECT k.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+         FROM k JOIN lut l ON l.s = k.s AND l.cid = k.kk % 8
+         GROUP BY k.vec_id
+       )
+       SELECT vec_id, adc_dist FROM adc
+       ORDER BY adc_dist, vec_id LIMIT 10""",
+    "ADC (asymmetric distance computation) top-10 search over the PQ-"
+    "compressed table — the query kernel of an IVF-PQ index and the "
+    "companion of q_pq_assign: the query vector's exact int64 squared-L2 "
+    "distance to each of the 8 centroids is precomputed per subspace "
+    "(a 4x8 lookup table, bytes), and every row's approximate distance "
+    "is FOUR element_at lookups on that folded literal summed — the "
+    "compressed scan never touches raw floats. The query is the "
+    "embedding of vec_id 450, collected once driver-side (one row — "
+    "'the query', not data movement) exactly like q_cosine_topk's; the "
+    "LUT sum is exact int64 so the ranking is bit-identical to the "
+    "oracle's full recomputation, with ties broken by vec_id. Shape: "
+    "codes via the shared mapInArrow kernel (operators/pq.py), then a "
+    "scan-side JVM projection + TakeOrderedAndProject — no join, no "
+    "shuffle beyond the top-k merge; at 100 TB the LUT build is O(k*D) "
+    "on the driver and the scan reads 4 codes/row instead of 64 "
+    "floats (the 16-64x bandwidth win that makes PQ worth it).",
+)
+def q_ann_pq_search(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators import pq
 
-    def assign(batches):
-        for b in batches:
-            n = b.num_rows
-            if n == 0:
-                continue
-            ids = np.asarray(b.column(0), dtype=np.int64)
-            vs = half_away_e6(
-                np.asarray(b.column(1).flatten(), dtype=np.float64)
-            ).reshape(n, 4, 16)
-            out = {"vec_id": ids}
-            err = np.zeros(n, dtype=np.int64)
-            for s_ in range(4):
-                # (n, 8) exact int64 squared L2 per centroid
-                d = ((vs[:, None, s_, :] - csub[None, :, s_, :]) ** 2).sum(
-                    axis=2
-                )
-                keys = d * 8 + np.arange(8, dtype=np.int64)[None, :]
-                k = keys.min(axis=1)
-                out[f"c{s_}"] = k % 8
-                err += k >> 3
-            out["err"] = err
-            yield pa.RecordBatch.from_pydict(out)
-
-    return emb.select("vec_id", "embedding").mapInArrow(
-        assign,
-        "vec_id long, c0 long, c1 long, c2 long, c3 long, err long",
+    emb = _t(spark, sf_dir, "embeddings")
+    csub = pq.subspace_codebook(
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    q_row = (
+        emb.filter(F.col("vec_id") == 450).select("embedding").first()
+    )
+    lut = pq.adc_lut([float(x) for x in q_row[0]], csub)
+    codes = pq.pq_codes(emb, csub)
+    adc = sum(
+        F.element_at(
+            F.expr(
+                "array(" + ",".join(str(int(v)) + "L" for v in lut[s]) + ")"
+            ),
+            F.col(f"c{s}").cast("int") + 1,
+        )
+        for s in range(4)
+    )
+    return (
+        codes.select("vec_id", adc.cast("long").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
     )
