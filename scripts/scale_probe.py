@@ -177,6 +177,9 @@ KEYS = [
     "q_pq_assign",           # 8-row fit collect + pure scan-side map
     "q_bfs_distance",        # 3 frontier hash joins (graph grows)
     "q_holt_linear",         # bounded hour-domain compression + fold
+    "q_ann_pq_search",       # codes map + folded LUT + TakeOrdered
+    "q_stream_quantile_merge",  # 2-batch stream, additive bin merge
+    "q_two_stage_retrieval",    # BM25 aggs + 20-row broadcast rerank
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...
