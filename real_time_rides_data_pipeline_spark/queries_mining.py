@@ -2501,3 +2501,82 @@ def q_two_stage_retrieval(spark, sf_dir):
         cosine_rounded(as_double(F.col("embedding")), qv).alias("cosine_sim"),
     )
     return rer.orderBy(F.desc("cosine_sim"), F.asc("doc_id")).limit(5)
+
+
+# =========================================================================
+# Round 12: per-user OLS trend — grouped model fitting (thousands of
+# regressions in one aggregate pass; q_linreg_fit is the single global
+# model, q_cv_ols the LOFO variant — this is the per-entity fleet)
+# =========================================================================
+
+
+@register(
+    "q_per_user_trend",
+    """WITH p AS (
+         SELECT user_id,
+                CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                     AS BIGINT) AS x,
+                CAST(round(value * 100) AS BIGINT) AS y
+         FROM events
+       ), m AS (
+         SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+         FROM p GROUP BY user_id
+       )
+       SELECT user_id, n,
+              CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+              CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+              CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                        WHEN n * sxy - sx * sy < 0 THEN -1
+                        ELSE 0 END AS BIGINT) AS trend_dir
+       FROM m""",
+    "PER-USER OLS TREND — one regression per user (spend-cents vs hour "
+    "index), the grouped-model-fleet pattern: at 100 TB you fit "
+    "millions of per-entity models in ONE map-side-combined aggregate "
+    "pass, never a per-entity loop. The slope is emitted as the EXACT "
+    "RATIONAL pair (slope_num, slope_den) = (n*Sxy - Sx*Sy, "
+    "n*Sxx - Sx**2) plus its sign — the q_bm25_topk odds dodge: a "
+    "floored quotient would need the div-vs-// negative-operand "
+    "reconciliation (Spark truncates, DuckDB floors) and an overflow-"
+    "prone e-scale, while the rational is overflow-audited directly "
+    "(n<=1e4 events/user, x<=1e5 hours, y<=1e8 cents keeps every "
+    "product under 2^62) and loses nothing — downstream consumers "
+    "compare slopes by cross-multiplication. Degenerate users (one "
+    "distinct hour) read slope_den = 0 rather than a NULL-division "
+    "special case. Shape: one events scan -> five integer moments in "
+    "one hash agg on user_id -> pure projection; |users| rows out, "
+    "no window, no join.",
+)
+def q_per_user_trend(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.expr(
+        "CAST((unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01 00:00:00'))"
+        " div 3600000000 AS BIGINT)"
+    )
+    p = ev.select("user_id", x.alias("x"), cents(F.col("value")).alias("y"))
+    m = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "user_id",
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(num > 0, 1)
+        .when(num < 0, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("trend_dir"),
+    )

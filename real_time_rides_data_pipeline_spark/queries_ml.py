@@ -3244,3 +3244,186 @@ def q_ann_pq_search(spark, sf_dir):
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "q_pq_recall",
+    """WITH cb AS (
+         SELECT vec_id AS cid, embedding AS ce
+         FROM embeddings WHERE vec_id < 8
+       ), iv AS (
+         SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                    AS v
+         FROM embeddings
+       ), q AS (
+         SELECT vec_id AS qid, v AS qv FROM iv WHERE vec_id % 50 = 0
+       ), exd AS (
+         SELECT q.qid, t.vec_id AS tid,
+                CAST(list_sum(list_transform(range(1, 65), i ->
+                  (t.v[i] - q.qv[i]) * (t.v[i] - q.qv[i])))
+                     AS BIGINT) AS d
+         FROM iv t CROSS JOIN q
+         WHERE t.vec_id <> q.qid
+       ), ex AS (
+         SELECT qid, tid FROM (
+           SELECT qid, tid,
+                  row_number() OVER (PARTITION BY qid ORDER BY d, tid) AS rn
+           FROM exd)
+         WHERE rn <= 10
+       ), dd AS (
+         SELECT v.vec_id, s.s, cb.cid,
+                CAST(list_sum(list_transform(range(1, 17), i ->
+                  (CAST(round(CAST(v.embedding[s.s * 16 + i] AS DOUBLE)
+                              * 1000000) AS BIGINT)
+                   - CAST(round(CAST(cb.ce[s.s * 16 + i] AS DOUBLE)
+                                * 1000000) AS BIGINT))
+                  * (CAST(round(CAST(v.embedding[s.s * 16 + i] AS DOUBLE)
+                                * 1000000) AS BIGINT)
+                     - CAST(round(CAST(cb.ce[s.s * 16 + i] AS DOUBLE)
+                                  * 1000000) AS BIGINT)))) AS BIGINT) AS dist
+         FROM embeddings v
+         CROSS JOIN cb
+         CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+       ), k AS (
+         SELECT vec_id, s, min(dist * 8 + cid) AS kk
+         FROM dd GROUP BY vec_id, s
+       ), lut AS (
+         SELECT q.qid, s.s, cb.cid,
+                CAST(list_sum(list_transform(range(1, 17), i ->
+                  (q.qv[s.s * 16 + i]
+                   - CAST(round(CAST(cb.ce[s.s * 16 + i] AS DOUBLE)
+                                * 1000000) AS BIGINT))
+                  * (q.qv[s.s * 16 + i]
+                     - CAST(round(CAST(cb.ce[s.s * 16 + i] AS DOUBLE)
+                                  * 1000000) AS BIGINT)))) AS BIGINT) AS d
+         FROM cb CROSS JOIN q
+         CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+       ), adc AS (
+         SELECT l.qid, k.vec_id AS tid, CAST(sum(l.d) AS BIGINT) AS d
+         FROM k JOIN lut l ON l.s = k.s AND l.cid = k.kk % 8
+         WHERE k.vec_id <> l.qid
+         GROUP BY l.qid, k.vec_id
+       ), ap AS (
+         SELECT qid, tid FROM (
+           SELECT qid, tid,
+                  row_number() OVER (PARTITION BY qid ORDER BY d, tid) AS rn
+           FROM adc)
+         WHERE rn <= 10
+       )
+       SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n_queries,
+              CAST(10 AS BIGINT) AS k,
+              CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact_pairs,
+              CAST(count(*) AS BIGINT) AS hits,
+              CAST(count(*) * 1000000
+                   // (SELECT count(*) FROM ex) AS BIGINT) AS recall_ppm
+       FROM ex JOIN ap USING (qid, tid)""",
+    "PQ-ADC RECALL@10 — the fully VALUE-CHECKED accuracy attestation "
+    "for the PQ family (q_ann_recall's role for IVF, but stronger: "
+    "both legs are deterministic exact-integer computations, so the "
+    "recall itself hash-checks — no boolean attestation needed). For "
+    "the 2% query set (vec_id % 50 = 0), the exact leg ranks ALL "
+    "candidates by full 64-dim int64 squared-L2 and the ADC leg ranks "
+    "by the 4-subspace code-table distance; recall_ppm is their "
+    "top-10 overlap. One vectorized mapInArrow kernel emits BOTH "
+    "distances for every (query, candidate) pair in a single "
+    "embeddings pass (numpy matrix ops over the broadcast query "
+    "block, operators/pq.py), then two rank windows partitioned by "
+    "query and one join count the hits. Scale: the pair frame is "
+    "N x |Q| — the q_knn_classify broadcast-query contract (|Q| "
+    "FIXED; large query sets route through the IVF+PQ index itself, "
+    "which is the point of measuring its recall).",
+)
+def q_pq_recall(spark, sf_dir):
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import Window as W
+
+    from real_time_rides_data_pipeline_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    csub = pq.subspace_codebook(
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    q_rows = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_rows = sorted(q_rows, key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qint = pq.half_away_e6([list(r.embedding) for r in q_rows])  # (Q, 64)
+    # (Q, n_sub, k) ADC tables, one per query
+    luts = np.stack([pq.adc_lut(list(r.embedding), csub) for r in q_rows])
+
+    def both(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            tids = np.asarray(b.column(0), dtype=np.int64)
+            raw = np.asarray(
+                b.column(1).flatten(), dtype=np.float64
+            ).reshape(n, 64)
+            vs = pq.half_away_e6(raw)  # (n, 64)
+            # exact: (n, Q) int64 squared L2
+            diff = vs[:, None, :] - qint[None, :, :]
+            exd = (diff * diff).sum(axis=2)
+            # ADC: codes per subspace -> LUT gather per query
+            vsub = vs.reshape(n, 4, 16)
+            adc = np.zeros((n, len(qids)), dtype=np.int64)
+            for s in range(4):
+                d = ((vsub[:, None, s, :] - csub[None, :, s, :]) ** 2).sum(
+                    axis=2
+                )
+                keys = d * 8 + np.arange(8, dtype=np.int64)[None, :]
+                code = (keys.min(axis=1) % 8).astype(np.int64)  # (n,)
+                adc += luts[:, s, :][:, code].T  # (n, Q)
+            nq = len(qids)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "qid": np.repeat(qids[None, :], n, axis=0).ravel(),
+                    "tid": np.repeat(tids, nq),
+                    "exd": exd.ravel(),
+                    "adc": adc.ravel(),
+                }
+            )
+
+    pairs = (
+        emb.select("vec_id", "embedding")
+        .mapInArrow(both, "qid long, tid long, exd long, adc long")
+        .filter(F.col("tid") != F.col("qid"))
+    )
+    w_ex = W.partitionBy("qid").orderBy("exd", "tid")
+    w_ap = W.partitionBy("qid").orderBy("adc", "tid")
+    ranked = pairs.select(
+        "qid",
+        "tid",
+        F.row_number().over(w_ex).alias("rn_ex"),
+        F.row_number().over(w_ap).alias("rn_ap"),
+    )
+    ex = ranked.filter(F.col("rn_ex") <= 10).select("qid", "tid")
+    ap = ranked.filter(F.col("rn_ap") <= 10).select("qid", "tid")
+    hits = ex.join(ap, ["qid", "tid"]).agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    totals = ex.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
+        F.broadcast(
+            pairs.select("qid").distinct().agg(
+                F.count(F.lit(1)).alias("n_queries")
+            )
+        )
+    )
+    return (
+        F.broadcast(totals)
+        .crossJoin(hits)
+        .select(
+            "n_queries",
+            F.lit(10).cast("long").alias("k"),
+            "n_exact_pairs",
+            F.col("hits").cast("long").alias("hits"),
+            F.expr("hits * 1000000 div n_exact_pairs").alias("recall_ppm"),
+        )
+    )

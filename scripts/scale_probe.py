@@ -180,6 +180,10 @@ KEYS = [
     "q_ann_pq_search",       # codes map + folded LUT + TakeOrdered
     "q_stream_quantile_merge",  # 2-batch stream, additive bin merge
     "q_two_stage_retrieval",    # BM25 aggs + 20-row broadcast rerank
+    "q_per_user_trend",      # five moments in one user_id hash agg
+    # q_pq_recall: excluded like q_knn_classify/q_ann_recall — the
+    # fixed 2% query set grows with the replicated corpus, outside the
+    # broadcast-query contract (large |Q| routes through the index).
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

@@ -1886,3 +1886,28 @@ def test_holt_linear_is_compressed_domain_fold(spark):
     assert "Window" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_per_user_trend_single_agg(spark):
+    """The per-entity model fleet is ONE hash aggregate on user_id plus a
+    projection — no window, no join, no Python."""
+    plan = _plan(spark, "q_per_user_trend")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_pq_recall_windows_partition_by_query(spark):
+    """Both rank windows over the N x |Q| pair frame must partition by
+    qid (the broadcast-query contract) — an unpartitioned rank here
+    would single-partition the pair frame."""
+    import re
+
+    plan = _plan(spark, "q_pq_recall")
+    assert "MapInArrow" in plan, plan
+    for m in re.finditer(
+        r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan
+    ):
+        assert "qid" in m.group(1), plan
+    assert "CartesianProduct" not in plan, plan
