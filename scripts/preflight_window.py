@@ -39,7 +39,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = e.queries(), e.oracle_sql()
-    win = list(qs)[:50]
+    # PREFLIGHT_ALL=1 sweeps the ENTIRE registry driver-faithfully (the
+    # round-close depth pass); default replays the driver's 50-key window.
+    win = (
+        list(qs)
+        if os.environ.get("PREFLIGHT_ALL")
+        else list(qs)[:50]
+    )
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem "
