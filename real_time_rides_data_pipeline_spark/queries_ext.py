@@ -2386,3 +2386,69 @@ def q_schema_evolve_stream(spark, sf_dir):
         finally:
             q.stop()
     return spark.read.option("mergeSchema", "true").parquet(out)
+
+
+@register(
+    "q_stream_restart_recovery",
+    """SELECT event_id, user_id, epoch_us(ts) AS us
+       FROM events WHERE event_type = 'signup' AND event_id % 4 = 3""",
+    "CHECKPOINT RESTART RECOVERY — the live proof of the semantics the "
+    "reference's every sink rests on (checkpointLocation at 01:85, "
+    "02:115, 03:126): a stream processes batch 1 and STOPS; new data "
+    "lands while the query is down; a NEW query starts against the "
+    "SAME checkpoint and sink, and the file-source offset log makes it "
+    "resume EXACTLY where the first run committed — batch 1's file is "
+    "never re-read (no duplicates), the new file is picked up (no "
+    "loss), so the final sink equals the one-shot batch oracle row for "
+    "row. This is the restart-after-deploy / crash-after-commit "
+    "lifecycle every production stream lives through; the harder "
+    "crash-BETWEEN-sink-write-and-offset-commit window (where "
+    "foreachBatch append is at-least-once) is owned by q_merge_upsert's "
+    "batch_id-idempotent MERGE — together the two keys cover the "
+    "exactly-once contract. Scale: recovery cost is reading the "
+    "offset/commit log (O(batches), compacted), independent of data "
+    "volume — the design reason Structured Streaming restarts are "
+    "cheap at 100 TB.",
+)
+def q_stream_restart_recovery(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.sources.files import (
+        parquet_stream,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "signup") & (F.col("event_id") % 4 == 3)
+        )
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    )
+    work = tempfile.mkdtemp(prefix="restart_")
+    inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    ev.filter(F.col("event_id") % 8 == 3).coalesce(1).write.parquet(inp)
+    writer = scoped_writer_session(spark, shuffle_partitions=2)
+
+    def sink(bdf, _bid):
+        bdf.write.mode("append").parquet(out)
+
+    def run_once():
+        q = (
+            parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # run 1: commits batch 0 (the first half)
+    # New data lands while the query is down.
+    ev.filter(F.col("event_id") % 8 == 7).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_once()  # restart, SAME checkpoint: resumes past batch 0
+    return spark.read.parquet(out)
