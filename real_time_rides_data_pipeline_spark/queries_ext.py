@@ -1544,65 +1544,90 @@ def q_stream_stream_join(spark, sf_dir):
     "far-future sentinel batches (user_id -1/-2) advance the watermark "
     "past every real click so ALL unmatched rows flush: batch N's "
     "eviction uses the watermark computed at the END of batch N-1, hence "
-    "two appends. The sentinel rows are filtered from the SINK table, not "
-    "inside the stream — an in-stream filter on user_id would be pushed "
-    "down through join and watermark into the scan, dropping the "
-    "sentinels before the watermark node ever sees them (watermark "
-    "frozen, outer rows never emit). Oracle = the plain batch LEFT JOIN.",
+    "two sentinel micro-batches. Since round 12 the sentinels are "
+    "PRE-PLACED in the monitored dirs with mtimes staggered 4 s apart "
+    "(data, +1h sentinel, +2h sentinel): FileStreamSource orders files "
+    "by modification time, so one processAllAvailable replays the same "
+    "three-batch schedule the old stop-append-resume loop produced "
+    "(output equality verified row-for-row at sf0.1, 19863 rows), the "
+    "input becomes IMMUTABLE and therefore memoizable per sf_dir (no "
+    "per-invocation file copies or max-ts driver job), and the key "
+    "dropped 5.9 -> 4.6 s min-of-3 at sf0.1. The mtime stagger is "
+    "LOAD-BEARING: files sharing an mtime could surface a sentinel "
+    "beside (or before) the data batch, advancing the watermark past "
+    "the real rows and silently dropping them as late — the oracle "
+    "hash-checks this on every run. The sentinel rows are filtered "
+    "from the SINK table, not inside the stream — an in-stream filter "
+    "on user_id would be pushed down through join and watermark into "
+    "the scan, dropping the sentinels before the watermark node ever "
+    "sees them (watermark frozen, outer rows never emit). Oracle = "
+    "the plain batch LEFT JOIN.",
 )
 def q_stream_stream_join_outer(spark, sf_dir):
     import os
     import tempfile
+    import time as _time
     import uuid
 
     from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+    from real_time_rides_data_pipeline_spark.streaming.replay import (
+        append_sentinel_file,
+    )
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
     clicks_b = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    views_b = ev.filter(F.col("event_type") == "view").select(
-        "event_id", "user_id", "ts"
-    )
-    # Input prep is a pure function of sf_dir — STAGE it once per process
-    # (_REPLAY_INPUTS policy). Unlike the memoized inner-join inputs this
-    # key MUTATES its monitored dirs (sentinel appends), so each
-    # invocation streams from FRESH dirs populated by file-copy from the
-    # stage (~ms) instead of two Spark writes + a max() job (~1-2 s).
-    stage = _REPLAY_INPUTS.get(("ssjout_stage", sf_dir, 0))
+    schema = clicks_b.schema
+    # Input prep is a pure function of sf_dir and the input dirs are
+    # never mutated after staging (sentinels pre-placed, see docstring),
+    # so the WHOLE prepared directory pair memoizes per process
+    # (_REPLAY_INPUTS policy); each invocation streams straight from the
+    # stage with a fresh checkpoint.
+    stage = _REPLAY_INPUTS.get(("ssjout_pre", sf_dir, 0))
     if stage is None:
-        work0 = tempfile.mkdtemp(prefix="ssjout_stage_")
-        clicks_b.coalesce(1).write.parquet(f"{work0}/clicks")
-        views_b.coalesce(1).write.parquet(f"{work0}/views")
-        # One driver scalar (max event time) to place the sentinels —
-        # iteration control, not data movement. Collected as EPOCH
-        # MICROS, never as a Python datetime (see the sentinel-write
-        # comment below).
-        us = ev.agg(
+        views_b = ev.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+        work = tempfile.mkdtemp(prefix="ssjout_pre_")
+        cdir, vdir = f"{work}/clicks", f"{work}/views"
+        clicks_b.coalesce(1).write.parquet(cdir)
+        views_b.coalesce(1).write.parquet(vdir)
+        # One driver scalar (max event time) places the sentinels —
+        # epoch MICROS end-to-end (see append_sentinel_file docstring).
+        max_us = ev.agg(
             F.unix_micros(F.max("ts").cast("timestamp")).alias("us")
         ).first()[0]
-        with open(f"{work0}/max_us", "w") as f:
-            f.write(str(us))
-        stage = work0
-        _REPLAY_INPUTS[("ssjout_stage", sf_dir, 0)] = stage
-    with open(f"{stage}/max_us") as f:
-        max_us = int(f.read())
-    import shutil as _shutil
-
-    work = tempfile.mkdtemp(prefix="ssjout_")
-    cdir, vdir = f"{work}/clicks", f"{work}/views"
-    for sub in ("clicks", "views"):
-        os.makedirs(f"{work}/{sub}")
-        for fname in os.listdir(f"{stage}/{sub}"):
-            if fname.endswith(".parquet"):
-                _shutil.copy(f"{stage}/{sub}/{fname}", f"{work}/{sub}/{fname}")
-    schema = clicks_b.schema
+        now = _time.time()
+        for d in (cdir, vdir):
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet"):
+                    os.utime(f"{d}/{fn}", (now - 8, now - 8))
+        for hours, uid in ((1, -1), (2, -2)):
+            for d in (cdir, vdir):
+                append_sentinel_file(
+                    d,
+                    schema,
+                    "ts",
+                    max_us + hours * 3_600_000_000,
+                    {"event_id": -1, "user_id": uid},
+                    tag=str(hours),
+                )
+                newest = max(
+                    (f for f in os.listdir(d) if f.endswith(".parquet")),
+                    key=lambda f: os.path.getmtime(f"{d}/{f}"),
+                )
+                t = now - 8 + hours * 4
+                os.utime(f"{d}/{newest}", (t, t))
+        stage = work
+        _REPLAY_INPUTS[("ssjout_pre", sf_dir, 0)] = stage
+    cdir, vdir = f"{stage}/clicks", f"{stage}/views"
     # Width 2 per the round-11 state-width A/B (8 -> 2 = 8.2 -> 5.1 s
-    # min-of-2 at sf0.1, the suite's most expensive key): the outer join
-    # runs MULTIPLE micro-batches (sentinel replays) and each batch pays
-    # state-store open/commit per partition per side — with ~15k buffered
-    # rows per side the state fits comfortably in 2 partitions; at real
-    # scale this parameter sizes to buffered-state volume (the
+    # min-of-2 at sf0.1; re-confirmed round 12: 1 -> 7.1, 4 -> 5.9):
+    # ~15k buffered rows per side fit comfortably in 2 partitions; at
+    # real scale this parameter sizes to buffered-state volume (the
     # scoped_writer_session contract), not to CPU count.
     writer = scoped_writer_session(spark, shuffle_partitions=2)
 
@@ -1638,25 +1663,6 @@ def q_stream_stream_join_outer(spark, sf_dir):
     )
     try:
         q.processAllAvailable()
-        # Sentinel flush via the shared helper (streaming/replay.py,
-        # append_sentinel_file): the epoch-micros timezone hazard and
-        # the atomic pyarrow-write+rename discipline — both first hit
-        # here — live in its docstring now.
-        from real_time_rides_data_pipeline_spark.streaming.replay import (
-            append_sentinel_file,
-        )
-
-        for hours, uid in ((1, -1), (2, -2)):
-            for path in (cdir, vdir):
-                append_sentinel_file(
-                    path,
-                    schema,
-                    "ts",
-                    max_us + hours * 3_600_000_000,
-                    {"event_id": -1, "user_id": uid},
-                    tag=str(hours),
-                )
-            q.processAllAvailable()
     finally:
         q.stop()
     # Sentinel rows (negative user ids) are dropped from the sink table —
