@@ -595,16 +595,20 @@ def q_cogroup_asof(spark, sf_dir):
     "= pre-Jan-15, batch 2 = rest) must surface as ONE merged row. "
     "Watermark 10 min bounds state; append mode emits a session only "
     "once the watermark proves it closed, so two far-future sentinel "
-    "batches (user_id -1/-2, +72/+73 h, pyarrow-appended and "
-    "os.rename'd in — see q_stream_stream_join_outer for both hazards) "
-    "flush the tail. Sentinel rows are filtered from the SINK table, "
-    "never in-stream (a pushed-down filter would starve the watermark). "
-    "Oracle = batch gaps-and-islands on the same subset.",
+    "batches (user_id -1/-2, +72/+73 h) flush the tail. Since round 12 "
+    "the late batch and both sentinels are PRE-PLACED with mtimes "
+    "staggered 4 s apart (the q_stream_stream_join_outer mechanic — "
+    "FileStreamSource's mtime ordering replays the identical four-batch "
+    "schedule, the input memoizes immutable, and one "
+    "processAllAvailable replaces four). Sentinel rows are filtered "
+    "from the SINK table, never in-stream (a pushed-down filter would "
+    "starve the watermark). Oracle = batch gaps-and-islands on the "
+    "same subset.",
 )
 def q_stream_session(spark, sf_dir):
     import os
-    import shutil
     import tempfile
+    import time as _time
     import uuid
 
     from real_time_rides_data_pipeline_spark.queries_ext import _REPLAY_INPUTS
@@ -619,44 +623,54 @@ def q_stream_session(spark, sf_dir):
         .select("user_id", "ts", "event_id")
     )
     cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    # Input prep is a pure function of sf_dir — STAGE it once per process
-    # (_REPLAY_INPUTS policy). This key MUTATES its monitored dir (late
-    # append + sentinels), so each invocation streams from a FRESH dir
-    # populated by file-copy from the stage (~ms) instead of two Spark
-    # writes + a max() job per invocation (same shape as
-    # q_stream_stream_join_outer's staging).
-    stage = _REPLAY_INPUTS.get(("sesstream_stage", sf_dir, 0))
+    # Input prep is a pure function of sf_dir. Since round 12 the late
+    # batch and the two sentinel files are PRE-PLACED with mtimes
+    # staggered 4 s apart (the q_stream_stream_join_outer mechanic:
+    # FileStreamSource orders files by modification time, so one
+    # processAllAvailable replays the identical early/late/sent/sent
+    # four-batch schedule the old append-mid-stream loop produced) —
+    # the monitored dir is IMMUTABLE, so the whole thing memoizes and
+    # each invocation is a single stream run with a fresh checkpoint.
+    stage = _REPLAY_INPUTS.get(("sesstream_pre", sf_dir, 0))
     if stage is None:
-        work0 = tempfile.mkdtemp(prefix="sesstream_stage_")
-        ev.filter(F.col("ts") < cutoff).coalesce(1).write.parquet(
-            f"{work0}/early"
+        work0 = tempfile.mkdtemp(prefix="sesstream_pre_")
+        inp0 = f"{work0}/in"
+        ev.filter(F.col("ts") < cutoff).coalesce(1).write.parquet(inp0)
+        ev.filter(F.col("ts") >= cutoff).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp0)
+        max_us = ev.agg(
+            F.unix_micros(F.max("ts").cast("timestamp"))
+        ).first()[0]
+        now = _time.time()
+        # early files sort first, late second: stamp by current order —
+        # the two Spark writes above landed them with increasing mtimes,
+        # but sub-ms granularity can tie, so re-stamp explicitly.
+        files = sorted(
+            (f for f in os.listdir(inp0) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(f"{inp0}/{f}"),
         )
-        ev.filter(F.col("ts") >= cutoff).coalesce(1).write.parquet(
-            f"{work0}/late"
-        )
-        us = ev.agg(F.unix_micros(F.max("ts").cast("timestamp"))).first()[0]
-        with open(f"{work0}/max_us", "w") as f:
-            f.write(str(us))
+        # the first write produced one file, the append another
+        os.utime(f"{inp0}/{files[0]}", (now - 16, now - 16))
+        os.utime(f"{inp0}/{files[1]}", (now - 12, now - 12))
+        for i, (hours, uid) in enumerate(((72, -1), (73, -2))):
+            append_sentinel_file(
+                inp0,
+                ev.schema,
+                "ts",
+                max_us + hours * 3_600_000_000,
+                {"user_id": uid, "event_id": -1},
+                tag=str(hours),
+            )
+            newest = max(
+                (f for f in os.listdir(inp0) if f.endswith(".parquet")),
+                key=lambda f: os.path.getmtime(f"{inp0}/{f}"),
+            )
+            t = now - 8 + i * 4
+            os.utime(f"{inp0}/{newest}", (t, t))
         stage = work0
-        _REPLAY_INPUTS[("sesstream_stage", sf_dir, 0)] = stage
-    with open(f"{stage}/max_us") as f:
-        max_us = int(f.read())
-
-    def _copy_in(sub: str, dst: str) -> None:
-        # Stage the copy OUTSIDE the monitored dir, then os.rename in
-        # (atomic on the same FS): the late batch lands while the query
-        # is live, and a plain copy into the dir could let the polling
-        # file source list a half-written footer.
-        for fname in os.listdir(f"{stage}/{sub}"):
-            if fname.endswith(".parquet"):
-                staged = f"{work}/stage-{sub}-{fname}"
-                shutil.copy(f"{stage}/{sub}/{fname}", staged)
-                os.rename(staged, f"{dst}/{fname}")
-
-    work = tempfile.mkdtemp(prefix="sesstream_")
-    inp = f"{work}/in"
-    os.makedirs(inp)
-    _copy_in("early", inp)
+        _REPLAY_INPUTS[("sesstream_pre", sf_dir, 0)] = stage
+    inp = f"{stage}/in"
 
     schema = ev.schema
     writer = scoped_writer_session(spark, shuffle_partitions=8)
@@ -680,23 +694,7 @@ def q_stream_session(spark, sf_dir):
         .start()
     )
     try:
-        q.processAllAvailable()  # batch 1: sessions open, state held
-        _copy_in("late", inp)  # staged file-copy, no Spark write
-        q.processAllAvailable()  # batch 2: straddling sessions merge
-        # Sentinel flush (batch N's eviction uses the watermark
-        # computed at the END of batch N-1, hence two appends; the
-        # epoch-micros/atomic-rename hazards live in the shared
-        # helper's docstring).
-        for hours, uid in ((72, -1), (73, -2)):
-            append_sentinel_file(
-                inp,
-                schema,
-                "ts",
-                max_us + hours * 3_600_000_000,
-                {"user_id": uid, "event_id": -1},
-                tag=str(hours),
-            )
-            q.processAllAvailable()
+        q.processAllAvailable()
     finally:
         q.stop()
     return writer.table(name).filter(F.col("user_id") >= 0)
