@@ -1312,7 +1312,9 @@ def q_stream_dedup_ttl(spark, sf_dir):
     "State is bounded by the watermark (SURVEY §2.6 / §7.4.6).",
 )
 def q_watermark(spark, sf_dir):
+    import os
     import tempfile
+    import time as _time
 
     from real_time_rides_data_pipeline_spark.operators import stream_dedup
     from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
@@ -1323,25 +1325,72 @@ def q_watermark(spark, sf_dir):
         .select("event_id", "ts", "user_id", "value")
     )
     cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    work = tempfile.mkdtemp(prefix="wm_")
-    inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    early = ev.filter(F.col("ts") < cutoff)
-    early.coalesce(1).write.parquet(inp)
-    # Stragglers get fresh keys (so only the watermark can drop them, never
-    # the dedup) and timestamps 72 h back — far below batch 1's watermark.
-    stragglers = early.select(
-        (-F.col("event_id") - 1).alias("event_id"),
-        (F.col("ts") - F.expr("INTERVAL 72 HOURS")).alias("ts"),
-        "user_id",
-        "value",
-    )
-    late_batch = ev.filter(F.col("ts") >= cutoff).unionAll(stragglers)
+    # Batch 1 = pre-cutoff rows (watermark advances); batch 3 = the rest
+    # UNION stragglers re-keyed 72 h back — far below batch 1's
+    # watermark, so ONLY the watermark can drop them, never the dedup.
+    # Since round 12 the batches are PRE-PLACED with staggered mtimes
+    # (the q_stream_stream_join_outer mechanic), so the input is
+    # immutable, memoizes per sf_dir, and one processAllAvailable
+    # replays the schedule — the two per-invocation Spark writes and
+    # the mid-stream append are gone. A ZERO-ROW SPACER file sits
+    # between them: the watermark a batch FILTERS with lags one batch
+    # behind the data that produced it (batch N's filter watermark is
+    # committed at the end of batch N-1), and the old stop-append-
+    # resume flow implicitly inserted an idle batch that committed the
+    # advance — without the spacer the stragglers land in the very
+    # batch after the early data and sail past the still-1970
+    # filter watermark (verified live: 734 rows instead of 500).
+    stage = _REPLAY_INPUTS.get(("wm_pre", sf_dir, 0))
+    if stage is None:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        work = tempfile.mkdtemp(prefix="wm_pre_")
+        inp0 = f"{work}/in"
+        early = ev.filter(F.col("ts") < cutoff)
+        early.coalesce(1).write.parquet(inp0)
+        stragglers = early.select(
+            (-F.col("event_id") - 1).alias("event_id"),
+            (F.col("ts") - F.expr("INTERVAL 72 HOURS")).alias("ts"),
+            "user_id",
+            "value",
+        )
+        late_batch = ev.filter(F.col("ts") >= cutoff).unionAll(stragglers)
+        now = _time.time()
+        for fn in os.listdir(inp0):
+            if fn.endswith(".parquet"):
+                os.utime(f"{inp0}/{fn}", (now - 12, now - 12))
+        # empty spacer batch: commits batch 1's watermark before the
+        # late file is read (written outside, renamed in — atomic)
+        empty = _pa.table(
+            {
+                "event_id": _pa.array([], _pa.int64()),
+                "ts": _pa.array([], _pa.timestamp("us", tz="UTC")),
+                "user_id": _pa.array([], _pa.int64()),
+                "value": _pa.array([], _pa.float64()),
+            }
+        )
+        _pq.write_table(empty, f"{work}/spacer.parquet")
+        os.rename(f"{work}/spacer.parquet", f"{inp0}/spacer.parquet")
+        os.utime(f"{inp0}/spacer.parquet", (now - 8, now - 8))
+        late_batch.coalesce(1).write.mode("append").parquet(inp0)
+        newest = max(
+            (f for f in os.listdir(inp0) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(f"{inp0}/{f}"),
+        )
+        os.utime(f"{inp0}/{newest}", (now - 4, now - 4))
+        stage = work
+        _REPLAY_INPUTS[("wm_pre", sf_dir, 0)] = stage
+    run_dir = tempfile.mkdtemp(prefix="wm_run_")
+    out, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
     # Width 2 per the round-11 state-width A/B (4 -> 2 = 2.71 -> 2.29 s
     # min-of-2 at sf0.1): two micro-batches over a 5%-sampled stream —
     # dedup state is a few thousand keys; per-batch store commits scale
     # with width.
     writer = scoped_writer_session(spark, shuffle_partitions=2)
-    stream = parquet_stream(writer, inp, early.schema, max_files_per_trigger=1)
+    stream = parquet_stream(
+        writer, f"{stage}/in", ev.schema, max_files_per_trigger=1
+    )
     deduped = stream_dedup(stream, keys=("event_id", "ts"), event_time_col="ts")
     q = (
         deduped.writeStream.format("parquet")
@@ -1351,9 +1400,7 @@ def q_watermark(spark, sf_dir):
         .start()
     )
     try:
-        q.processAllAvailable()  # batch 1 → watermark advances
-        late_batch.coalesce(1).write.mode("append").parquet(inp)
-        q.processAllAvailable()  # batch 2 → stragglers dropped
+        q.processAllAvailable()
     finally:
         q.stop()
     return spark.read.parquet(out)
