@@ -1301,23 +1301,28 @@ def q_stream_dedup_ttl(spark, sf_dir):
     return spark.read.parquet(out)
 
 
-@register(
-    "q_watermark",
-    """SELECT event_id, ts, user_id, value FROM events WHERE event_id % 20 = 0""",
-    "Event-time watermark (02_silver:84-92) driven as a REAL 2-micro-batch "
-    "stream: batch 1 (pre-Jan-15 events) advances the watermark to "
-    "max(ts)-10min; batch 2 carries the remaining events plus stragglers "
-    "stamped 72 h in the past — every straggler lands below the watermark "
-    "and must be dropped, so the output is exactly the genuine events. "
-    "State is bounded by the watermark (SURVEY §2.6 / §7.4.6).",
-)
-def q_watermark(spark, sf_dir):
+def _wm_staged_input(spark, sf_dir):
+    """Shared pre-placed replay input for the watermark-drop twins
+    (q_watermark, q_stream_late_metrics): the 5% events subset split
+    into an early batch, a ZERO-ROW SPACER, and a late batch carrying
+    stragglers re-keyed 72 h back — far below batch 1's watermark, so
+    ONLY the watermark can drop them, never the dedup. Returns
+    (input_dir, schema).
+
+    The batches are PRE-PLACED with staggered mtimes (the
+    q_stream_stream_join_outer mechanic), so the input is immutable,
+    memoizes per sf_dir, and one processAllAvailable replays the
+    schedule — no per-invocation Spark writes or mid-stream appends.
+    The spacer is LOAD-BEARING: the watermark a batch FILTERS with
+    lags one batch behind the data that produced it (batch N's filter
+    watermark is committed at the end of batch N-1), and the old
+    stop-append-resume flow implicitly inserted an idle batch that
+    committed the advance — without the spacer the stragglers land in
+    the very batch after the early data and sail past the still-1970
+    filter watermark (verified live: 734 rows instead of 500)."""
     import os
     import tempfile
     import time as _time
-
-    from real_time_rides_data_pipeline_spark.operators import stream_dedup
-    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
 
     ev = (
         _t(spark, sf_dir, "events")
@@ -1325,21 +1330,6 @@ def q_watermark(spark, sf_dir):
         .select("event_id", "ts", "user_id", "value")
     )
     cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    # Batch 1 = pre-cutoff rows (watermark advances); batch 3 = the rest
-    # UNION stragglers re-keyed 72 h back — far below batch 1's
-    # watermark, so ONLY the watermark can drop them, never the dedup.
-    # Since round 12 the batches are PRE-PLACED with staggered mtimes
-    # (the q_stream_stream_join_outer mechanic), so the input is
-    # immutable, memoizes per sf_dir, and one processAllAvailable
-    # replays the schedule — the two per-invocation Spark writes and
-    # the mid-stream append are gone. A ZERO-ROW SPACER file sits
-    # between them: the watermark a batch FILTERS with lags one batch
-    # behind the data that produced it (batch N's filter watermark is
-    # committed at the end of batch N-1), and the old stop-append-
-    # resume flow implicitly inserted an idle batch that committed the
-    # advance — without the spacer the stragglers land in the very
-    # batch after the early data and sail past the still-1970
-    # filter watermark (verified live: 734 rows instead of 500).
     stage = _REPLAY_INPUTS.get(("wm_pre", sf_dir, 0))
     if stage is None:
         import pyarrow as _pa
@@ -1381,6 +1371,28 @@ def q_watermark(spark, sf_dir):
         os.utime(f"{inp0}/{newest}", (now - 4, now - 4))
         stage = work
         _REPLAY_INPUTS[("wm_pre", sf_dir, 0)] = stage
+    return f"{stage}/in", ev.schema
+
+
+@register(
+    "q_watermark",
+    """SELECT event_id, ts, user_id, value FROM events WHERE event_id % 20 = 0""",
+    "Event-time watermark (02_silver:84-92) driven as a REAL multi-micro-"
+    "batch stream: batch 1 (pre-Jan-15 events) advances the watermark to "
+    "max(ts)-10min; the late batch carries the remaining events plus "
+    "stragglers stamped 72 h in the past — every straggler lands below "
+    "the watermark and must be dropped, so the output is exactly the "
+    "genuine events. Batches are pre-placed with a zero-row spacer "
+    "(_wm_staged_input — the watermark-commit-lag mechanic). State is "
+    "bounded by the watermark (SURVEY §2.6 / §7.4.6).",
+)
+def q_watermark(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.operators import stream_dedup
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    inp, schema = _wm_staged_input(spark, sf_dir)
     run_dir = tempfile.mkdtemp(prefix="wm_run_")
     out, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
     # Width 2 per the round-11 state-width A/B (4 -> 2 = 2.71 -> 2.29 s
@@ -1388,9 +1400,7 @@ def q_watermark(spark, sf_dir):
     # dedup state is a few thousand keys; per-batch store commits scale
     # with width.
     writer = scoped_writer_session(spark, shuffle_partitions=2)
-    stream = parquet_stream(
-        writer, f"{stage}/in", ev.schema, max_files_per_trigger=1
-    )
+    stream = parquet_stream(writer, inp, schema, max_files_per_trigger=1)
     deduped = stream_dedup(stream, keys=("event_id", "ts"), event_time_col="ts")
     q = (
         deduped.writeStream.format("parquet")

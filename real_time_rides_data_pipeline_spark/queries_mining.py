@@ -1078,29 +1078,22 @@ def q_stream_late_metrics(spark, sf_dir):
     import tempfile
 
     from real_time_rides_data_pipeline_spark.operators import stream_dedup
+    from real_time_rides_data_pipeline_spark.queries_ext import (
+        _wm_staged_input,
+    )
     from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
 
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 20 == 0)
-        .select("event_id", "ts", "user_id", "value")
-    )
-    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    work = tempfile.mkdtemp(prefix="latemetrics_")
-    inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    early = ev.filter(F.col("ts") < cutoff)
-    early.coalesce(1).write.parquet(inp)
-    stragglers = early.select(
-        (-F.col("event_id") - 1).alias("event_id"),
-        (F.col("ts") - F.expr("INTERVAL 72 HOURS")).alias("ts"),
-        "user_id",
-        "value",
-    )
-    late_batch = ev.filter(F.col("ts") >= cutoff).unionAll(stragglers)
+    # Shared pre-placed replay input with q_watermark (early batch,
+    # zero-row spacer, late+stragglers batch — see _wm_staged_input for
+    # the watermark-commit-lag rationale); one processAllAvailable
+    # replays the schedule and the drop metric reads identically.
+    inp, schema = _wm_staged_input(spark, sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="latemetrics_run_")
+    out, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
     # Width 2 per the round-11 state-width A/B (4 -> 2 = 3.05 -> 2.53 s
     # min-of-2 at sf0.1) — same sizing rationale as q_watermark's twin.
     writer = scoped_writer_session(spark, shuffle_partitions=2)
-    stream = parquet_stream(writer, inp, early.schema, max_files_per_trigger=1)
+    stream = parquet_stream(writer, inp, schema, max_files_per_trigger=1)
     deduped = stream_dedup(stream, keys=("event_id", "ts"), event_time_col="ts")
     q = (
         deduped.writeStream.format("parquet")
@@ -1110,9 +1103,7 @@ def q_stream_late_metrics(spark, sf_dir):
         .start()
     )
     try:
-        q.processAllAvailable()  # batch 1 → watermark advances
-        late_batch.coalesce(1).write.mode("append").parquet(inp)
-        q.processAllAvailable()  # batch 2 → stragglers dropped + counted
+        q.processAllAvailable()
         progress = [json.loads(p.json) for p in q.recentProgress]
     finally:
         q.stop()
