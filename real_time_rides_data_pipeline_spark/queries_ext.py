@@ -1273,14 +1273,41 @@ def q_stream_dedup_ttl(spark, sf_dir):
         .select("event_id", "ts", "user_id", "value")
     )
     cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    work = tempfile.mkdtemp(prefix="ttldedup_")
-    inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    early = ev.filter(F.col("ts") < cutoff)
-    early.coalesce(1).write.parquet(inp)
-    redelivered = early.filter(F.col("event_id") % 100 == 0)
-    batch2 = ev.filter(F.col("ts") >= cutoff).unionAll(redelivered)
+    # Pre-placed two-batch replay (mtime-staggered, immutable, memoized
+    # — the q_stream_stream_join_outer mechanic): batch 1 seeds the
+    # dedup state, batch 2's redeliveries hit it live. No spacer batch
+    # is needed here (unlike _wm_staged_input): dedup STATE commits at
+    # the end of the batch that created it — only the FILTER watermark
+    # lags a batch, and the 45-day delay keeps it below all data.
+    stage = _REPLAY_INPUTS.get(("ttl_pre", sf_dir, 0))
+    if stage is None:
+        import os
+        import time as _time
+
+        work = tempfile.mkdtemp(prefix="ttldedup_pre_")
+        inp0 = f"{work}/in"
+        early = ev.filter(F.col("ts") < cutoff)
+        early.coalesce(1).write.parquet(inp0)
+        redelivered = early.filter(F.col("event_id") % 100 == 0)
+        batch2 = ev.filter(F.col("ts") >= cutoff).unionAll(redelivered)
+        now = _time.time()
+        for fn in os.listdir(inp0):
+            if fn.endswith(".parquet"):
+                os.utime(f"{inp0}/{fn}", (now - 8, now - 8))
+        batch2.coalesce(1).write.mode("append").parquet(inp0)
+        newest = max(
+            (f for f in os.listdir(inp0) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(f"{inp0}/{f}"),
+        )
+        os.utime(f"{inp0}/{newest}", (now - 4, now - 4))
+        stage = work
+        _REPLAY_INPUTS[("ttl_pre", sf_dir, 0)] = stage
+    run_dir = tempfile.mkdtemp(prefix="ttldedup_run_")
+    out, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
     writer = scoped_writer_session(spark, shuffle_partitions=2)
-    stream = parquet_stream(writer, inp, early.schema, max_files_per_trigger=1)
+    stream = parquet_stream(
+        writer, f"{stage}/in", ev.schema, max_files_per_trigger=1
+    )
     deduped = stream_dedup_within_watermark(
         stream, keys=("event_id", "ts"), event_time_col="ts",
         watermark="45 days",
@@ -1293,9 +1320,7 @@ def q_stream_dedup_ttl(spark, sf_dir):
         .start()
     )
     try:
-        q.processAllAvailable()  # batch 1 seeds the dedup state
-        batch2.coalesce(1).write.mode("append").parquet(inp)
-        q.processAllAvailable()  # batch 2: redeliveries hit live state
+        q.processAllAvailable()
     finally:
         q.stop()
     return spark.read.parquet(out)
