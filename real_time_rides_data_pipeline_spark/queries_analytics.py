@@ -83,7 +83,8 @@ from real_time_rides_data_pipeline_spark.session import scoped_writer_session
                                (SELECT s_suppkey FROM snap_supp))
                    FROM lineitem)
        SELECT relationship, child_rows, orphan_rows,
-              CAST(orphan_rows * 1000000 // child_rows AS BIGINT) AS orphan_ppm
+              CAST(orphan_rows * 1000000 // nullif(child_rows, 0) AS BIGINT)
+                  AS orphan_ppm
        FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL
              SELECT * FROM a3)
        ORDER BY relationship""",
@@ -130,7 +131,9 @@ def q_fk_orphans(spark, sf_dir):
         "relationship",
         "child_rows",
         "orphan_rows",
-        F.expr("orphan_rows * 1000000 div child_rows").alias("orphan_ppm"),
+        F.expr("orphan_rows * 1000000 div nullif(child_rows, 0)").alias(
+            "orphan_ppm"
+        ),
     ).orderBy("relationship")
 
 

@@ -1030,8 +1030,8 @@ def q_dedup_report(spark, sf_dir):
                     AS pos
          FROM events GROUP BY hour_of_day)
        SELECT hour_of_day, n, pos,
-              CAST(pos_all * 1000000 // n_all AS BIGINT) AS prior_ppm,
-              CAST((pos * 1000000 + 100 * (pos_all * 1000000 // n_all))
+              CAST(pos_all * 1000000 // nullif(n_all, 0) AS BIGINT) AS prior_ppm,
+              CAST((pos * 1000000 + 100 * (pos_all * 1000000 // nullif(n_all, 0)))
                    // (n + 100) AS BIGINT) AS enc_ppm
        FROM g, tot""",
     "Smoothed (m-estimate, m=100) target encoding of a categorical feature "
@@ -1065,9 +1065,9 @@ def q_target_encode(spark, sf_dir):
         "hour_of_day",
         "n",
         "pos",
-        F.expr("(pos_all * 1000000) div n_all").alias("prior_ppm"),
+        F.expr("(pos_all * 1000000) div nullif(n_all, 0)").alias("prior_ppm"),
         F.expr(
-            "(pos * 1000000 + 100 * ((pos_all * 1000000) div n_all))"
+            "(pos * 1000000 + 100 * ((pos_all * 1000000) div nullif(n_all, 0)))"
             " div (n + 100)"
         ).alias("enc_ppm"),
     )
@@ -1336,7 +1336,8 @@ def q_pr_auc(spark, sf_dir):
     """WITH m AS (SELECT max(CAST(round(value * 100) AS BIGINT)) AS max_sc
                   FROM events),
        d AS (
-         SELECT (CAST(round(value * 100) AS BIGINT) * 1000000 // max_sc)
+         SELECT (CAST(round(value * 100) AS BIGINT) * 1000000
+                 // nullif(max_sc, 0))
                 - CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END
                     AS err
          FROM events, m)
@@ -1361,7 +1362,7 @@ def q_brier_score(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     m = ev.agg(F.max(cents(F.col("value"))).alias("max_sc"))
     err = (
-        F.expr("sc * 1000000 div max_sc")
+        F.expr("sc * 1000000 div nullif(max_sc, 0)")
         - F.when(F.col("event_type") == "purchase", 1000000).otherwise(0)
     )
     d = (

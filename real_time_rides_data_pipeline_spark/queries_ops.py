@@ -130,7 +130,7 @@ _DUPED_SQL = """
        )
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               CAST(len(list_intersect(a.sh, b.sh)) * 1000000
-                   // len(list_distinct(list_concat(a.sh, b.sh)))
+                   // nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0)
                    AS BIGINT) AS jaccard_ppm
        FROM s a JOIN s b ON a.doc_id < b.doc_id
        WHERE 5 * len(list_intersect(a.sh, b.sh))
@@ -242,7 +242,9 @@ def q_jaccard_join_exact(spark, sf_dir):
     return sized.filter(F.col("i") * 5 >= F.col("u") * 4).select(
         "id_a",
         "id_b",
-        F.expr("CAST(CAST(i AS BIGINT) * 1000000 div u AS BIGINT)").alias(
+        F.expr(
+            "CAST(CAST(i AS BIGINT) * 1000000 div nullif(u, 0) AS BIGINT)"
+        ).alias(
             "jaccard_ppm"
         ),
     )
