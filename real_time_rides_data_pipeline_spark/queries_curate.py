@@ -1957,8 +1957,12 @@ def q_histogram_quantile_merge(spark, sf_dir):
     b = (
         ev.select(
             (F.col("event_id") % 16).alias("shard"),
-            (cents(F.col("value")) / 500).cast("long").alias("bin"),
+            cents(F.col("value")).alias("value_cents"),
         )
+        # integral `div` on both legs (Spark `div` ≡ DuckDB `//`: both
+        # truncate toward zero) — float-div-then-cast drifts for
+        # negative or >2^53 cents (same fix as q_patchify_meta).
+        .select("shard", F.expr("value_cents div 500").alias("bin"))
         .groupBy("shard", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -2112,9 +2116,9 @@ def q_stream_quantile_merge(spark, sf_dir):
         if batch_df.isEmpty():
             return
         partial = (
-            batch_df.select(
-                (cents(F.col("value")) / 500).cast("long").alias("bin")
-            )
+            batch_df.select(cents(F.col("value")).alias("value_cents"))
+            # integral `div`, matching the batch twin above
+            .select(F.expr("value_cents div 500").alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n"))
         )

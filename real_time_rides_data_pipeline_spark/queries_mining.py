@@ -636,6 +636,12 @@ def q_stream_session(spark, sf_dir):
         work0 = tempfile.mkdtemp(prefix="sesstream_pre_")
         inp0 = f"{work0}/in"
         ev.filter(F.col("ts") < cutoff).coalesce(1).write.parquet(inp0)
+        # Positively identify the early file by listing BETWEEN the two
+        # writes — an mtime sort can tie on coarse-granularity
+        # filesystems and swap the early/late re-stamp (advice r12).
+        early_files = {
+            f for f in os.listdir(inp0) if f.endswith(".parquet")
+        }
         ev.filter(F.col("ts") >= cutoff).coalesce(1).write.mode(
             "append"
         ).parquet(inp0)
@@ -643,16 +649,9 @@ def q_stream_session(spark, sf_dir):
             F.unix_micros(F.max("ts").cast("timestamp"))
         ).first()[0]
         now = _time.time()
-        # early files sort first, late second: stamp by current order —
-        # the two Spark writes above landed them with increasing mtimes,
-        # but sub-ms granularity can tie, so re-stamp explicitly.
-        files = sorted(
-            (f for f in os.listdir(inp0) if f.endswith(".parquet")),
-            key=lambda f: os.path.getmtime(f"{inp0}/{f}"),
-        )
-        # the first write produced one file, the append another
-        os.utime(f"{inp0}/{files[0]}", (now - 16, now - 16))
-        os.utime(f"{inp0}/{files[1]}", (now - 12, now - 12))
+        for f in (f for f in os.listdir(inp0) if f.endswith(".parquet")):
+            t = now - 16 if f in early_files else now - 12
+            os.utime(f"{inp0}/{f}", (t, t))
         for i, (hours, uid) in enumerate(((72, -1), (73, -2))):
             append_sentinel_file(
                 inp0,
