@@ -906,3 +906,105 @@ def test_decayed_fold_corrects_late_predecessor():
     )
     got3 = dict(zip(out3["event_id"], out3["decayed"]))
     assert got3 == got2
+
+
+def test_three_layer_queries_run_concurrently(spark, workdir):
+    """SURVEY §3.4 / VERDICT r12 item 6: the reference runs bronze, silver
+    and gold as three SIMULTANEOUSLY-live streaming queries composed via
+    storage — not sequentially. All three run at once here: wire frames
+    keep landing while every query is live, data flows
+    wire → bronze parquet → silver parquet → gold MERGE across two
+    _spark_metadata-logged sink→source boundaries (each downstream
+    FileStreamSource must read its upstream's streaming-sink metadata log
+    while that sink is still committing batches), and at quiesce Gold must
+    equal the batch aggregate of the Bronze landing. Fails if cross-query
+    composition breaks — e.g. a Silver sink commit invisible to Gold's
+    reader, or a metadata-log read racing an in-flight commit."""
+    import time
+
+    from real_time_rides_data_pipeline_spark.operators import cast_project
+    from real_time_rides_data_pipeline_spark.sinks import stream_append_parquet
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    base = f"{workdir}/concurrent"
+    wire = f"{base}/wire"
+    bronze_path, silver_path = f"{base}/bronze", f"{base}/silver"
+    gold_path = f"{base}/gold"
+    for d in (wire, bronze_path, silver_path):
+        os.makedirs(d, exist_ok=True)
+
+    events = generate_events(GenConfig(seed=11, n_events=400))
+    wire_schema = "key binary, value binary, timestamp timestamp"
+    chunks = 4
+    per = (len(events) + chunks - 1) // chunks
+
+    def land(i: int) -> None:
+        part = [
+            (
+                e["_ride_id"].encode(),
+                e["json"].encode(),
+                e["timestamp"],
+            )
+            for e in events[i * per : (i + 1) * per]
+        ]
+        spark.createDataFrame(part, wire_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(wire)
+
+    land(0)
+
+    from real_time_rides_data_pipeline_spark.schemas import BRONZE_SCHEMA
+
+    silver_schema = silver_transform(
+        spark.createDataFrame([], BRONZE_SCHEMA)
+    ).schema
+
+    qb = stream_append_parquet(
+        cast_project(
+            parquet_stream(spark, wire, spark.read.parquet(wire).schema)
+        ),
+        bronze_path,
+        f"{base}/ckpt_bronze",
+    ).start()
+    qs = run_streaming_silver(
+        parquet_stream(spark, bronze_path, BRONZE_SCHEMA),
+        silver_path,
+        f"{base}/ckpt_silver",
+        watermark="2 hours",
+    )
+    qg = run_streaming_gold(
+        parquet_stream(spark, silver_path, silver_schema),
+        gold_path,
+        f"{base}/ckpt_gold",
+        watermark="2 hours",
+    )
+    try:
+        assert qb.isActive and qs.isActive and qg.isActive
+        # keep landing input while all three queries are live, so upstream
+        # sink commits genuinely interleave with downstream source reads
+        for i in range(1, chunks):
+            land(i)
+            time.sleep(0.5)
+        # quiesce: drain in topological order; a second pass catches files
+        # committed by an upstream sink after the downstream's first drain
+        for _ in range(2):
+            qb.processAllAvailable()
+            qs.processAllAvailable()
+            qg.processAllAvailable()
+    finally:
+        for q in (qg, qs, qb):
+            q.stop()
+
+    gold = spark.read.parquet(gold_path)
+    batch = batch_pipeline(spark.read.parquet(bronze_path))
+    cols = list(GOLD_KEYS) + [
+        "total_rides_hourly",
+        "avg_fare_hourly",
+        "total_suspicious_rides_hourly",
+    ]
+    assert _sorted_rows(gold, cols) == _sorted_rows(batch, cols)
+    # the reference's own Gold invariant: Σ hourly counts == Silver rows
+    silver_n = spark.read.parquet(silver_path).count()
+    assert gold.agg(F.sum("total_rides_hourly")).first()[0] == silver_n
+    # and the bronze landing lost nothing on the wire
+    assert spark.read.parquet(bronze_path).count() == len(events)
