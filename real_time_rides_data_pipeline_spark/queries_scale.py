@@ -1124,3 +1124,324 @@ def q_bloom_fpp(spark, sf_dir):
         (F.col("fn_count") == 0).alias("no_false_negatives"),
         within.alias("fp_within_bound"),
     )
+
+
+# =========================================================================
+# Round 13: systematic sampling / sliding distinct / rolling correlation /
+# incremental view maintenance
+# =========================================================================
+
+
+@register(
+    "q_systematic_sample",
+    """WITH w AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS wt
+         FROM events GROUP BY user_id
+       ), c AS (
+         SELECT user_id, wt,
+                sum(wt) OVER (ORDER BY user_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                sum(wt) OVER () AS total
+         FROM w
+       ), p AS (
+         SELECT user_id, wt, cum, cum - wt AS cum_excl,
+                total // 50 AS stride, (total // 50) // 2 AS noff
+         FROM c
+       )
+       SELECT user_id, wt, CAST(cum_excl AS BIGINT) AS cum_excl,
+              CAST((cum - noff - 1) // stride
+                   - (cum_excl - noff - 1) // stride AS BIGINT) AS n_hits
+       FROM p
+       WHERE (cum - noff - 1) // stride
+             - (cum_excl - noff - 1) // stride >= 1""",
+    "SYSTEMATIC (fixed-interval) weighted sampling — the classic "
+    "survey-sampling design, PPS-without-replacement for units below the "
+    "stride and exact multiplicity above it: lay every user's event count "
+    "end to end on the cumulative-weight line, take k=50 equally spaced "
+    "selection points (stride = W div 50, deterministic midpoint offset "
+    "stride div 2 — no RNG anywhere), and a unit is selected once per "
+    "point inside its [cum_excl, cum) span. n_hits is the closed-form "
+    "point count (cum-offset-1) div stride - (cum_excl-offset-1) div "
+    "stride — pure int64, and both engines' truncating division agree "
+    "even on the negative first-unit operands because every negative "
+    "numerator provably lies in (-stride, 0) where trunc = 0 = the true "
+    "point count. Sum of n_hits is exactly k. Shape: the cumulative line "
+    "is operators/topk.global_prefix_sum — the TeraSort range shuffle "
+    "with per-partition cumulative windows and a broadcast P-row offset "
+    "table (the ONLY ordered window is over partition totals), so the "
+    "global prefix sum that makes systematic sampling look inherently "
+    "sequential distributes; the scalar (total, stride) frame broadcasts "
+    "back. At 100 TB: one agg + one range shuffle of the |users| table, "
+    "never the fact table.",
+)
+def q_systematic_sample(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.topk import (
+        global_prefix_sum,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("wt"))
+    c = global_prefix_sum(w, ["user_id"], "wt", out_col="cum")
+    tot = w.agg(F.sum("wt").alias("total")).select(
+        F.expr("total div 50").alias("stride"),
+        F.expr("(total div 50) div 2").alias("noff"),
+    )
+    p = c.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "wt",
+        (F.col("cum") - F.col("wt")).alias("cum_excl"),
+        "cum",
+        "stride",
+        "noff",
+    )
+    return p.select(
+        "user_id",
+        "wt",
+        "cum_excl",
+        F.expr(
+            "(cum - noff - 1) div stride"
+            " - (cum_excl - noff - 1) div stride"
+        ).alias("n_hits"),
+    ).filter(F.col("n_hits") >= 1)
+
+
+@register(
+    "q_sliding_distinct",
+    """WITH g AS (
+         SELECT DISTINCT
+                CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600)
+                     - INTERVAL (k) HOUR AS TIMESTAMP) AS window_start,
+                user_id
+         FROM events CROSS JOIN range(3) t(k)
+       )
+       SELECT window_start,
+              window_start + INTERVAL 3 HOUR AS window_end,
+              CAST(count(*) AS BIGINT) AS n_users
+       FROM g GROUP BY window_start""",
+    "EXACT sliding-window COUNT DISTINCT (3 h window, 1 h slide): "
+    "distinct users active in each overlapping window — the sliding "
+    "engagement metric (DAU-style) whose aggregate is NOT decomposable: "
+    "distinct cannot be merged across hours the way q_window_sliding's "
+    "counts/sums can, so the correct distributed plan materializes "
+    "(window, user) membership explicitly. Spark: groupBy(F.window(3h, "
+    "1h), user) — each event lands in exactly 3 windows map-side — then "
+    "a second hash agg counts the deduped membership rows; both "
+    "shuffles key on (window, user) / window. The oracle builds the "
+    "same 3-offset grid with a range() cross join. At 100 TB the "
+    "membership table is |windows|x|active users| — bounded by "
+    "engagement, not event volume — and both aggs are partial-first; "
+    "the approximate escape for wider windows is q_hll_shard_merge's "
+    "mergeable sketch, which trades exactness for O(|windows|) state.",
+)
+def q_sliding_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    member = ev.groupBy(
+        F.window("ts", "3 hours", "1 hour").alias("win"), "user_id"
+    ).agg(F.lit(1))
+    return (
+        member.groupBy(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+#: Shared corr-from-exact-moments formula text (identical IEEE op sequence
+#: on both engine legs — the q_pca_project_2d portability contract: exact
+#: int64 moments, exact int→double conversion below 2^53, correctly
+#: rounded sqrt/divide, floor is portable on identical doubles).
+_ROLLCORR_E6 = (
+    "CAST(floor((CAST(num AS DOUBLE)"
+    " / (sqrt(CAST(varx AS DOUBLE)) * sqrt(CAST(vary AS DOUBLE))))"
+    " * 1000000e0) AS BIGINT)"
+)
+
+
+@register(
+    "q_rolling_corr",
+    f"""WITH h AS (
+         SELECT date_trunc('hour', ts) AS hour_ts,
+                CAST(sum(CASE WHEN event_type = 'click'
+                              THEN CAST(round(value * 100) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS x,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(round(value * 100) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS y
+         FROM events GROUP BY 1
+       ), b AS (
+         SELECT date_trunc('hour', min(ts)) AS mn,
+                date_trunc('hour', max(ts)) AS mx
+         FROM events
+       ), spine AS (
+         SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+         FROM b
+       ), s AS (
+         SELECT sp.hour_ts, coalesce(h.x, 0) AS x, coalesce(h.y, 0) AS y
+         FROM spine sp LEFT JOIN h USING (hour_ts)
+       ), m AS (
+         SELECT hour_ts,
+                CAST(count(*) OVER w AS BIGINT) AS n,
+                CAST(sum(x) OVER w AS BIGINT) AS sx,
+                CAST(sum(y) OVER w AS BIGINT) AS sy,
+                CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+                CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+                CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+         FROM s
+         WINDOW w AS (ORDER BY hour_ts
+                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+       ), v AS (
+         SELECT hour_ts, n,
+                n * sxy - sx * sy AS num,
+                n * sxx - sx * sx AS varx,
+                n * syy - sy * sy AS vary
+         FROM m
+       )
+       SELECT hour_ts, n,
+              CASE WHEN varx = 0 OR vary = 0 THEN NULL
+                   ELSE {_ROLLCORR_E6} END AS corr_e6
+       FROM v""",
+    "ROLLING Pearson correlation between two event series (hourly click "
+    "cents vs purchase cents) over a trailing 6-hour frame — the "
+    "co-movement monitor behind metric-pair drift alerts, exact and "
+    "engine-portable where a naive corr() over doubles is neither: the "
+    "series are gap-filled onto the dense hour spine (q_gapfill_spine "
+    "mechanic — absent hours are REAL zeros, not absent frames), the "
+    "five frame moments are exact int64 window sums, and only the final "
+    "formula (n·sxy-sx·sy)/(sqrt(n·sxx-sx²)·sqrt(n·syy-sy²)) touches "
+    "doubles — every intermediate < 2^53, sqrt/divide correctly "
+    "rounded, identical op-sequence text on both legs "
+    "(the q_pca_project_2d contract). Zero-variance frames emit NULL "
+    "via an exact integer guard. Shape: ONE partial-first hash agg "
+    "compresses the fact table to the hour domain; the spine join "
+    "broadcasts the hourly aggregate and the ordered frame windows run "
+    "over the BOUNDED hour spine (~9k rows/year regardless of TB "
+    "scanned) — the q_acf_hourly/q_ewma_crossover domain-compression "
+    "precedent.",
+)
+def q_rolling_corr(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", cents(F.col("value")))
+            .otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents(F.col("value")))
+            .otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_ts"
+        )
+    )
+    s = spine.join(F.broadcast(h), "hour_ts", "left").select(
+        "hour_ts",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    w = Window.orderBy("hour_ts").rowsBetween(-5, 0)
+    m = s.select(
+        "hour_ts",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    v = m.select(
+        "hour_ts",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary"),
+    )
+    return v.select(
+        "hour_ts",
+        "n",
+        F.when(
+            (F.col("varx") == 0) | (F.col("vary") == 0), F.lit(None)
+        )
+        .otherwise(F.expr(_ROLLCORR_E6))
+        .cast("long")
+        .alias("corr_e6"),
+    )
+
+
+@register(
+    "q_ivm_agg_delta",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) * 100
+                   // count(*) AS BIGINT) AS avg_cents_e2
+       FROM events
+       WHERE event_id % 10 = 0
+          OR (event_id % 10 <> 0 AND event_id % 7 <> 0)
+       GROUP BY event_type""",
+    "Algebraic INCREMENTAL VIEW MAINTENANCE with retractions — the "
+    "materialized-aggregate refresh that applies a CDC batch (inserts "
+    "AND deletes) to a standing per-group view WITHOUT rescanning the "
+    "base: base view = agg over the 90% slice (event_id%10<>0), delta = "
+    "signed multiset (inserts %10=0 at +1, deletes %7=0 of the base at "
+    "-1), maintenance = ONE agg over the delta merged into the view by "
+    "a full-outer join on the group key with n' = n + Σsign, s' = s + "
+    "Σsign·cents (count/sum are self-maintainable; avg re-derives from "
+    "the maintained pair — the classic IVM algebra), empty groups "
+    "dropped by the exact n' > 0 guard. The oracle RECOMPUTES the "
+    "post-CDC state from scratch — value equality IS the IVM "
+    "correctness theorem for this view. Shape: the delta agg touches "
+    "only changed rows, the view-delta join keys on |groups|, and every "
+    "agg is partial-first; at 100 TB the refresh cost is O(|delta| + "
+    "|groups|), the exact reason warehouses maintain aggregates "
+    "incrementally instead of recomputing (q_merge_upsert owns the "
+    "storage MERGE of the same idea; this key pins the algebra).",
+)
+def q_ivm_agg_delta(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    view = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(cents(F.col("value"))).alias("s0"),
+    )
+    inserts = ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_type", F.lit(1).alias("sign"), cents(F.col("value")).alias("c")
+    )
+    deletes = base.filter(F.col("event_id") % 7 == 0).select(
+        "event_type", F.lit(-1).alias("sign"), cents(F.col("value")).alias("c")
+    )
+    dagg = (
+        inserts.unionAll(deletes)
+        .groupBy("event_type")
+        .agg(
+            F.sum("sign").alias("dn"),
+            F.sum(F.col("sign") * F.col("c")).alias("ds"),
+        )
+    )
+    merged = (
+        view.join(dagg, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce("s0", F.lit(0)) + F.coalesce("ds", F.lit(0))
+            ).alias("sum_cents"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return merged.select(
+        "event_type",
+        "n_rows",
+        "sum_cents",
+        F.expr("sum_cents * 100 div n_rows").alias("avg_cents_e2"),
+    )

@@ -185,7 +185,19 @@ KEYS = [
     # fixed 2% query set grows with the replicated corpus, outside the
     # broadcast-query contract (large |Q| routes through the index).
     # round-13 additions.
+    # q_mrl_truncate_recall: excluded like q_pq_recall/q_ann_recall —
+    # fixed broadcast-query contract; |Q| grows under replication.
     "q_pca_project_2d",      # 3-scalar gramian agg + broadcast projection
+    "q_systematic_sample",   # |users| agg + range-shuffled prefix sum
+    "q_sliding_distinct",    # 3-window explode + two-phase distinct agg
+    "q_rolling_corr",        # hour-domain compression + bounded frames
+    "q_ivm_agg_delta",       # two partial aggs + |groups| join
+    "q_hapax_rate",          # wordcount + vocab-sized re-agg
+    "q_bpe_encode",          # vocab-table merge folds + word join
+    "q_stream_sliding_distinct",  # 2-batch dedup-state + additive merge
+    "q_rendezvous_reshard",  # 17-way scan explode + keyed max agg
+    "q_split_leakage",       # fingerprint agg + 1-row fold
+    "q_cuped_adjust",        # user agg + 1-row moment fold
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

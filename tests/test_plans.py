@@ -1935,3 +1935,149 @@ def test_bpe_train_oracle_matches_operator_fold(spark):
     assert len(rows) == 4
     assert [r["step"] for r in rows] == [1, 2, 3, 4]
     assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def test_systematic_sample_range_partitions_prefix_sum(spark):
+    """The cumulative-weight line must build through global_prefix_sum's
+    TeraSort shape — a single-partition global cumsum window over |users|
+    rows is the scale regression this operator avoids. The range exchange
+    itself hides behind the localCheckpoint (ExistingRDD), so the pin is
+    the q_gini_coefficient one: every per-row cumulative window must be
+    partitioned by __pid; the only unpartitioned ordered window is the
+    P-row partition-offset cumsum."""
+    import re
+
+    plan = _plan(spark, "q_systematic_sample")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        if "user_id" in s:
+            assert "__pid" in s, plan
+    assert any("__pid" in s and "user_id" in s for s in specs), plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_sliding_distinct_two_phase_agg_no_join(spark):
+    """Membership dedup then window count: two hash-agg levels over the
+    3-window explode, no join, no Python."""
+    plan = _plan(spark, "q_sliding_distinct")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_rolling_corr_broadcasts_hourly_agg(spark):
+    """The fact table compresses to the hour domain before any window:
+    the spine join must broadcast the hourly aggregate, and the frame
+    windows run over the bounded spine (no Python, no cartesian)."""
+    plan = _plan(spark, "q_rolling_corr")
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_ivm_delta_is_aggs_plus_group_key_join(spark):
+    """IVM refresh = two partial-first aggs merged on the group key —
+    no cartesian, no Python, no window."""
+    plan = _plan(spark, "q_ivm_agg_delta")
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_hapax_rate_wordcount_shape(spark):
+    """Wordcount then vocab-sized re-agg: >= 2 hash-agg levels, no join,
+    no Python."""
+    plan = _plan(spark, "q_hapax_rate")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_bpe_encode_is_jvm_fold_plus_vocab_join(spark):
+    """Merge application must stay a pure-JVM array fold over the vocab
+    table (no Python row UDFs anywhere in the encode path)."""
+    plan = _plan(spark, "q_bpe_encode")
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mrl_recall_windows_partition_by_query(spark):
+    """Both rank windows over the N x |Q| pair frame must partition by
+    qid — the broadcast-query contract (q_pq_recall's pin)."""
+    import re
+
+    plan = _plan(spark, "q_mrl_truncate_recall")
+    assert "MapInArrow" in plan, plan
+    for m in re.finditer(
+        r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan
+    ):
+        assert "qid" in m.group(1), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_stream_sliding_distinct_replay_has_cross_batch_dupes(spark):
+    """The streaming sliding-distinct key is only a real test of dedup
+    STATE if the 2-file replay carries the same (window, user) membership
+    in BOTH files — otherwise the additive merge would be exact even with
+    broken cross-batch dedup. Pin that the staged input keeps that
+    property (raw memberships strictly exceed distinct ones in each
+    fixture)."""
+    from real_time_rides_data_pipeline_spark.registry import _t
+
+    ev = (
+        _t(spark, SMOKE_SF, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select("user_id", "ts")
+    )
+    member = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.date_trunc("hour", F.col("ts")),
+                F.date_trunc("hour", F.col("ts")) - F.expr("INTERVAL 1 HOUR"),
+                F.date_trunc("hour", F.col("ts")) - F.expr("INTERVAL 2 HOUR"),
+            )
+        ).alias("ws"),
+    )
+    raw = member.count()
+    uniq = member.distinct().count()
+    assert raw > uniq, (raw, uniq)
+
+
+def test_rendezvous_reshard_scan_side_explode_one_agg(spark):
+    """HRW audit: the 17-way score explode is scan-side and the argmax
+    is one keyed partial-first agg — no join, no window, no Python."""
+    plan = _plan(spark, "q_rendezvous_reshard")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Generate" in plan, plan  # the explode
+
+
+def test_split_leakage_single_fingerprint_shuffle(spark):
+    """Leakage audit: hash + fingerprint are scan-side maps, then ONE
+    fingerprint-keyed agg and a 1-row fold — no join, no Python."""
+    plan = _plan(spark, "q_split_leakage")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_cuped_one_user_agg_then_scalar_fold(spark):
+    """CUPED from sufficient statistics: one user-keyed agg, one 1-row
+    moment fold, no window, no join."""
+    plan = _plan(spark, "q_cuped_adjust")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_rendezvous_no_moves_except_to_new_shard(spark):
+    """The HRW structural invariant as an executable assert: growing
+    16 → 17 shards moves keys ONLY onto the new shard."""
+    row = SPECS["q_rendezvous_reshard"].fn(spark, SMOKE_SF).first()
+    assert row["n_moved_elsewhere"] == 0, row
+    assert 0 < row["n_moved"] < row["n_keys"], row
