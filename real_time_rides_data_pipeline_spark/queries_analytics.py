@@ -56,6 +56,7 @@ from real_time_rides_data_pipeline_spark.operators.joins import (
     bucketed_interval_overlap_join,
 )
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 from real_time_rides_data_pipeline_spark.session import scoped_writer_session
 
 # =========================================================================
@@ -489,7 +490,6 @@ def q_null_impute(spark, sf_dir):
     "— see the operator docstring for the pruning contract.",
 )
 def q_stream_decayed(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
     from real_time_rides_data_pipeline_spark.sinks import foreach_batch_merge
@@ -504,7 +504,7 @@ def q_stream_decayed(spark, sf_dir):
         .select("user_id", "ts", "event_id", "value")
     )
     inp = _replay_input(ev, "decayed", sf_dir)  # 2 files -> 2 micro-batches
-    run_dir = tempfile.mkdtemp(prefix="decayed_run_")
+    run_dir = _scratch_dir(prefix="decayed_run_")
     out, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
     # same state-store shuffle-width knee as q_stateful_running (16 @ 32c),
     # pinned on a per-writer session clone, never the shared session conf
@@ -1146,7 +1146,6 @@ def q_ohlc_bars(spark, sf_dir):
     "partials stream in, closed bars never rescan.",
 )
 def q_stream_ohlc(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
     from real_time_rides_data_pipeline_spark.sinks import (
@@ -1158,7 +1157,7 @@ def q_stream_ohlc(spark, sf_dir):
         "event_type", "ts", "event_id", "value"
     )
     inp = _replay_input(ev, "ohlcstream", sf_dir)  # 2 files → 2 batches
-    run_dir = tempfile.mkdtemp(prefix="ohlcstream_run_")
+    run_dir = _scratch_dir(prefix="ohlcstream_run_")
     state, ckpt = f"{run_dir}/bars", f"{run_dir}/ckpt"
     stream = parquet_stream(spark, inp, ev.schema, max_files_per_trigger=1)
 

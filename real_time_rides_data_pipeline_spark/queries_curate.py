@@ -25,6 +25,7 @@ from pyspark.sql.types import StructType
 from real_time_rides_data_pipeline_spark.functions import text as X
 from real_time_rides_data_pipeline_spark.functions.precision import cents
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 
 # =========================================================================
 # Modern SQL surface: VARIANT JSON, LATERAL subquery
@@ -2091,7 +2092,6 @@ def q_negative_sample(spark, sf_dir):
     "reason mergeable sketches beat exact sorts for monitoring.",
 )
 def q_stream_quantile_merge(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.functions.precision import cents
     from real_time_rides_data_pipeline_spark.queries_ext import (
@@ -2107,7 +2107,7 @@ def q_stream_quantile_merge(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
     inp = _replay_input(ev, "qsketchstream", sf_dir)  # 2 files → 2 batches
-    run_dir = tempfile.mkdtemp(prefix="qsketch_run_")
+    run_dir = _scratch_dir(prefix="qsketch_run_")
     state, ckpt = f"{run_dir}/hist", f"{run_dir}/ckpt"
     writer = scoped_writer_session(spark, shuffle_partitions=4)
     stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
@@ -2260,7 +2260,6 @@ def q_hapax_rate(spark, sf_dir):
     "engagement-bounded, not event-bounded.",
 )
 def q_stream_sliding_distinct(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.queries_ext import (
         _replay_input,
@@ -2279,7 +2278,7 @@ def q_stream_sliding_distinct(spark, sf_dir):
         .select("user_id", "ts")
     )
     inp = _replay_input(ev, "slidedistinct", sf_dir)  # 2 files → 2 batches
-    run_dir = tempfile.mkdtemp(prefix="slidedistinct_run_")
+    run_dir = _scratch_dir(prefix="slidedistinct_run_")
     state, ckpt = f"{run_dir}/counts", f"{run_dir}/ckpt"
     writer = scoped_writer_session(spark, shuffle_partitions=4)
     stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)

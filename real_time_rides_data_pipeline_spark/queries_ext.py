@@ -25,6 +25,7 @@ from real_time_rides_data_pipeline_spark.operators import multimodal as MM
 from real_time_rides_data_pipeline_spark.operators import similarity as SIM
 from real_time_rides_data_pipeline_spark.operators import textdedup as TD
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 from real_time_rides_data_pipeline_spark.session import scoped_writer_session
 
 # =========================================================================
@@ -1108,7 +1109,6 @@ def q_tpch_q1(spark, sf_dir):
     "batch aggregate — is the oracle (SURVEY §2.7).",
 )
 def q_merge_upsert(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.operators.agg import hourly_driver_agg
     from real_time_rides_data_pipeline_spark.sinks import merge_upsert_parquet
@@ -1123,7 +1123,7 @@ def q_merge_upsert(spark, sf_dir):
             df, ts_col="ts", key_col="user_id", id_col="event_id", fare_col="value"
         ).withColumnRenamed("user_id", "driver_id")
 
-    target = tempfile.mkdtemp(prefix="gold_merge_") + "/gold"
+    target = _scratch_dir(prefix="gold_merge_") + "/gold"
     # micro-batch 1: complete aggregate over the first half
     merge_upsert_parquet(
         spark, agg(ev.filter(F.col("ts") < cutoff)), target,
@@ -1150,12 +1150,11 @@ def _replay_input(df, tag: str, sf_dir: str, n_files: int = 2) -> str:
     input directory. Only for inputs that are pure functions of (tag,
     sf_dir) — callers that mutate the input mid-stream (q_watermark's
     straggler append) must not memoize."""
-    import tempfile
 
     key = (tag, sf_dir, n_files)
     inp = _REPLAY_INPUTS.get(key)
     if inp is None:
-        inp = tempfile.mkdtemp(prefix=f"{tag}_") + "/in"
+        inp = _scratch_dir(prefix=f"{tag}_") + "/in"
         df.repartition(n_files).write.parquet(inp)
         _REPLAY_INPUTS[key] = inp
     return inp
@@ -1180,7 +1179,6 @@ def _replay_input(df, tag: str, sf_dir: str, n_files: int = 2) -> str:
     "stream≡batch criterion of SURVEY §5.2.2.",
 )
 def q_stateful_running(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.sinks import foreach_batch_merge
     from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
@@ -1190,7 +1188,7 @@ def q_stateful_running(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     inp = _replay_input(ev, "stateful", sf_dir)  # 2 files → 2 micro-batches
-    run_dir = tempfile.mkdtemp(prefix="stateful_run_")
+    run_dir = _scratch_dir(prefix="stateful_run_")
     out, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
     # Stateful shuffle width is frozen into the checkpoint at first batch;
     # size it to the state, not the session default: each state partition
@@ -1260,7 +1258,6 @@ def q_stream_dedup(spark, sf_dir):
     "state-width A/B (the q_watermark twin's sizing).",
 )
 def q_stream_dedup_ttl(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.operators import (
         stream_dedup_within_watermark,
@@ -1284,7 +1281,7 @@ def q_stream_dedup_ttl(spark, sf_dir):
         import os
         import time as _time
 
-        work = tempfile.mkdtemp(prefix="ttldedup_pre_")
+        work = _scratch_dir(prefix="ttldedup_pre_")
         inp0 = f"{work}/in"
         early = ev.filter(F.col("ts") < cutoff)
         early.coalesce(1).write.parquet(inp0)
@@ -1302,7 +1299,7 @@ def q_stream_dedup_ttl(spark, sf_dir):
         os.utime(f"{inp0}/{newest}", (now - 4, now - 4))
         stage = work
         _REPLAY_INPUTS[("ttl_pre", sf_dir, 0)] = stage
-    run_dir = tempfile.mkdtemp(prefix="ttldedup_run_")
+    run_dir = _scratch_dir(prefix="ttldedup_run_")
     out, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
     writer = scoped_writer_session(spark, shuffle_partitions=2)
     stream = parquet_stream(
@@ -1346,7 +1343,6 @@ def _wm_staged_input(spark, sf_dir):
     the very batch after the early data and sail past the still-1970
     filter watermark (verified live: 734 rows instead of 500)."""
     import os
-    import tempfile
     import time as _time
 
     ev = (
@@ -1360,7 +1356,7 @@ def _wm_staged_input(spark, sf_dir):
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
-        work = tempfile.mkdtemp(prefix="wm_pre_")
+        work = _scratch_dir(prefix="wm_pre_")
         inp0 = f"{work}/in"
         early = ev.filter(F.col("ts") < cutoff)
         early.coalesce(1).write.parquet(inp0)
@@ -1412,13 +1408,12 @@ def _wm_staged_input(spark, sf_dir):
     "bounded by the watermark (SURVEY §2.6 / §7.4.6).",
 )
 def q_watermark(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.operators import stream_dedup
     from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
 
     inp, schema = _wm_staged_input(spark, sf_dir)
-    run_dir = tempfile.mkdtemp(prefix="wm_run_")
+    run_dir = _scratch_dir(prefix="wm_run_")
     out, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
     # Width 2 per the round-11 state-width A/B (4 -> 2 = 2.71 -> 2.29 s
     # min-of-2 at sf0.1): two micro-batches over a 5%-sampled stream —
@@ -1647,7 +1642,6 @@ def q_stream_stream_join(spark, sf_dir):
 )
 def q_stream_stream_join_outer(spark, sf_dir):
     import os
-    import tempfile
     import time as _time
     import uuid
 
@@ -1673,7 +1667,7 @@ def q_stream_stream_join_outer(spark, sf_dir):
         views_b = ev.filter(F.col("event_type") == "view").select(
             "event_id", "user_id", "ts"
         )
-        work = tempfile.mkdtemp(prefix="ssjout_pre_")
+        work = _scratch_dir(prefix="ssjout_pre_")
         cdir, vdir = f"{work}/clicks", f"{work}/views"
         clicks_b.coalesce(1).write.parquet(cdir)
         views_b.coalesce(1).write.parquet(vdir)
@@ -1863,7 +1857,6 @@ def _register_tws(fn):
 
 @_register_tws
 def q_tws_top_values(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.sinks import foreach_batch_merge
     from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
@@ -1872,7 +1865,7 @@ def q_tws_top_values(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
-    work = tempfile.mkdtemp(prefix="tws_")
+    work = _scratch_dir(prefix="tws_")
     inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     ev.repartition(2).write.parquet(inp)  # 2 files → 2 micro-batches
     writer = scoped_writer_session(spark, shuffle_partitions=8)
@@ -2186,10 +2179,9 @@ def q_lsh_hyperplane(spark, sf_dir):
     "partitioning — no shuffle either direction.",
 )
 def q_jsonl_roundtrip(spark, sf_dir):
-    import tempfile
 
     d = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="jsonl_") + "/docs"
+    path = _scratch_dir(prefix="jsonl_") + "/docs"
     d.write.mode("overwrite").json(path)
     return spark.read.schema(d.schema).json(path).select(
         "doc_id", "text", "lang", "source", "n_chars"
@@ -2291,10 +2283,9 @@ def q_dataset_mix(spark, sf_dir):
     "partitioning — no shuffle either direction.",
 )
 def q_orc_roundtrip(spark, sf_dir):
-    import tempfile
 
     d = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="orc_") + "/docs"
+    path = _scratch_dir(prefix="orc_") + "/docs"
     d.write.mode("overwrite").orc(path)
     return spark.read.orc(path).select(
         "doc_id", "text", "lang", "source", "n_chars"
@@ -2312,10 +2303,9 @@ def q_orc_roundtrip(spark, sf_dir):
     "parquet original.",
 )
 def q_csv_roundtrip(spark, sf_dir):
-    import tempfile
 
     d = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="csv_") + "/docs"
+    path = _scratch_dir(prefix="csv_") + "/docs"
     d.write.mode("overwrite").option("header", True).csv(path)
     return (
         spark.read.schema(d.schema)
@@ -2433,7 +2423,6 @@ def q_patchify_meta(spark, sf_dir):
     "scan (sinks.py twin lights up when delta-spark is present).",
 )
 def q_schema_evolve_stream(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.sources.files import (
         parquet_stream,
@@ -2453,7 +2442,7 @@ def q_schema_evolve_stream(spark, sf_dir):
         F.unix_micros("ts").alias("us"),
         F.concat(F.lit("s"), (F.col("user_id") % 10)).alias("session_tag"),
     )
-    work = tempfile.mkdtemp(prefix="sev_")
+    work = _scratch_dir(prefix="sev_")
     in1, in2, out = f"{work}/in1", f"{work}/in2", f"{work}/out"
     v1.coalesce(1).write.parquet(in1)
     v2.coalesce(1).write.parquet(in2)
@@ -2499,7 +2488,6 @@ def q_schema_evolve_stream(spark, sf_dir):
     "cheap at 100 TB.",
 )
 def q_stream_restart_recovery(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.sources.files import (
         parquet_stream,
@@ -2512,7 +2500,7 @@ def q_stream_restart_recovery(spark, sf_dir):
         )
         .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
     )
-    work = tempfile.mkdtemp(prefix="restart_")
+    work = _scratch_dir(prefix="restart_")
     inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     ev.filter(F.col("event_id") % 8 == 3).coalesce(1).write.parquet(inp)
     writer = scoped_writer_session(spark, shuffle_partitions=2)

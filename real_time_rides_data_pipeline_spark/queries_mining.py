@@ -107,6 +107,7 @@ from pyspark.sql import functions as F
 
 from real_time_rides_data_pipeline_spark.functions import text as X
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 from real_time_rides_data_pipeline_spark.session import scoped_writer_session
 
 # =========================================================================
@@ -399,7 +400,6 @@ def q_cms_heavy_hitters(spark, sf_dir):
     "tables.",
 )
 def q_stream_cms_merge(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.operators.cms import build_cms
     from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
@@ -409,7 +409,7 @@ def q_stream_cms_merge(spark, sf_dir):
     d = _t(spark, sf_dir, "documents", parallel=True)
     docs = d.select("doc_id", "text")
     inp = _replay_input(docs, "cmsstream", sf_dir)  # 2 files → 2 batches
-    run_dir = tempfile.mkdtemp(prefix="cmsstream_run_")
+    run_dir = _scratch_dir(prefix="cmsstream_run_")
     state, ckpt = f"{run_dir}/sketch", f"{run_dir}/ckpt"
     writer = scoped_writer_session(spark, shuffle_partitions=8)
     stream = parquet_stream(writer, inp, docs.schema, max_files_per_trigger=1)
@@ -607,7 +607,6 @@ def q_cogroup_asof(spark, sf_dir):
 )
 def q_stream_session(spark, sf_dir):
     import os
-    import tempfile
     import time as _time
     import uuid
 
@@ -633,7 +632,7 @@ def q_stream_session(spark, sf_dir):
     # each invocation is a single stream run with a fresh checkpoint.
     stage = _REPLAY_INPUTS.get(("sesstream_pre", sf_dir, 0))
     if stage is None:
-        work0 = tempfile.mkdtemp(prefix="sesstream_pre_")
+        work0 = _scratch_dir(prefix="sesstream_pre_")
         inp0 = f"{work0}/in"
         ev.filter(F.col("ts") < cutoff).coalesce(1).write.parquet(inp0)
         # Positively identify the early file by listing BETWEEN the two
@@ -1074,7 +1073,6 @@ def q_clamped_running_balance(spark, sf_dir):
 )
 def q_stream_late_metrics(spark, sf_dir):
     import json
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.operators import stream_dedup
     from real_time_rides_data_pipeline_spark.queries_ext import (
@@ -1087,7 +1085,7 @@ def q_stream_late_metrics(spark, sf_dir):
     # the watermark-commit-lag rationale); one processAllAvailable
     # replays the schedule and the drop metric reads identically.
     inp, schema = _wm_staged_input(spark, sf_dir)
-    run_dir = tempfile.mkdtemp(prefix="latemetrics_run_")
+    run_dir = _scratch_dir(prefix="latemetrics_run_")
     out, ckpt = f"{run_dir}/out", f"{run_dir}/ckpt"
     # Width 2 per the round-11 state-width A/B (4 -> 2 = 3.05 -> 2.53 s
     # min-of-2 at sf0.1) — same sizing rationale as q_watermark's twin.
@@ -1357,7 +1355,6 @@ def q_kmv_theta_sketch(spark, sf_dir):
     "|keys|·k state, set-expression estimates on demand, no rescan.",
 )
 def q_stream_kmv(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.functions.precision import cents
     from real_time_rides_data_pipeline_spark.operators import kmv
@@ -1369,7 +1366,7 @@ def q_stream_kmv(spark, sf_dir):
     K = 256
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     inp = _replay_input(ev, "kmvstream", sf_dir)  # 2 files → 2 batches
-    run_dir = tempfile.mkdtemp(prefix="kmvstream_run_")
+    run_dir = _scratch_dir(prefix="kmvstream_run_")
     state, ckpt = f"{run_dir}/sketch", f"{run_dir}/ckpt"
     writer = scoped_writer_session(spark, shuffle_partitions=4)
     stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
@@ -1493,7 +1490,6 @@ def q_stream_kmv(spark, sf_dir):
     "no rescans, crash-safe, replay-idempotent.",
 )
 def q_stream_leaderboard(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.functions.precision import cents
     from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
@@ -1504,7 +1500,7 @@ def q_stream_leaderboard(spark, sf_dir):
     K = 10
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     inp = _replay_input(ev, "lbstream", sf_dir)  # 2 files → 2 batches
-    run_dir = tempfile.mkdtemp(prefix="lbstream_run_")
+    run_dir = _scratch_dir(prefix="lbstream_run_")
     state, ckpt = f"{run_dir}/board", f"{run_dir}/ckpt"
     writer = scoped_writer_session(spark, shuffle_partitions=4)
     stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)

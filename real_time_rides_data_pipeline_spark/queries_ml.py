@@ -100,6 +100,7 @@ from pyspark.sql import functions as F
 from real_time_rides_data_pipeline_spark.functions.precision import cents
 from real_time_rides_data_pipeline_spark.functions.vectors import as_double
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 from real_time_rides_data_pipeline_spark.session import scoped_writer_session
 
 _KNUTH = 2654435761
@@ -189,7 +190,6 @@ def _linreg_solve(m):
     "scan.",
 )
 def q_stream_linreg(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
     from real_time_rides_data_pipeline_spark.sinks import merge_additive_parquet
@@ -197,7 +197,7 @@ def q_stream_linreg(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
     inp = _replay_input(ev, "linregstream", sf_dir)  # 2 files → 2 batches
-    run_dir = tempfile.mkdtemp(prefix="linregstream_run_")
+    run_dir = _scratch_dir(prefix="linregstream_run_")
     state, ckpt = f"{run_dir}/moments", f"{run_dir}/ckpt"
     writer = scoped_writer_session(spark, shuffle_partitions=8)
     stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from real_time_rides_data_pipeline_spark.functions.precision import cents
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 
 # =========================================================================
 # OVER-clause window functions (q_rank, q_lag_lead, q_running_sum)
@@ -656,12 +657,11 @@ def _partitioned_events(spark, sf_dir) -> str:
     the lakehouse layout step that buys every date-sliced query its
     partition pruning. At 100 TB this is the difference between scanning
     one day and scanning three years."""
-    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _PARTITIONED.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="part_events_") + "/events_by_date"
+        path = _scratch_dir(prefix="part_events_") + "/events_by_date"
         (
             _t(spark, sf_dir, "events")
             .withColumn("event_date", F.to_date("ts"))
@@ -704,14 +704,13 @@ def _bucketed_tables(spark, sf_dir) -> tuple[str, str]:
     per (session, sf) — the ETL step that buys every later join its
     shuffle-freedom. Returns the two table names."""
     import re
-    import tempfile
 
     tag = re.sub(r"[^0-9a-z]", "_", sf_dir.lower()).strip("_")
     li_name, o_name = f"li_bucketed_{tag}", f"o_bucketed_{tag}"
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BUCKETED:
         return li_name, o_name
-    base = tempfile.mkdtemp(prefix="bucketed_")
+    base = _scratch_dir(prefix="bucketed_")
     (
         _t(spark, sf_dir, "lineitem")
         .write.bucketBy(8, "l_orderkey")

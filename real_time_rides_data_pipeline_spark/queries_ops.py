@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from real_time_rides_data_pipeline_spark.functions import text as X
 from real_time_rides_data_pipeline_spark.functions.precision import cents
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 
 # =========================================================================
 # FULL OUTER join
@@ -1050,7 +1051,6 @@ _CSV_ENCODE_DIRS: dict[str, str] = {}
     "corrupt-record column costs nothing on clean rows.",
 )
 def q_csv_corrupt_records(spark, sf_dir):
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -1075,7 +1075,7 @@ def q_csv_corrupt_records(spark, sf_dir):
     # leak a fresh /tmp dir per invocation).
     path = _CSV_ENCODE_DIRS.get(sf_dir)
     if path is None:
-        path = tempfile.mkdtemp(prefix="csv_corrupt_") + "/events_csv"
+        path = _scratch_dir(prefix="csv_corrupt_") + "/events_csv"
         ev.select(line.alias("value")).write.mode("overwrite").text(path)
         _CSV_ENCODE_DIRS[sf_dir] = path
     schema = T.StructType(

@@ -29,6 +29,7 @@ from real_time_rides_data_pipeline_spark.functions import text as X
 from real_time_rides_data_pipeline_spark.functions.precision import cents
 from real_time_rides_data_pipeline_spark.operators.clean import KNUTH_MULT
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 
 # =========================================================================
 # Bloom-prefiltered decontamination
@@ -717,7 +718,6 @@ def q_profile_stats(spark, sf_dir):
     "buys; the hash check proves it.",
 )
 def q_cdc_stream(spark, sf_dir):
-    import tempfile
 
     from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
     from real_time_rides_data_pipeline_spark.sinks import merge_cdc_parquet
@@ -727,7 +727,7 @@ def q_cdc_stream(spark, sf_dir):
         "user_id", "event_type", "ts", "event_id", cents(F.col("value")).alias("cents")
     )
     inp = _replay_input(ev, "cdcstream", sf_dir)  # 2 files -> 2 micro-batches
-    run_dir = tempfile.mkdtemp(prefix="cdc_stream_")
+    run_dir = _scratch_dir(prefix="cdc_stream_")
     target, ckpt = f"{run_dir}/state", f"{run_dir}/ckpt"
 
     def apply_batch(bdf, batch_id):
