@@ -2707,3 +2707,66 @@ def q_bfs_distance(spark, sf_dir):
         dist = dist.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return dist.select(F.col("node").cast("long").alias("node"), "dist")
+
+
+# =========================================================================
+# Round 13: dyadic inter-event gap histogram
+# =========================================================================
+
+
+@register(
+    "q_gap_histogram",
+    """WITH g AS (
+         SELECT epoch_us(ts)
+                - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS gap_us
+         FROM events
+       ), b AS (
+         SELECT gap_us,
+                CASE WHEN gap_us <= 0 THEN 0
+                     ELSE length(bin(gap_us)) END AS bucket
+         FROM g WHERE gap_us IS NOT NULL
+       )
+       SELECT CAST(bucket AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_gaps,
+              CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+              CAST(max(gap_us) AS BIGINT) AS max_gap_us
+       FROM b GROUP BY bucket""",
+    "DYADIC INTER-EVENT GAP HISTOGRAM: the distribution of per-user "
+    "consecutive-event gaps in power-of-two microsecond buckets (bucket = "
+    "floor(log2(gap))+1 computed EXACTLY as length(bin(gap)) — the "
+    "binary-digit count is the engine-portable integer log2; no float "
+    "log crosses an engine boundary), with per-bucket min/max as the "
+    "bucket-edge sanity columns. The latency/recency histogram behind "
+    "session-timeout selection (where does the gap distribution's "
+    "bimodal valley sit — q_sessionize's 30-minute constant comes from "
+    "exactly this read) and crawl-frequency tuning; q_burstiness_index "
+    "reduces the same gaps to one moment ratio, this key keeps the "
+    "shape. Shape: one user-partitioned lag window (the "
+    "q_delta_varint_audit shuffle), then a ~35-cell hash agg — "
+    "partial-first, bucket domain bounded by the 2^35 s ≈ 1000-year "
+    "gap ceiling regardless of data volume.",
+)
+def q_gap_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer MICROSECONDS on both legs: DuckDB's epoch() is a
+    # fractional DOUBLE (round-vs-truncate drift against Spark's
+    # unix_timestamp seconds); unix_micros/epoch_us are both exact int64.
+    g = ev.select(
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    b = g.select(
+        "gap_us",
+        F.when(F.col("gap_us") <= 0, F.lit(0))
+        .otherwise(F.length(F.bin("gap_us")))
+        .cast("long")
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

@@ -2421,3 +2421,75 @@ def q_split_leakage(spark, sf_dir):
             " ELSE 0 END), 0)"
         ).alias("leaked_per_dup_ppm"),
     )
+
+
+@register(
+    "q_nucleus_vocab",
+    """WITH wc AS (
+         SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT lang,
+                      unnest(string_split_regex(trim(text), '\\s+')) AS w
+               FROM documents)
+         WHERE length(w) > 0 GROUP BY lang, w
+       ), cum AS (
+         SELECT lang, c,
+                sum(c) OVER (PARTITION BY lang ORDER BY c DESC, w ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - c AS cum_excl,
+                sum(c) OVER (PARTITION BY lang) AS total
+         FROM wc
+       )
+       SELECT lang,
+              CAST(count(*) AS BIGINT) AS vocab_size,
+              CAST(count(*) FILTER (WHERE cum_excl * 10 < 9 * total)
+                   AS BIGINT) AS nucleus_k,
+              CAST(sum(c) FILTER (WHERE cum_excl * 10 < 9 * total) * 1000000
+                   // sum(c) AS BIGINT) AS nucleus_mass_ppm
+       FROM cum GROUP BY lang""",
+    "NUCLEUS VOCABULARY SIZE per language — the top-p (p = 0.9) dual of "
+    "q_vocab_coverage's top-K: the SMALLEST prefix of the "
+    "frequency-ranked vocabulary whose mass reaches 90% of all token "
+    "occurrences (include-while-cum_excl<0.9·total gives exactly the "
+    "minimal prefix), plus the mass it actually covers — the number a "
+    "tokenizer designer reads as 'how many types do 90% of my tokens "
+    "come from', and the vocabulary analog of nucleus/top-p sampling. "
+    "Exact integers throughout (cum_excl·10 < 9·total — no division "
+    "until the final ppm), rank totally ordered by (count DESC, token "
+    "ASC). Shape: wordcount agg, then ONE cumulative window per "
+    "language partition over the VOCAB table (Heaps-law sublinear in "
+    "corpus size; the window never sees the corpus) — where only the "
+    "top slice is needed at extreme vocab, q_vocab_coverage's "
+    "TakeOrdered cut is the documented escape.",
+)
+def q_nucleus_vocab(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True)
+    wc = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = wc.select(
+        "lang",
+        "c",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cum_excl"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    inc = (F.col("cum_excl") * 10 < 9 * F.col("total")).cast("long")
+    return cum.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(inc).alias("nucleus_k"),
+        F.expr(
+            "sum(CASE WHEN cum_excl * 10 < 9 * total THEN c ELSE 0 END)"
+            " * 1000000 div sum(c)"
+        ).alias("nucleus_mass_ppm"),
+    )

@@ -198,6 +198,8 @@ KEYS = [
     "q_rendezvous_reshard",  # 17-way scan explode + keyed max agg
     "q_split_leakage",       # fingerprint agg + 1-row fold
     "q_cuped_adjust",        # user agg + 1-row moment fold
+    "q_nucleus_vocab",       # wordcount + per-lang vocab cum window
+    "q_gap_histogram",       # per-user lag window + ~55-cell agg
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

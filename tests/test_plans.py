@@ -2081,3 +2081,30 @@ def test_rendezvous_no_moves_except_to_new_shard(spark):
     row = SPECS["q_rendezvous_reshard"].fn(spark, SMOKE_SF).first()
     assert row["n_moved_elsewhere"] == 0, row
     assert 0 < row["n_moved"] < row["n_keys"], row
+
+
+def test_nucleus_vocab_window_over_vocab_partitioned_by_lang(spark):
+    """The cumulative window must run over the aggregated vocab table
+    partitioned by lang — never the corpus — and the corpus work is one
+    wordcount agg."""
+    import re
+
+    plan = _plan(spark, "q_nucleus_vocab")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "lang" in m.group(1), plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_gap_histogram_one_lag_shuffle_bounded_agg(spark):
+    """One user-partitioned lag window, then a bounded dyadic-bucket
+    agg — no join, no Python, integer log2 via bin()."""
+    import re
+
+    plan = _plan(spark, "q_gap_histogram")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        assert "user_id" in s, plan
