@@ -2044,6 +2044,40 @@ def test_stream_sliding_distinct_replay_has_cross_batch_dupes(spark):
     raw = member.count()
     uniq = member.distinct().count()
     assert raw > uniq, (raw, uniq)
+    # ...and the duplicates must straddle the two REPLAY FILES (i.e. the
+    # two micro-batches): only a cross-file shared membership exercises
+    # cross-batch state — a broken state would overcount exactly these
+    # and fail the oracle compare. Stage through the key's own
+    # _replay_input so the pin tests the real input, not a simulation.
+    import glob
+
+    from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
+
+    inp = _replay_input(
+        ev.select("user_id", "ts"), "slidedistinct", SMOKE_SF
+    )
+    files = sorted(glob.glob(inp + "/*.parquet"))
+    assert len(files) == 2, files
+    sides = []
+    for f in files:
+        m = (
+            spark.read.parquet(f)
+            .select(
+                "user_id",
+                F.explode(
+                    F.array(
+                        F.date_trunc("hour", F.col("ts")),
+                        F.date_trunc("hour", F.col("ts"))
+                        - F.expr("INTERVAL 1 HOUR"),
+                        F.date_trunc("hour", F.col("ts"))
+                        - F.expr("INTERVAL 2 HOUR"),
+                    )
+                ).alias("ws"),
+            )
+            .distinct()
+        )
+        sides.append(set((r["user_id"], r["ws"]) for r in m.collect()))
+    assert sides[0] & sides[1], "replay files carry no shared memberships"
 
 
 def test_rendezvous_reshard_scan_side_explode_one_agg(spark):
