@@ -97,7 +97,12 @@ def get_spark(
         # Janino recompile (~50-200 ms) per evicted stage per run. A cache
         # entry is a compiled class (small); 5000 entries is a few hundred
         # MB ceiling that a 128 GiB driver never notices.
-        .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # Raised 100 (default) → 5000 in round 6 (158 keys thrashed the
+        # default), → 20000 in round 13: the two-pass compile probe read
+        # 3583 distinct stages for the 337-key suite (pass 2: 59 — the
+        # 5000 cache still held), leaving <1.4k headroom before the
+        # thrash cliff silently returns around ~470 keys.
+        .config("spark.sql.codegen.cache.maxEntries", "20000")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
