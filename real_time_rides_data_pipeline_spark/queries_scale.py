@@ -1445,3 +1445,106 @@ def q_ivm_agg_delta(spark, sf_dir):
         "sum_cents",
         F.expr("sum_cents * 100 div n_rows").alias("avg_cents_e2"),
     )
+
+
+@register(
+    "q_stream_ivm_retract",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) * 100
+                   // count(*) AS BIGINT) AS avg_cents_e2
+       FROM events
+       WHERE event_id % 10 = 0
+          OR (event_id % 10 <> 0 AND event_id % 7 <> 0)
+       GROUP BY event_type""",
+    "STREAMING incremental view maintenance WITH RETRACTIONS — the "
+    "continuously-maintained aggregate fed by a CDC op-log that carries "
+    "DELETES, the one streaming-merge algebra no other stream key "
+    "exercises (quantile/CMS/KMV/linreg merges are all non-negative "
+    "monoids; this state goes DOWN): each replayed event expands "
+    "in-stream to its op-log rows — one +1 insert, plus a -1 retraction "
+    "for the base rows the q_ivm_agg_delta scenario later deletes "
+    "(event_id%7=0 of the %10<>0 base) — and foreachBatch folds signed "
+    "(Σsign, Σsign·cents) into parquet state via merge_additive_parquet "
+    "across 2 REAL micro-batches (signed sums are still a commutative "
+    "monoid, so the batch-id-idempotent additive MERGE machinery "
+    "applies unchanged; a replayed batch cannot double-retract). Final "
+    "state ≡ the batch recompute oracle — the same IVM correctness "
+    "theorem as q_ivm_agg_delta, proven through the streaming path. "
+    "Shape: scan-side op-log explode, per-batch |groups| partial agg, "
+    "|groups|-keyed additive MERGE; at 100 TB/day of CDC this is the "
+    "O(|delta|) continuously-fresh aggregate a warehouse otherwise "
+    "recomputes nightly.",
+)
+def q_stream_ivm_retract(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.functions.precision import cents
+    from real_time_rides_data_pipeline_spark.queries_ext import (
+        _replay_input,
+        scoped_writer_session,
+    )
+    from real_time_rides_data_pipeline_spark.scratch import (
+        scratch_dir as _scratch_dir,
+    )
+    from real_time_rides_data_pipeline_spark.sinks import (
+        merge_additive_parquet,
+    )
+    from real_time_rides_data_pipeline_spark.sources.files import (
+        parquet_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    inp = _replay_input(ev, "ivmretract", sf_dir)  # 2 files → 2 batches
+    run_dir = _scratch_dir(prefix="ivmretract_run_")
+    state, ckpt = f"{run_dir}/view", f"{run_dir}/ckpt"
+    writer = scoped_writer_session(spark, shuffle_partitions=4)
+    stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
+
+    signs = F.when(
+        (F.col("event_id") % 10 != 0) & (F.col("event_id") % 7 == 0),
+        F.array(F.lit(1), F.lit(-1)),  # inserted, later retracted
+    ).otherwise(F.array(F.lit(1)))
+    ops = stream.select(
+        "event_type",
+        cents(F.col("value")).alias("c"),
+        F.explode(signs).alias("sign"),
+    )
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy("event_type").agg(
+            F.sum("sign").alias("n_rows"),
+            F.sum(F.col("sign") * F.col("c")).alias("sum_cents"),
+        )
+        merge_additive_parquet(
+            batch_df.sparkSession,
+            partial,
+            state,
+            keys=("event_type",),
+            sum_cols=("n_rows", "sum_cents"),
+            batch_id=batch_id,
+        )
+
+    q = (
+        ops.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return (
+        spark.read.parquet(state)
+        .filter(F.col("n_rows") > 0)
+        .select(
+            "event_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.expr("sum_cents * 100 div n_rows").alias("avg_cents_e2"),
+        )
+    )

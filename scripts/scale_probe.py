@@ -200,6 +200,7 @@ KEYS = [
     "q_cuped_adjust",        # user agg + 1-row moment fold
     "q_nucleus_vocab",       # wordcount + per-lang vocab cum window
     "q_gap_histogram",       # per-user lag window + ~55-cell agg
+    "q_stream_ivm_retract",  # 2-batch signed additive merge
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

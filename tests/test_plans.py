@@ -2142,3 +2142,34 @@ def test_gap_histogram_one_lag_shuffle_bounded_agg(spark):
     assert specs, plan
     for s in specs:
         assert "user_id" in s, plan
+
+
+def test_stream_ivm_retract_state_goes_negative_per_batch(spark):
+    """The retraction stream is only a real test if some batch's partial
+    actually carries NEGATIVE increments for at least one group in at
+    least one replay file (else the signed merge degenerates to the
+    plain additive family). Pin it on the key's own op-log expansion:
+    every retracted base row contributes (+1, -1) so each file's
+    retraction count must be > 0, and the final merged state must equal
+    the batch recompute (the oracle does the latter; here we pin the
+    former)."""
+    import glob
+
+    from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
+    from real_time_rides_data_pipeline_spark.registry import _t
+
+    ev = _t(spark, SMOKE_SF, "events").select(
+        "event_id", "event_type", "value"
+    )
+    inp = _replay_input(ev, "ivmretract", SMOKE_SF)
+    files = sorted(glob.glob(inp + "/*.parquet"))
+    assert len(files) == 2, files
+    for f in files:
+        n_retract = (
+            spark.read.parquet(f)
+            .filter(
+                (F.col("event_id") % 10 != 0) & (F.col("event_id") % 7 == 0)
+            )
+            .count()
+        )
+        assert n_retract > 0, f
