@@ -1179,3 +1179,114 @@ def test_tcloseness_emd_matches_reference(spark, rows):
         emd = acc / (len(bands) - 1)
         want[g] = int(emd * 1000000)  # floor — emd >= 0
     assert got == want, (got, want)
+
+
+# --- round-13 oracle-machinery properties (DuckDB-only, no Spark) ---------
+
+
+@settings(
+    max_examples=int(os.environ.get("PROP_EXAMPLES", "5")) * 5,
+    deadline=None,
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bpe_oracle_sql_matches_python_reference(words):
+    """The unrolled-SQL BPE training oracle (q_bpe_train, round 13) must
+    reproduce the reference trainer on ADVERSARIAL corpora — a 2-letter
+    alphabet maximizes overlapping pairs ('aaaa'), frequency ties (the
+    lexicographic tie-break), and merged-token re-participation across
+    rounds — exactly the cases where a greedy string-fold rewrite of the
+    merge could silently diverge."""
+    import duckdb
+
+    from real_time_rides_data_pipeline_spark.queries_ml import (
+        _bpe_oracle_sql,
+    )
+    from tests.test_ml import _py_bpe
+
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?)", [(w,) for w in words]
+    )
+    got = sorted(con.sql(_bpe_oracle_sql()).fetchall())
+    want = sorted(_py_bpe(counts, 4))
+    assert got == want, (got, want, counts)
+
+
+@settings(
+    max_examples=int(os.environ.get("PROP_EXAMPLES", "5")) * 5,
+    deadline=None,
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-800, max_value=800),
+            st.integers(min_value=-800, max_value=800),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_pca2_oracle_matches_numpy_eigh(pts):
+    """The closed-form 2x2 eigensolve in q_pca_project_2d's oracle must
+    agree with numpy.linalg.eigh up to the documented sign convention:
+    projections match within 1 unit (the floor boundary on doubles that
+    differ only in op-ordering)."""
+    import duckdb
+    import numpy as np
+
+    from real_time_rides_data_pipeline_spark.queries_ml import (
+        _pca2_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [
+            (i, [x / 1000.0, y / 1000.0])
+            for i, (x, y) in enumerate(pts)
+        ],
+    )
+    got = {
+        r[0]: (r[1], r[2]) for r in con.sql(_pca2_oracle_sql()).fetchall()
+    }
+    # numpy leg: same exact int gramian, true eigh, same sign convention
+    xi = np.array(
+        [
+            [
+                round(float(np.float32(x / 1000.0)) * 1e6),
+                round(float(np.float32(y / 1000.0)) * 1e6),
+            ]
+            for x, y in pts
+        ],
+        dtype=np.float64,
+    )
+    g = xi.T @ xi
+    _, vecs = np.linalg.eigh(g)
+    u1, u2w = vecs[:, 1], vecs[:, 0]
+
+    def signfix(v):
+        i = int(np.argmax(np.abs(v)))
+        return -v if v[i] < 0 else v
+
+    u1 = signfix(u1)
+    u2 = signfix(np.array([-u1[1], u1[0]]))
+    for i, row in enumerate(xi):
+        p1 = int(np.floor(row @ u1))
+        p2 = int(np.floor(row @ u2))
+        g1, g2 = got[i]
+        assert abs(g1 - p1) <= 1 and abs(g2 - p2) <= 1, (
+            i,
+            (g1, g2),
+            (p1, p2),
+        )
