@@ -776,6 +776,16 @@ def _bpe_oracle_sql(n_merges: int = 4, mode: str = "train") -> str:
     ``mode='train'`` emits the merge table (q_bpe_train); ``mode='encode'``
     applies the final segmentation back to every document — word →
     token-count from the trained segmentation, per-doc sums (q_bpe_encode).
+
+    Degenerate corpora (a round with no adjacent pairs anywhere, e.g. all
+    words single-char): ``b{k}`` is empty, Spark's ``train_bpe`` breaks
+    early and applies fewer merges. The merge step here LEFT-JOINs the
+    1-row ``b{k}`` and no-ops when it is empty, so ``seg{k}`` degrades to
+    ``seg{k-1}`` instead of collapsing every later seg to zero rows —
+    train mode emits the same (shorter) merge table either way, and
+    encode mode now carries every word through to the per-doc sums
+    (round-14 ADVICE fix; pinned on an all-single-char corpus in
+    tests/test_properties.py).
     """
     sep = "chr(31)"
     parts = [
@@ -803,12 +813,18 @@ def _bpe_oracle_sql(n_merges: int = 4, mode: str = "train") -> str:
        ), b{k} AS (
          SELECT l, r, freq FROM p{k} ORDER BY freq DESC, l ASC, r ASC LIMIT 1
        ), seg{k} AS (
-         SELECT word, n, list_reduce(string_split(s, {sep}),
+         -- LEFT JOIN the 1-row merge table: when round {k} found no
+         -- adjacent pairs (b{k} empty — degenerate all-single-char
+         -- corpora), the merge step degrades to a no-op so seg{k} =
+         -- seg{k - 1} instead of collapsing to zero rows, matching the
+         -- Spark leg's train_bpe early break (round-14 ADVICE fix).
+         SELECT word, n, CASE WHEN b.l IS NULL THEN s
+           ELSE list_reduce(string_split(s, {sep}),
            (acc, x) -> CASE WHEN ends_with(acc, {sep} || b.l) AND x = b.r
                        THEN substr(acc, 1, length(acc) - length(b.l))
                             || b.l || b.r
-                       ELSE acc || {sep} || x END) AS s
-         FROM seg{k - 1}, b{k} b
+                       ELSE acc || {sep} || x END) END AS s
+         FROM seg{k - 1} LEFT JOIN b{k} b ON TRUE
        )"""
         )
     if mode == "encode":
@@ -3707,6 +3723,7 @@ def q_pq_recall(spark, sf_dir):
          FROM embeddings
        ), q AS (
          SELECT vec_id AS qid, v AS qv FROM iv WHERE vec_id % 50 = 0
+         ORDER BY vec_id LIMIT 64
        ), d AS (
          SELECT q.qid, t.vec_id AS tid,
                 CAST(list_sum(list_transform(range(1, 65), i ->
@@ -3766,9 +3783,16 @@ def q_mrl_truncate_recall(spark, sf_dir):
     from real_time_rides_data_pipeline_spark.operators import pq
 
     emb = _t(spark, sf_dir, "embeddings")
+    # Query set BOUNDED at 64 (first by vec_id): the unbounded % 50 slice
+    # grows linearly with the corpus, so the collect below would too —
+    # the cap keeps the driver-side query set a fixed-size constant at
+    # any corpus scale, mirroring q_knn_classify's broadcast-|Q| contract
+    # (round-14 VERDICT fix; oracle carries the same ORDER BY/LIMIT).
     q_rows = (
         emb.filter(F.col("vec_id") % 50 == 0)
         .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(64)
         .collect()
     )
     q_rows = sorted(q_rows, key=lambda r: r.vec_id)
@@ -3857,21 +3881,23 @@ def q_mrl_truncate_recall(spark, sf_dir):
                 CAST(sum(y * y) AS BIGINT) AS syy
          FROM u
        ), v AS (
+         -- widen BEFORE the n*moment products: n * sxy etc. overflow
+         -- int64 at scale, where DuckDB would raise but non-ANSI Spark
+         -- silently wraps — HUGEINT here keeps both legs exact and
+         -- failure-mode-aligned (round-14 ADVICE fix)
          SELECT n, sx, sy,
-                n * sxy - sx * sy AS num,
-                n * sxx - sx * sx AS varx,
-                n * syy - sy * sy AS vary
+                CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+                CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS varx,
+                CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary
          FROM m
        )
        SELECT n AS n_users, sx AS sum_pre, sy AS sum_post,
               CAST(CASE WHEN num >= 0
-                        THEN (CAST(num AS HUGEINT) * 1000000)
-                             // nullif(varx, 0)
-                        ELSE -((CAST(-num AS HUGEINT) * 1000000)
-                               // nullif(varx, 0)) END AS BIGINT)
-                  AS theta_e6,
-              CAST((CAST(num AS HUGEINT) * num * 1000000)
-                   // nullif(CAST(varx AS HUGEINT) * vary, 0) AS BIGINT)
+                        THEN (num * 1000000) // nullif(varx, 0)
+                        ELSE -((-num * 1000000) // nullif(varx, 0)) END
+                   AS BIGINT) AS theta_e6,
+              CAST((num * num * 1000000)
+                   // nullif(varx * vary, 0) AS BIGINT)
                   AS var_reduction_ppm
        FROM v""",
     "CUPED variance reduction (Deng et al. 2013) — the experimentation-"
@@ -3906,24 +3932,32 @@ def q_cuped_adjust(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
+    # Widen BEFORE the n*moment products (round-14 ADVICE fix): raw
+    # BIGINT n*sxy etc. overflow int64 at large scale, where the non-ANSI
+    # Spark leg would silently wrap while DuckDB errors. DECIMAL(38,0)
+    # arithmetic here mirrors the oracle's HUGEINT — overflow degrades to
+    # NULL, never a wrapped wrong answer.
+    wide = "CAST({} AS DECIMAL(38,0))"
     v = m.select(
         "n",
         "sx",
         "sy",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx"),
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary"),
+        F.expr(
+            f"{wide.format('n')} * sxy - {wide.format('sx')} * sy"
+        ).alias("num"),
+        F.expr(
+            f"{wide.format('n')} * sxx - {wide.format('sx')} * sx"
+        ).alias("varx"),
+        F.expr(
+            f"{wide.format('n')} * syy - {wide.format('sy')} * sy"
+        ).alias("vary"),
     )
     theta = F.expr(
         "CASE WHEN num >= 0"
-        " THEN (CAST(num AS DECIMAL(38,0)) * 1000000) div nullif(varx, 0)"
-        " ELSE -((CAST(-num AS DECIMAL(38,0)) * 1000000)"
-        "        div nullif(varx, 0)) END"
+        " THEN (num * 1000000) div nullif(varx, 0)"
+        " ELSE -((-num * 1000000) div nullif(varx, 0)) END"
     )
-    rho2 = F.expr(
-        "(CAST(num AS DECIMAL(38,0)) * num * 1000000)"
-        " div nullif(CAST(varx AS DECIMAL(38,0)) * vary, 0)"
-    )
+    rho2 = F.expr("(num * num * 1000000) div nullif(varx * vary, 0)")
     return v.select(
         F.col("n").alias("n_users"),
         F.col("sx").alias("sum_pre"),

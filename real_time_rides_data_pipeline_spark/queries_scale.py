@@ -1146,27 +1146,37 @@ def q_bloom_fpp(spark, sf_dir):
          FROM w
        ), p AS (
          SELECT user_id, wt, cum, cum - wt AS cum_excl,
-                total // 50 AS stride, (total // 50) // 2 AS noff
+                greatest(total // 50, 1) AS stride,
+                greatest(total // 50, 1) // 2 AS noff
          FROM c
        )
        SELECT user_id, wt, CAST(cum_excl AS BIGINT) AS cum_excl,
-              CAST((cum - noff - 1) // stride
-                   - (cum_excl - noff - 1) // stride AS BIGINT) AS n_hits
+              CAST(least((cum + stride - noff - 1) // stride, 50)
+                   - least((cum_excl + stride - noff - 1) // stride, 50)
+                   AS BIGINT) AS n_hits
        FROM p
-       WHERE (cum - noff - 1) // stride
-             - (cum_excl - noff - 1) // stride >= 1""",
+       WHERE least((cum + stride - noff - 1) // stride, 50)
+             - least((cum_excl + stride - noff - 1) // stride, 50) >= 1""",
     "SYSTEMATIC (fixed-interval) weighted sampling — the classic "
     "survey-sampling design, PPS-without-replacement for units below the "
     "stride and exact multiplicity above it: lay every user's event count "
-    "end to end on the cumulative-weight line, take k=50 equally spaced "
-    "selection points (stride = W div 50, deterministic midpoint offset "
-    "stride div 2 — no RNG anywhere), and a unit is selected once per "
-    "point inside its [cum_excl, cum) span. n_hits is the closed-form "
-    "point count (cum-offset-1) div stride - (cum_excl-offset-1) div "
-    "stride — pure int64, and both engines' truncating division agree "
-    "even on the negative first-unit operands because every negative "
-    "numerator provably lies in (-stride, 0) where trunc = 0 = the true "
-    "point count. Sum of n_hits is exactly k. Shape: the cumulative line "
+    "end to end on the cumulative-weight line, take the k=50 equally "
+    "spaced selection points noff + j*stride for j = 0..49 (stride = "
+    "greatest(W div 50, 1) — guarded so W < 50 degrades to sample-"
+    "everything instead of a divide-by-zero; deterministic midpoint "
+    "offset stride div 2 — no RNG anywhere), and a unit is selected once "
+    "per point inside its [cum_excl, cum) span. n_hits is the closed-"
+    "form point count least((cum+stride-noff-1) div stride, 50) - "
+    "least((cum_excl+stride-noff-1) div stride, 50) — pure int64 with "
+    "BOTH numerators provably nonnegative (cum_excl >= 0 and stride - "
+    "noff - 1 >= 0), so the engines' shared TRUNCATING division equals "
+    "floor division everywhere (the unshifted form undercounted the "
+    "unit straddling the FIRST point, where trunc(-x/stride) = 0 but "
+    "floor = -1 — round-14 ADVICE fix, pinned against a brute-force "
+    "point-enumeration reference in tests/test_properties.py), and the "
+    "least(_, 50) caps enforce j <= 49 so sum(n_hits) == min(50, W) "
+    "EXACTLY (for W >= 50 the largest point noff + 49*stride < "
+    "50*stride <= W always lands inside the line). Shape: the cumulative line "
     "is operators/topk.global_prefix_sum — the TeraSort range shuffle "
     "with per-partition cumulative windows and a broadcast P-row offset "
     "table (the ONLY ordered window is over partition totals), so the "
@@ -1184,8 +1194,8 @@ def q_systematic_sample(spark, sf_dir):
     w = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("wt"))
     c = global_prefix_sum(w, ["user_id"], "wt", out_col="cum")
     tot = w.agg(F.sum("wt").alias("total")).select(
-        F.expr("total div 50").alias("stride"),
-        F.expr("(total div 50) div 2").alias("noff"),
+        F.expr("greatest(total div 50, 1)").alias("stride"),
+        F.expr("greatest(total div 50, 1) div 2").alias("noff"),
     )
     p = c.crossJoin(F.broadcast(tot)).select(
         "user_id",
@@ -1200,8 +1210,8 @@ def q_systematic_sample(spark, sf_dir):
         "wt",
         "cum_excl",
         F.expr(
-            "(cum - noff - 1) div stride"
-            " - (cum_excl - noff - 1) div stride"
+            "least((cum + stride - noff - 1) div stride, 50)"
+            " - least((cum_excl + stride - noff - 1) div stride, 50)"
         ).alias("n_hits"),
     ).filter(F.col("n_hits") >= 1)
 

@@ -1290,3 +1290,85 @@ def test_pca2_oracle_matches_numpy_eigh(pts):
             (g1, g2),
             (p1, p2),
         )
+
+
+@settings(
+    max_examples=int(os.environ.get("PROP_EXAMPLES", "5")) * 5,
+    deadline=None,
+)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=120), min_size=1, max_size=80
+    )
+)
+def test_systematic_sample_oracle_matches_point_enumeration(wts):
+    """The closed-form n_hits in q_systematic_sample must equal brute-force
+    enumeration of the 50 selection points noff + j*stride (j = 0..49) on
+    ANY weight table, and sum(n_hits) must be EXACTLY min(50, total) — the
+    round-14 ADVICE regression: the unshifted truncating-division form
+    undercounted the unit straddling the first point (~93% of random
+    tables), and both legs shared the bug so the oracle compare could not
+    see it.  Covers total < 50 (the former divide-by-zero) via small
+    single-user tables."""
+    import duckdb
+
+    from real_time_rides_data_pipeline_spark.registry import registry
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(user_id BIGINT)")
+    con.executemany(
+        "INSERT INTO events SELECT ? FROM range(?)",
+        [(uid, wt) for uid, wt in enumerate(wts)],
+    )
+    got = {
+        r[0]: r[3]
+        for r in con.sql(registry()["q_systematic_sample"].oracle).fetchall()
+    }
+    total = sum(wts)
+    stride = max(total // 50, 1)
+    noff = stride // 2
+    points = [noff + j * stride for j in range(50)]
+    cum = 0
+    want: dict[int, int] = {}
+    for uid, wt in enumerate(wts):
+        hits = sum(1 for p in points if cum <= p < cum + wt)
+        if hits >= 1:
+            want[uid] = hits
+        cum += wt
+    assert got == want, (got, want, wts)
+    assert sum(got.values()) == min(50, total), (sum(got.values()), total)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=1),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bpe_oracle_encode_degrades_on_pairless_corpus(words):
+    """Encode-mode BPE oracle on a corpus where NO training round finds an
+    adjacent pair (all words single-char): every b{k} is empty, and before
+    the round-14 ADVICE fix the 'FROM seg, b' inner join collapsed every
+    later seg to zero rows — the oracle returned no doc rows while Spark's
+    early-breaking trainer still emitted per-doc counts.  The LEFT-JOIN
+    no-op must now carry every word through: one doc per word, each a
+    single 1-token word."""
+    import duckdb
+
+    from real_time_rides_data_pipeline_spark.queries_ml import (
+        _bpe_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(i, w) for i, w in enumerate(words)],
+    )
+    got = sorted(con.sql(_bpe_oracle_sql(mode="encode")).fetchall())
+    want = sorted((i, 1, 1) for i in range(len(words)))
+    assert got == want, (got, want, words)
+    # train mode stays empty-table on the same corpus (the early break)
+    assert con.sql(_bpe_oracle_sql()).fetchall() == []
