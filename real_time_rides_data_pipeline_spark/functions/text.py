@@ -158,6 +158,15 @@ def md5_fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+def md5_int60(col: Column) -> Column:
+    """First 15 md5 hex nibbles (60 bits) as a nonnegative BIGINT — the
+    ENGINE-PORTABLE integer hash of this codebase (xxhash64/hash are
+    Spark-specific; DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``,
+    the q_feature_hash convention). Shared by the hashing-trick featurizer
+    and the value-checked MinHash/SimHash siblings (round 14)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def rolling_fingerprint(text: Column, window: int = 8, keep: int = 4) -> Column:
     """Winnowing-style document fingerprint: xxhash64 each ``window``-word
     shingle, keep the ``keep`` smallest hashes, sorted → array<bigint>.

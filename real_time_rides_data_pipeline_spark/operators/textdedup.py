@@ -43,6 +43,68 @@ def with_minhash_signature(
     return df.withColumn(out_col, sig)
 
 
+#: Modulus of the portable MinHash affine family: 2^31 - 1 (Mersenne
+#: prime). Base hashes and affine coefficients are both < 2^31, so every
+#: intermediate a*h + b < 2^62 — BIGINT-safe on Spark AND DuckDB (no wrap
+#: on one engine vs overflow error on the other).
+MINHASH_P = 2_147_483_647
+
+#: 16 fixed (a, b) affine coefficients, a in [1, P), b in [0, P) — frozen
+#: literals (seeded draw, seed 0xDEC0DE) shared verbatim by the Spark leg
+#: and the DuckDB oracle SQL so the signatures hash-match cross-engine.
+MINHASH_AB: tuple[tuple[int, int], ...] = (
+    (261201444, 2104221750), (1176763124, 2042855840),
+    (2070751466, 635568811), (842258775, 66472274),
+    (942681590, 933221598), (3573214, 765396042),
+    (1336107649, 421094376), (2071955887, 1971048338),
+    (2086696122, 816560761), (745139491, 829783670),
+    (970448071, 627999035), (1011472506, 1619760593),
+    (544483266, 497424571), (2071960460, 890267373),
+    (663645592, 1632633907), (206728309, 1980248493),
+)
+
+
+def with_minhash_signature_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_words: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """ENGINE-PORTABLE MinHash signature (array<bigint>, 16 hashes): one
+    md5-60-bit base hash per shingle reduced mod 2^31-1, then the 16
+    per-seed hashes are fixed AFFINE transforms (a_i*h + b_i) mod 2^31-1
+    of the shared base — the classic universal family, so the signature
+    costs ONE digest + 16 modmuls per shingle instead of 16 digests
+    (md5 is ~20x a xxhash64; the affine reuse keeps the portable
+    signature within ~2x of the xxhash64 one). DuckDB recomputes it
+    exactly, which is what converts LSH candidate generation from
+    rows-only to value-checked (q_minhash_bands, round 14).
+
+    The base-hash array is materialized as its own projected column so
+    CollapseProject does NOT inline the md5 chain into each of the 16
+    array_min lambdas (the q_simhash_est_hamming staging trick — one md5
+    pass, not 16)."""
+    from real_time_rides_data_pipeline_spark.functions.text import md5_int60
+
+    sh = word_shingles(F.col(text_col), shingle_words)
+    base = F.transform(sh, lambda s: md5_int60(s) % MINHASH_P)
+    staged = df.withColumn("_mh_base", base)
+
+    def affine(a: int, b: int):
+        # closure factory, NOT default args: PySpark derives HOF lambda
+        # arity from the signature, so `lambda h, a=a, b=b` binds as a
+        # 3-arg lambda and fails analysis
+        return lambda h: (h * a + b) % MINHASH_P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_mh_base"), affine(a, b)))
+            for a, b in MINHASH_AB
+        ]
+    )
+    return staged.withColumn(out_col, sig).drop("_mh_base")
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -309,6 +309,265 @@ def q_simhash_est_hamming(spark, sf_dir):
     )
 
 
+# --- round 14: VALUE-CHECKED candidate generation for the near-dup pair
+# --- (converts the q_minhash_neardup / q_simhash_neardup pipelines'
+# --- deterministic halves from rows-only to hash-matched)
+
+#: Near-dup corpus (documents ∪ last-2-words-truncated copies of every
+#: 5th doc) as a DuckDB CTE — the SQL twin of ``_neardup_docs`` (same
+#: expression as the q_dup_clusters oracle's first injected branch).
+_NEARDUP_CORPUS_CTE = """tok AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         FROM documents
+       ), corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000,
+                array_to_string(w[1:greatest(len(w) - 2, 1)], ' ')
+         FROM tok WHERE doc_id % 5 = 0
+       )"""
+
+
+def _minhash_bands_oracle() -> str:
+    """DuckDB twin of the FULL portable-MinHash LSH pipeline: shingle →
+    md5-60-bit base hash mod 2^31-1 → 16 fixed affine min-hashes
+    (operators/textdedup.MINHASH_AB, literals shared verbatim with the
+    Spark leg) → 4-row band keys → band-bucket self-join → exact
+    intersection/union verify on the candidates."""
+    p = TD.MINHASH_P
+    sig_cols = ",\n                ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p})) AS m{i}"
+        for i, (a, b) in enumerate(TD.MINHASH_AB)
+    )
+    band_selects = "\n         UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws('_', m{4 * b}, "
+        f"m{4 * b + 1}, m{4 * b + 2}, m{4 * b + 3}) AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""WITH {_NEARDUP_CORPUS_CTE}, t AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         FROM corpus
+       ), s AS (
+         SELECT doc_id,
+                list_distinct([concat_ws(' ', w[i+1], w[i+2], w[i+3])
+                               for i in range(greatest(len(w) - 2, 1))])
+                    AS sh
+         FROM t
+       ), hb AS (
+         SELECT doc_id,
+                list_transform(sh, x ->
+                  ('0x' || substr(md5(x), 1, 15))::BIGINT % {p}) AS hs
+         FROM s
+       ), sig AS (
+         SELECT doc_id,
+                {sig_cols}
+         FROM hb
+       ), bands AS (
+         {band_selects}
+       ), cand AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(count(*) AS BIGINT) AS n_shared_bands
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT c.id_a, c.id_b, c.n_shared_bands,
+              CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
+                  AS inter_size,
+              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)
+                  AS union_size,
+              2 * len(list_intersect(sa.sh, sb.sh))
+                >= len(list_distinct(list_concat(sa.sh, sb.sh))) AS is_dup
+       FROM cand c JOIN s sa ON sa.doc_id = c.id_a
+                   JOIN s sb ON sb.doc_id = c.id_b"""
+
+
+@register(
+    "q_minhash_bands",
+    _minhash_bands_oracle(),
+    "VALUE-CHECKED MinHash+LSH candidate generation — the round-14 "
+    "conversion of q_minhash_neardup's deterministic half from rows-only "
+    "to hash-matched (r13 VERDICT item 2): the identical pipeline shape "
+    "(16-hash signature, 4-row bands, band-bucket self-join, exact "
+    "shingle-set verify on candidates only) with the ENGINE-PORTABLE "
+    "hash family — one md5-60-bit base hash per shingle mod 2^31-1, 16 "
+    "fixed affine maps (a_i*h + b_i) mod 2^31-1 (frozen literals shared "
+    "verbatim by both legs; every intermediate < 2^62, BIGINT-safe on "
+    "both engines) — so DuckDB recomputes the EXACT candidate set: "
+    "which pairs collide, in how many bands, and their exact "
+    "intersection/union sizes with the integer-only 2*inter >= union "
+    "threshold test, all hash-checked. Shape (the 100 TB design the "
+    "rows-only key claims, now attested value-level): signatures are "
+    "scan-side array lambdas staged so md5 runs ONCE per shingle "
+    "(affine reuse, not 16 digests); banding explodes a constant 4 rows "
+    "per doc; the self-join is an equi-join on (band_idx, band_key) "
+    "carrying 8-byte ids — never text; the exact verify pulls shingle "
+    "arrays ONLY for candidates (~n/5 injected pairs, not N²). "
+    "localCheckpoint before the self-join for the documented 8x "
+    "signature-recompute reason (operators/textdedup.py).",
+)
+def q_minhash_bands(spark, sf_dir):
+    s = TD.with_minhash_signature_portable(_neardup_docs(spark, sf_dir)).select(
+        "doc_id",
+        X.word_shingles(F.col("text"), 3).alias("sh"),
+        "minhash",
+    )
+    # Both self-join branches AND the verify join would re-run the md5
+    # signature chain — materialize once (minhash_near_duplicates
+    # rationale).
+    s = s.localCheckpoint(eager=True)
+    banded = s.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.col("minhash")[i] for i in range(4 * b, 4 * b + 4)],
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    sh = s.select("doc_id", "sh")
+    j = cand.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    uni = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    return j.select(
+        "id_a",
+        "id_b",
+        "n_shared_bands",
+        inter.alias("inter_size"),
+        uni.alias("union_size"),
+        (F.lit(2) * inter >= uni).alias("is_dup"),
+    )
+
+
+def _simhash_bands_oracle() -> str:
+    """DuckDB twin of the portable-SimHash band pipeline: md5-60-bit
+    token hashes → 60-bit vote-sign signature → 4 15-bit bands → band
+    self-join → exact Hamming ≤ 3 verify (bit_count of xor)."""
+    return f"""WITH {_NEARDUP_CORPUS_CTE}, hs AS (
+         SELECT doc_id,
+                list_transform(string_split_regex(trim(text), '\\s+'),
+                  t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+         FROM corpus
+       ), sig AS (
+         SELECT doc_id,
+                CAST(list_sum([CASE WHEN list_sum(
+                          [CASE WHEN (x >> k) & 1 = 1 THEN 1 ELSE -1 END
+                           for x in h]) > 0
+                       THEN (CAST(1 AS BIGINT) << k)
+                       ELSE CAST(0 AS BIGINT) END
+                       for k in range(60)]) AS BIGINT) AS simhash
+         FROM hs
+       ), bands AS (
+         SELECT doc_id, simhash, CAST(t.k AS INTEGER) AS band_idx,
+                (simhash >> CAST(15 * t.k AS INTEGER)) & 32767 AS band_val
+         FROM sig CROSS JOIN range(4) t(k)
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(count(*) AS BIGINT) AS n_shared_bands,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                  AS hamming
+       FROM bands a JOIN bands b
+         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id, a.simhash, b.simhash
+       HAVING bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
+@register(
+    "q_simhash_bands",
+    _simhash_bands_oracle(),
+    "VALUE-CHECKED SimHash near-dup pipeline — the round-14 conversion "
+    "of q_simhash_neardup from rows-only to hash-matched (r13 VERDICT "
+    "item 2), same shape (vote-sign signature, 4 bands — pigeonhole: "
+    "Hamming <= 3 < 4 bands guarantees at least one equal band, recall "
+    "1 — candidate self-join, exact Hamming <= 3 verify via "
+    "bit_count(xor)) with the ENGINE-PORTABLE md5-60-bit token hash so "
+    "DuckDB recomputes signatures, candidate pairs, shared-band counts "
+    "AND exact Hamming distances bit-for-bit. This sibling RUNS the "
+    "widened configuration the rows-only key documents as its scale "
+    "path: 60-bit signature, 15-bit bands — measured on this fixture's "
+    "concentrated vocabulary, the 32-bit/byte-band config collapses "
+    "(nearly every pair lands within Hamming 3 of a shared-token-mass "
+    "signature: 185k output rows at sf0.1 vs 1.4k at 60 bits catching "
+    "915/1000 injected near-copies). The signature is a commutative "
+    "per-bit integer vote sum — pure scan-side JVM array lambdas, one "
+    "constant 4-row band explode, then an equi-join on (band_idx, "
+    "band_val) carrying (id, 8-byte sig) only; verify is integer xor "
+    "on the candidates, never text.",
+)
+def q_simhash_bands(spark, sf_dir):
+    signed = _neardup_docs(spark, sf_dir).select(
+        "doc_id",
+        V.simhash_bits(
+            F.transform(X.tokens(F.col("text")), lambda t: X.md5_int60(t)),
+            60,
+        ).alias("simhash"),
+    )
+    signed = signed.localCheckpoint(eager=True)
+    banded = signed.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 15 * k)
+                    .bitwiseAND(F.lit(32767))
+                    .cast("long")
+                    for k in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        "n_shared_bands",
+        V.hamming64(F.col("sig_a"), F.col("sig_b")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= 3)
+
+
 @register(
     "q_dup_clusters",
     """WITH RECURSIVE tok AS (

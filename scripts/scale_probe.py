@@ -201,6 +201,15 @@ KEYS = [
     "q_nucleus_vocab",       # wordcount + per-lang vocab cum window
     "q_gap_histogram",       # per-user lag window + ~55-cell agg
     "q_stream_ivm_retract",  # 2-batch signed additive merge
+    # round-14 additions.
+    # q_minhash_bands / q_simhash_bands: excluded from the 8x/64x octave
+    # for the q_containment_join / q_embed_neardup reason — key-offset
+    # document replication keeps replicas NEAR-duplicates of each other,
+    # so the TRUE candidate-pair output grows quadratically in the factor
+    # by semantics (every replica group is mutually near-dup). Measured
+    # separately at 1x/4x (BASELINE.md round-14 probe): both sublinear
+    # before output size dominates; the 100 TB answer is exact-dedup-first
+    # ordering (q_curation_e2e), same as the rest of the near-dup family.
 ]
 
 #: Optional comma-separated key filter: SCALE_PROBE_KEYS=q_a,q_b python ...

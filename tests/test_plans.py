@@ -2173,3 +2173,26 @@ def test_stream_ivm_retract_state_goes_negative_per_batch(spark):
             .count()
         )
         assert n_retract > 0, f
+
+
+# --- round 14: value-checked near-dup siblings -----------------------------
+
+
+def test_minhash_bands_band_join_is_equi_join(spark):
+    """The LSH band self-join must be a hash/sort-merge EQUI-join on
+    (band_idx, band_key) — never a cartesian or broadcast-nested-loop —
+    and the signature table must be localCheckpoint-materialized (the
+    md5 chain would otherwise re-run on both self-join branches AND the
+    verify join)."""
+    plan = _plan(spark, "q_minhash_bands")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # localCheckpoint shows up as an RDD scan, not a re-derived parquet scan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+
+
+def test_simhash_bands_band_join_is_equi_join(spark):
+    plan = _plan(spark, "q_simhash_bands")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan

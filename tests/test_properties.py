@@ -1372,3 +1372,41 @@ def test_bpe_oracle_encode_degrades_on_pairless_corpus(words):
     assert got == want, (got, want, words)
     # train mode stays empty-table on the same corpus (the early break)
     assert con.sql(_bpe_oracle_sql()).fetchall() == []
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA0),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_md5_int60_matches_duckdb(spark, texts):
+    """The engine-portable integer hash (functions/text.md5_int60) must
+    agree with its DuckDB twin ('0x' || substr(md5(x),1,15))::BIGINT on
+    arbitrary unicode — the primitive under q_feature_hash and the
+    round-14 value-checked MinHash/SimHash siblings."""
+    import duckdb
+
+    from real_time_rides_data_pipeline_spark.functions.text import md5_int60
+
+    got = {
+        r["t"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in texts], "t string")
+        .select("t", md5_int60(F.col("t")).alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {
+        t: con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [t]
+        ).fetchone()[0]
+        for t in texts
+    }
+    assert got == want
