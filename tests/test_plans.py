@@ -2196,3 +2196,27 @@ def test_simhash_bands_band_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+
+
+def test_srm_and_ipw_are_single_agg_plans(spark):
+    """The experimentation audits must be ONE partial-first hash agg over
+    the fact table — no join, no window, one shuffle on event_type."""
+    for key in ("q_srm_check", "q_ipw_ate"):
+        plan = _plan(spark, key)
+        assert "SortMergeJoin" not in plan and "Window" not in plan, (key, plan)
+        n_shuffles = plan.count("Exchange hashpartitioning")
+        assert n_shuffles <= 1, (key, n_shuffles, plan)
+
+
+def test_minmax_scale_broadcasts_stats_row(spark):
+    """The 8-scalar min/max stats row must come back as a broadcast (the
+    scan-side map never shuffles the vector table)."""
+    plan = _plan(spark, "q_minmax_scale")
+    assert "BroadcastExchange" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bleu_rouge_joins_are_equi_joins(spark):
+    plan = _plan(spark, "q_bleu_rouge")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

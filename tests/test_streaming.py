@@ -1008,3 +1008,50 @@ def test_three_layer_queries_run_concurrently(spark, workdir):
     assert gold.agg(F.sum("total_rides_hourly")).first()[0] == silver_n
     # and the bronze landing lost nothing on the wire
     assert spark.read.parquet(bronze_path).count() == len(events)
+
+
+def test_restart_evolve_one_checkpoint_two_schemas(spark, workdir):
+    """The q_stream_restart_evolve lifecycle pins (round 14, r13 VERDICT
+    item 6): ONE checkpoint serves both query lifetimes across a schema
+    change — the offset log records exactly two batches (one per run; a
+    v1 re-read would add a third commit and duplicate rows), and the
+    merged sink read widens run-1 rows with NULL."""
+    work = f"{workdir}/restart_evolve"
+    inp, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    v1 = spark.createDataFrame(
+        [(1, 10), (2, 20)], "event_id bigint, user_id bigint"
+    )
+    v2 = spark.createDataFrame(
+        [(3, 30, "s3")], "event_id bigint, user_id bigint, session_tag string"
+    )
+    v1.coalesce(1).write.parquet(inp)
+
+    def run_once(schema):
+        q = (
+            parquet_stream(spark, inp, schema, max_files_per_trigger=1)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once(v1.schema)
+    v2.coalesce(1).write.mode("append").parquet(inp)
+    run_once(v2.schema)
+    commits = [
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    ]
+    assert sorted(commits) == ["0", "1"], commits
+    rows = {
+        (r.event_id, r.session_tag)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .collect()
+    }
+    assert rows == {(1, None), (2, None), (3, "s3")}, rows
