@@ -329,12 +329,12 @@ _NEARDUP_CORPUS_CTE = """tok AS (
        )"""
 
 
-def _minhash_bands_oracle() -> str:
-    """DuckDB twin of the FULL portable-MinHash LSH pipeline: shingle →
-    md5-60-bit base hash mod 2^31-1 → 16 fixed affine min-hashes
-    (operators/textdedup.MINHASH_AB, literals shared verbatim with the
-    Spark leg) → 4-row band keys → band-bucket self-join → exact
-    intersection/union verify on the candidates."""
+def _minhash_pipeline_ctes() -> str:
+    """Shared CTE chain of the portable-MinHash LSH pipeline (corpus →
+    shingles → md5-60-bit base hashes → 16 affine min-hash signature →
+    band keys → candidate pairs). Consumed by _minhash_bands_oracle
+    (verified-pair output) and q_minhash_cc_clusters (CC over the
+    verified edges)."""
     p = TD.MINHASH_P
     sig_cols = ",\n                ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p})) AS m{i}"
@@ -345,7 +345,7 @@ def _minhash_bands_oracle() -> str:
         f"m{4 * b + 1}, m{4 * b + 2}, m{4 * b + 3}) AS band_key FROM sig"
         for b in range(4)
     )
-    return f"""WITH {_NEARDUP_CORPUS_CTE}, t AS (
+    return f"""{_NEARDUP_CORPUS_CTE}, t AS (
          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
          FROM corpus
        ), s AS (
@@ -372,7 +372,16 @@ def _minhash_bands_oracle() -> str:
            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
          GROUP BY 1, 2
-       )
+       )"""
+
+
+def _minhash_bands_oracle() -> str:
+    """DuckDB twin of the FULL portable-MinHash LSH pipeline: shingle →
+    md5-60-bit base hash mod 2^31-1 → 16 fixed affine min-hashes
+    (operators/textdedup.MINHASH_AB, literals shared verbatim with the
+    Spark leg) → 4-row band keys → band-bucket self-join → exact
+    intersection/union verify on the candidates."""
+    return f"""WITH {_minhash_pipeline_ctes()}
        SELECT c.id_a, c.id_b, c.n_shared_bands,
               CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
                   AS inter_size,
@@ -409,6 +418,13 @@ def _minhash_bands_oracle() -> str:
     "signature-recompute reason (operators/textdedup.py).",
 )
 def q_minhash_bands(spark, sf_dir):
+    return _minhash_verified_pairs(spark, sf_dir)
+
+
+def _minhash_verified_pairs(spark, sf_dir) -> DataFrame:
+    """Portable-MinHash LSH candidates + exact intersection/union verify —
+    the shared Spark leg of q_minhash_bands (pair output) and
+    q_minhash_cc_clusters (CC over the verified edges)."""
     s = TD.with_minhash_signature_portable(_neardup_docs(spark, sf_dir)).select(
         "doc_id",
         X.word_shingles(F.col("text"), 3).alias("sh"),
@@ -567,6 +583,58 @@ def q_simhash_bands(spark, sf_dir):
         "n_shared_bands",
         V.hamming64(F.col("sig_a"), F.col("sig_b")).cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= 3)
+
+
+@register(
+    "q_minhash_cc_clusters",
+    f"""WITH RECURSIVE {_minhash_pipeline_ctes()}, ver AS (
+         SELECT c.id_a AS src, c.id_b AS dst
+         FROM cand c JOIN s sa ON sa.doc_id = c.id_a
+                     JOIN s sb ON sb.doc_id = c.id_b
+         WHERE 2 * len(list_intersect(sa.sh, sb.sh))
+               >= len(list_distinct(list_concat(sa.sh, sb.sh)))
+       ), sym AS (
+         SELECT src, dst FROM ver UNION SELECT dst, src FROM ver
+       ), walk(id, lbl) AS (
+         SELECT doc_id, doc_id FROM corpus
+         UNION
+         SELECT sym.dst, walk.lbl FROM walk JOIN sym ON sym.src = walk.id
+       )
+       SELECT id AS doc_id, min(lbl) AS cluster_rep,
+              (id = min(lbl)) AS keep
+       FROM walk GROUP BY id""",
+    "END-TO-END MinHash dedup CLUSTERING, value-checked at every stage — "
+    "the honest composition the near-dup family builds toward: REAL LSH "
+    "candidate generation (q_minhash_bands' portable-hash banding — "
+    "unlike q_dup_clusters, whose edges come from the id-structured "
+    "join, here even the banding's probabilistic RECALL is part of the "
+    "checked value), exact integer jaccard >= 0.5 verify on candidates "
+    "only, then connected components (alternating large-star/small-star, "
+    "operators/graph.py — O(log diameter) rounds) labeling every corpus "
+    "doc with its cluster representative (min doc_id) and the SemDeDup-"
+    "style keep flag. Oracle = the same pipeline in DuckDB SQL + "
+    "recursive-CTE reachability. Scale: the exact 100 TB dedup recipe — "
+    "scan-side signatures, constant-factor band explode, equi-joins on "
+    "8-byte keys, CC without label-prop's linear tail; survivors feed "
+    "keep_first_per_key (q_dedup_survivorship) downstream.",
+)
+def q_minhash_cc_clusters(spark, sf_dir):
+    from real_time_rides_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = (
+        _minhash_verified_pairs(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    ids = _neardup_docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    cc = connected_components(ids, pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_rep"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
 
 
 @register(

@@ -4300,3 +4300,94 @@ def q_bleu_rouge(spark, sf_dir):
             "rouge1_recall_e6"
         ),
     )
+
+
+@register(
+    "q_diff_in_diff",
+    f"""WITH a AS (
+         SELECT event_type, {_ARM_SQL} AS arm,
+                CASE WHEN ts >= TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END
+                    AS post,
+                CAST(round(value * 100) AS BIGINT) AS y
+         FROM events
+       ), g AS (
+         SELECT event_type,
+                CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_t_post,
+                CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_t_pre,
+                CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_c_post,
+                CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_c_pre,
+                CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN y ELSE 0 END)
+                     AS BIGINT) AS y_t_post,
+                CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN y ELSE 0 END)
+                     AS BIGINT) AS y_t_pre,
+                CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN y ELSE 0 END)
+                     AS BIGINT) AS y_c_post,
+                CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN y ELSE 0 END)
+                     AS BIGINT) AS y_c_pre
+         FROM a GROUP BY event_type
+       )
+       SELECT event_type, n_t_post, n_t_pre, n_c_post, n_c_pre,
+              CAST(((CAST(y_t_post AS HUGEINT) * 1000000
+                     // nullif(n_t_post, 0))
+                    - (CAST(y_t_pre AS HUGEINT) * 1000000
+                       // nullif(n_t_pre, 0)))
+                   - ((CAST(y_c_post AS HUGEINT) * 1000000
+                       // nullif(n_c_post, 0))
+                      - (CAST(y_c_pre AS HUGEINT) * 1000000
+                         // nullif(n_c_pre, 0))) AS BIGINT) AS did_cents_e6
+       FROM g""",
+    "DIFFERENCE-IN-DIFFERENCES estimate per stratum — the third leg of "
+    "the experimentation family (q_srm_check gates the assignment, "
+    "q_cuped_adjust reduces variance, q_ipw_ate weights the effect): "
+    "the treated arm's pre→post mean-outcome change minus the control "
+    "arm's, per event_type, around the fixed 2024-01-08 cutoff (Card & "
+    "Krueger's canonical design). Each of the four cell means is exact "
+    "integer cents scaled e6 with HUGEINT/DECIMAL(38,0) widening "
+    "BEFORE the 1e6 product and nullif degeneracy guards; the double "
+    "difference is then pure BIGINT subtraction, so the estimate "
+    "hash-checks. Shape: ONE eight-way conditional-sum hash agg "
+    "(partial-first) over the fact table, then scalar math on "
+    "|event_types| rows — the sufficient-statistics contract; the "
+    "estimator never touches row data after the scan.",
+)
+def q_diff_in_diff(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    arm = _arm_col()
+    post = (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp")).cast(
+        "long"
+    )
+    y = cents(F.col("value"))
+
+    def cell(a, p, val):
+        cond = (arm == a) & (post == p)
+        return F.sum(F.when(cond, val).otherwise(0))
+
+    g = ev.groupBy("event_type").agg(
+        cell(1, 1, F.lit(1)).alias("n_t_post"),
+        cell(1, 0, F.lit(1)).alias("n_t_pre"),
+        cell(0, 1, F.lit(1)).alias("n_c_post"),
+        cell(0, 0, F.lit(1)).alias("n_c_pre"),
+        cell(1, 1, y).alias("y_t_post"),
+        cell(1, 0, y).alias("y_t_pre"),
+        cell(0, 1, y).alias("y_c_post"),
+        cell(0, 0, y).alias("y_c_pre"),
+    )
+    mean = (
+        "(CAST(y_{c} AS DECIMAL(38,0)) * 1000000 div nullif(n_{c}, 0))"
+    )
+    did = F.expr(
+        f"({mean.format(c='t_post')} - {mean.format(c='t_pre')})"
+        f" - ({mean.format(c='c_post')} - {mean.format(c='c_pre')})"
+    )
+    return g.select(
+        "event_type",
+        "n_t_post",
+        "n_t_pre",
+        "n_c_post",
+        "n_c_pre",
+        did.cast("long").alias("did_cents_e6"),
+    )

@@ -207,7 +207,9 @@ KEYS = [
     "q_minmax_scale",        # 8-scalar min/max agg + broadcast narrow map
     "q_bleu_rouge",          # gram aggs + adjacent-doc equi-joins
     "q_stream_restart_evolve",  # 2-run stream lifecycle, offset-log bound
-    # q_minhash_bands / q_simhash_bands: excluded from the 8x/64x octave
+    "q_diff_in_diff",        # one 8-cell conditional-sum hash agg
+    # q_minhash_bands / q_simhash_bands / q_minhash_cc_clusters:
+    # excluded from the 8x/64x octave
     # for the q_containment_join / q_embed_neardup reason — key-offset
     # document replication keeps replicas NEAR-duplicates of each other,
     # so the TRUE candidate-pair output grows quadratically in the factor

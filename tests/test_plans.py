@@ -2220,3 +2220,15 @@ def test_bleu_rouge_joins_are_equi_joins(spark):
     plan = _plan(spark, "q_bleu_rouge")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_diff_in_diff_is_single_agg_plan(spark):
+    plan = _plan(spark, "q_diff_in_diff")
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_minhash_cc_clusters_joins_are_equi_joins(spark):
+    plan = _plan(spark, "q_minhash_cc_clusters")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
