@@ -1410,3 +1410,127 @@ def test_md5_int60_matches_duckdb(spark, texts):
         for t in texts
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_minhash_pipeline_precision_and_exact_dup_recall(spark, docs, dup_at):
+    """Structural guarantees of the portable MinHash+LSH pipeline
+    (q_minhash_bands' operator half, bypassing the fixture corpus):
+
+    - PRECISION 1 by construction: every emitted pair with is_dup=true
+      really has jaccard >= 0.5 against a brute-force python check.
+    - EXACT-DUP RECALL 1: a doc with IDENTICAL text to another has an
+      identical signature, hence all 4 bands equal — the pipeline can
+      never miss it (banding's probabilistic recall only applies below
+      jaccard 1)."""
+    from pyspark.sql import functions as F
+
+    from real_time_rides_data_pipeline_spark.operators import textdedup as TD
+
+    texts = [" ".join(ws) for ws in docs]
+    # plant one exact duplicate
+    dup_src = dup_at % len(texts)
+    texts.append(texts[dup_src])
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    s = TD.with_minhash_signature_portable(df).localCheckpoint(eager=True)
+    banded = s.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_", *[F.col("minhash")[i] for i in range(4 * b, 4 * b + 4)]
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = {
+        (r["ia"], r["ib"])
+        for r in a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .distinct()
+        .collect()
+    }
+
+    def shingles(t):
+        ws = t.split()
+        n = max(len(ws) - 2, 1)
+        return {" ".join(ws[i : i + 3]) for i in range(n)}
+
+    # exact-dup recall 1
+    assert (dup_src, len(texts) - 1) in cand
+    # Spark's exact verify on the candidates must agree with python's
+    # set arithmetic pair for pair (inter/union sizes AND the threshold)
+    sh_tbl = s.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(F.split(F.trim("text"), r"\s+")) - 3, F.lit(0)),
+                ),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.try_element_at(F.split(F.trim("text"), r"\s+"), i + 1),
+                    F.try_element_at(F.split(F.trim("text"), r"\s+"), i + 2),
+                    F.try_element_at(F.split(F.trim("text"), r"\s+"), i + 3),
+                ),
+            )
+        ).alias("sh"),
+    )
+    pairs_df = spark.createDataFrame(
+        [(ia, ib) for ia, ib in cand], "id_a long, id_b long"
+    )
+    verified = {
+        (r["id_a"], r["id_b"]): (r["i"], r["u"], r["dup"])
+        for r in pairs_df.join(
+            sh_tbl.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha")),
+            "id_a",
+        )
+        .join(
+            sh_tbl.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sha", "shb")).alias("i"),
+            F.size(F.array_union("sha", "shb")).alias("u"),
+            (
+                2 * F.size(F.array_intersect("sha", "shb"))
+                >= F.size(F.array_union("sha", "shb"))
+            ).alias("dup"),
+        )
+        .collect()
+    }
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    for ia, ib in cand:
+        inter, union = len(sh[ia] & sh[ib]), len(sh[ia] | sh[ib])
+        assert verified[(ia, ib)] == (inter, union, 2 * inter >= union), (
+            ia,
+            ib,
+            verified[(ia, ib)],
+            (inter, union),
+        )
