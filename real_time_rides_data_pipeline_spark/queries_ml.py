@@ -3985,9 +3985,10 @@ def _arm_col() -> "F.Column":
     return md5_int60(F.col("user_id").cast("string")) % 2
 
 
-@register(
-    "q_srm_check",
-    f"""WITH a AS (
+#: Shared oracle of q_srm_check and its streaming twin q_stream_srm —
+#: the merged stream state is exactly the batch counts, so both keys
+#: answer to the same SQL.
+_SRM_ORACLE = f"""WITH a AS (
          SELECT event_type, {_ARM_SQL} AS arm FROM events
        ), g AS (
          SELECT event_type,
@@ -4002,7 +4003,38 @@ def _arm_col() -> "F.Column":
                     * 1000000) // (n_arm0 + n_arm1) AS BIGINT) AS chi2_e6,
               (CAST(n_arm0 - n_arm1 AS HUGEINT) * (n_arm0 - n_arm1)
                     * 1000000) // (n_arm0 + n_arm1) > 3841459 AS srm_flag
-       FROM g""",
+       FROM g"""
+
+
+def _srm_partials(df) -> "DataFrame":
+    """Per-event_type arm-count partials — the additive sufficient
+    statistics both SRM keys reduce to (counts form a commutative
+    monoid, which is what makes the streaming twin exact)."""
+    arm = _arm_col()
+    return df.groupBy("event_type").agg(
+        F.sum((arm == 0).cast("long")).alias("n_arm0"),
+        F.sum((arm == 1).cast("long")).alias("n_arm1"),
+    )
+
+
+def _srm_from_counts(g) -> "DataFrame":
+    """Chi-square + flag from the (event_type, n_arm0, n_arm1) counts."""
+    chi2 = F.expr(
+        "(CAST(n_arm0 - n_arm1 AS DECIMAL(38,0)) * (n_arm0 - n_arm1)"
+        " * 1000000) div (n_arm0 + n_arm1)"
+    )
+    return g.select(
+        "event_type",
+        "n_arm0",
+        "n_arm1",
+        chi2.cast("long").alias("chi2_e6"),
+        (chi2 > 3841459).alias("srm_flag"),
+    )
+
+
+@register(
+    "q_srm_check",
+    _SRM_ORACLE,
     "SAMPLE RATIO MISMATCH audit — the first gate every experimentation "
     "platform runs before reading a treatment effect (Fabijan et al. "
     "2019: a failed SRM invalidates the experiment): users hash into "
@@ -4020,21 +4052,65 @@ def _arm_col() -> "F.Column":
 )
 def q_srm_check(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    arm = _arm_col()
-    g = ev.groupBy("event_type").agg(
-        F.sum((arm == 0).cast("long")).alias("n_arm0"),
-        F.sum((arm == 1).cast("long")).alias("n_arm1"),
+    return _srm_from_counts(_srm_partials(ev))
+
+
+@register(
+    "q_stream_srm",
+    _SRM_ORACLE,
+    "STREAMING SRM monitor — the experimentation gate RUN ON THE STREAM, "
+    "the way a platform actually watches assignment health (an SRM "
+    "discovered at readout time has already wasted the experiment): "
+    "events replay as a REAL 2-micro-batch stream, each batch aggregates "
+    "its per-event_type arm-count PARTIALS (counts are a commutative "
+    "monoid — one map-side-combining agg per batch), and foreachBatch "
+    "folds them into a parquet counts table by cell-wise addition "
+    "(sinks.merge_additive_parquet — batch_id-marked idempotent under "
+    "at-least-once redelivery, crash-ordered swap). The merged counts "
+    "are BIT-IDENTICAL to the batch counts, so the final chi-square "
+    "answers to the SAME oracle as q_srm_check — the stream≡batch "
+    "criterion of SURVEY §5.2.2. At 100 TB this is the q_stream_linreg "
+    "contract: per-batch sufficient statistics merged into a "
+    "continuously-updated monitor, no re-scan, state = |event_types| "
+    "rows.",
+)
+def q_stream_srm(spark, sf_dir):
+
+    from real_time_rides_data_pipeline_spark.queries_ext import _replay_input
+    from real_time_rides_data_pipeline_spark.sinks import merge_additive_parquet
+    from real_time_rides_data_pipeline_spark.sources.files import parquet_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    inp = _replay_input(ev, "srmstream", sf_dir)  # 2 files → 2 batches
+    run_dir = _scratch_dir(prefix="srmstream_run_")
+    state, ckpt = f"{run_dir}/counts", f"{run_dir}/ckpt"
+    writer = scoped_writer_session(spark, shuffle_partitions=8)
+    stream = parquet_stream(writer, inp, ev.schema, max_files_per_trigger=1)
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_additive_parquet(
+            batch_df.sparkSession,
+            _srm_partials(batch_df),
+            state,
+            keys=("event_type",),
+            sum_cols=("n_arm0", "n_arm1"),
+            batch_id=batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
     )
-    chi2 = F.expr(
-        "(CAST(n_arm0 - n_arm1 AS DECIMAL(38,0)) * (n_arm0 - n_arm1)"
-        " * 1000000) div (n_arm0 + n_arm1)"
-    )
-    return g.select(
-        "event_type",
-        "n_arm0",
-        "n_arm1",
-        chi2.cast("long").alias("chi2_e6"),
-        (chi2 > 3841459).alias("srm_flag"),
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _srm_from_counts(
+        spark.read.parquet(state).select("event_type", "n_arm0", "n_arm1")
     )
 
 

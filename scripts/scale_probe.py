@@ -208,6 +208,7 @@ KEYS = [
     "q_bleu_rouge",          # gram aggs + adjacent-doc equi-joins
     "q_stream_restart_evolve",  # 2-run stream lifecycle, offset-log bound
     "q_diff_in_diff",        # one 8-cell conditional-sum hash agg
+    "q_stream_srm",          # 2-batch stream, additive count merge
     # q_minhash_bands / q_simhash_bands / q_minhash_cc_clusters:
     # excluded from the 8x/64x octave
     # for the q_containment_join / q_embed_neardup reason — key-offset
