@@ -297,3 +297,116 @@ def test_gramian_contract_violations_fail_loudly(spark):
     )
     with _pytest.raises(Exception, match="ragged|width changed"):
         gramian(ragged.coalesce(1))
+
+
+# --- round-14 experimentation family: closed-form vs python reference ----
+
+
+def test_srm_and_did_match_python_reference(spark, tmp_path):
+    """q_srm_check / q_diff_in_diff / q_ipw_ate pinned against a plain
+    python computation of the same hash assignment and closed forms on a
+    synthetic events table (beyond the oracle: an independent
+    implementation, not the same SQL on a second engine)."""
+    import hashlib
+
+    import pandas as pd
+
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                pd.Timestamp("2024-01-0%d 12:00:00" % (1 + i % 9)),
+                i % 37,
+                "click" if i % 2 == 0 else "view",
+                (i % 13) + 0.25,
+                "{}",
+            )
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "sf_srm"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "events.parquet"))
+
+    def arm(uid: int) -> int:
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+    # SRM reference
+    want = {}
+    for et in ("click", "view"):
+        sub = [r for r in rows if r[3] == et]
+        n0 = sum(1 for r in sub if arm(r[2]) == 0)
+        n1 = len(sub) - n0
+        chi2 = (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1)
+        want[et] = (n0, n1, chi2, chi2 > 3841459)
+    got = {
+        r["event_type"]: (r["n_arm0"], r["n_arm1"], r["chi2_e6"], r["srm_flag"])
+        for r in SPECS["q_srm_check"].fn(spark, str(d)).collect()
+    }
+    assert got == want, (got, want)
+
+    # DiD reference
+    cut = pd.Timestamp("2024-01-08")
+    want_did = {}
+    for et in ("click", "view"):
+        cells = {}
+        for a in (0, 1):
+            for p in (0, 1):
+                sub = [
+                    round(r[4] * 100)
+                    for r in rows
+                    if r[3] == et and arm(r[2]) == a and (r[1] >= cut) == bool(p)
+                ]
+                cells[(a, p)] = (len(sub), sum(sub))
+
+        def mean_e6(c):
+            n, s = c
+            return s * 1000000 // n if n else None
+
+        did = (mean_e6(cells[(1, 1)]) - mean_e6(cells[(1, 0)])) - (
+            mean_e6(cells[(0, 1)]) - mean_e6(cells[(0, 0)])
+        )
+        want_did[et] = (
+            cells[(1, 1)][0],
+            cells[(1, 0)][0],
+            cells[(0, 1)][0],
+            cells[(0, 0)][0],
+            did,
+        )
+    got_did = {
+        r["event_type"]: (
+            r["n_t_post"],
+            r["n_t_pre"],
+            r["n_c_post"],
+            r["n_c_pre"],
+            r["did_cents_e6"],
+        )
+        for r in SPECS["q_diff_in_diff"].fn(spark, str(d)).collect()
+    }
+    assert got_did == want_did, (got_did, want_did)
+
+    # IPW reference
+    want_ipw = {}
+    for et in ("click", "view"):
+        sub = [r for r in rows if r[3] == et]
+        nt = sum(1 for r in sub if arm(r[2]) == 1)
+        yt = sum(round(r[4] * 100) for r in sub if arm(r[2]) == 1)
+        yc = sum(round(r[4] * 100) for r in sub if arm(r[2]) == 0)
+        nc = len(sub) - nt
+        ate = (yt * 1000000 // nt if nt else None) - (
+            yc * 1000000 // nc if nc else None
+        )
+        want_ipw[et] = (len(sub), nt, yt, yc, ate)
+    got_ipw = {
+        r["event_type"]: (
+            r["n_total"],
+            r["n_treat"],
+            r["y_treat_cents"],
+            r["y_control_cents"],
+            r["ate_cents_e6"],
+        )
+        for r in SPECS["q_ipw_ate"].fn(spark, str(d)).collect()
+    }
+    assert got_ipw == want_ipw, (got_ipw, want_ipw)
