@@ -4467,3 +4467,92 @@ def q_diff_in_diff(spark, sf_dir):
         "n_c_pre",
         did.cast("long").alias("did_cents_e6"),
     )
+
+
+#: Shared IEEE op sequence of the MDE computation (the _PCA2_STEPS
+#: contract: +,-,*,/ and sqrt are correctly rounded, so an identical
+#: textual sequence over identical inputs yields identical doubles on
+#: both engines; the HUGEINT/DECIMAL(38,0) -> DOUBLE casts of the same
+#: exact integer round identically — verified cross-engine on 1e26-scale
+#: values at registration). z_{0.975} + z_{0.80} = 2.8015852107170867
+#: (alpha = 0.05 two-sided, power = 0.80), frozen as a shared literal.
+_MDE_STEPS = [
+    ("tvn", "CAST(var_num AS DOUBLE)"),
+    ("tvd", "CAST(var_den AS DOUBLE)"),
+    ("varr", "tvn / tvd"),
+    ("se2", "(4e0 * varr) / CAST(n AS DOUBLE)"),
+    ("mde", "2.8015852107170867e0 * sqrt(se2)"),
+]
+_MDE_OUT = "CAST(floor(mde * 1000000e0) AS BIGINT)"
+
+
+def _mde_tail(inner: str) -> str:
+    for name, expr in _MDE_STEPS:
+        inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+    return inner
+
+
+@register(
+    "q_power_mde",
+    f"""WITH m AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS sum_cents,
+                sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS s2
+         FROM events GROUP BY event_type
+       ), v AS (
+         SELECT event_type, n, sum_cents,
+                CAST(n AS HUGEINT) * s2
+                  - CAST(sum_cents AS HUGEINT) * sum_cents AS var_num,
+                CAST(n AS HUGEINT) * (n - 1) AS var_den
+         FROM m
+       )
+       SELECT event_type, n, sum_cents, {_MDE_OUT} AS mde_cents_e6
+       FROM ({_mde_tail("SELECT * FROM v")})""",
+    "POWER ANALYSIS / minimum detectable effect per stratum — the "
+    "experiment-sizing computation a platform runs BEFORE launch, "
+    "completing the lifecycle suite (q_power_mde sizes it, q_srm_check/"
+    "q_stream_srm gate it, q_cuped_adjust tightens it, q_ipw_ate/"
+    "q_diff_in_diff read it out): MDE = (z_alpha/2 + z_beta) * "
+    "sqrt(2*sigma^2/(n/2)) for a 50/50 split of the stratum's n events, "
+    "alpha = 0.05 two-sided, power = 0.80, in e6 cents. Sample variance "
+    "comes from exact integer moments (n, sum, sum-of-squares) widened "
+    "to HUGEINT/DECIMAL(38,0) BEFORE the n*s2 product (sum-of-squares "
+    "times n overflows int64 past ~1e20 cents-squared-rows — hit at the "
+    "512x probe scale, the round-14 q_cuped_adjust discipline); the "
+    "float tail is a SHARED textual IEEE op sequence (_MDE_STEPS — the "
+    "q_pca_project_2d correctly-rounded contract), so the floored e6 "
+    "result hash-checks. Shape: ONE partial-first moment agg over the "
+    "fact table; the analysis itself is scalar math on |event_types| "
+    "rows.",
+)
+def q_power_mde(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    y = cents(F.col("value"))
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("sum_cents"),
+        F.sum(F.expr(
+            "CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))"
+            " * CAST(round(value * 100) AS BIGINT)"
+        )).alias("s2"),
+    )
+    v = m.select(
+        "event_type",
+        "n",
+        "sum_cents",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(sum_cents AS DECIMAL(38,0)) * sum_cents"
+        ).alias("var_num"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1)").alias("var_den"),
+    )
+    for name, expr in _MDE_STEPS:
+        v = v.withColumn(name, F.expr(expr))
+    return v.select(
+        "event_type",
+        "n",
+        "sum_cents",
+        F.expr(_MDE_OUT).alias("mde_cents_e6"),
+    )

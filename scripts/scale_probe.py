@@ -209,6 +209,7 @@ KEYS = [
     "q_stream_restart_evolve",  # 2-run stream lifecycle, offset-log bound
     "q_diff_in_diff",        # one 8-cell conditional-sum hash agg
     "q_stream_srm",          # 2-batch stream, additive count merge
+    "q_power_mde",           # one moment agg + shared-IEEE scalar tail
     # q_minhash_bands / q_simhash_bands / q_minhash_cc_clusters:
     # excluded from the 8x/64x octave
     # for the q_containment_join / q_embed_neardup reason — key-offset

@@ -410,3 +410,27 @@ def test_srm_and_did_match_python_reference(spark, tmp_path):
         for r in SPECS["q_ipw_ate"].fn(spark, str(d)).collect()
     }
     assert got_ipw == want_ipw, (got_ipw, want_ipw)
+
+
+def test_power_mde_matches_python_reference(spark, tmp_path):
+    """q_power_mde against plain python floats (math.sqrt is the same
+    correctly-rounded IEEE op) on a synthetic events table."""
+    import math
+
+    import pandas as pd
+
+    rows = [(i, pd.Timestamp("2024-01-05"), i, "click", (i % 7) + 0.5, "{}")
+            for i in range(60)]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "sf_mde"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "events.parquet"))
+    ys = [round(r[4] * 100) for r in rows]
+    n, s1, s2 = len(ys), sum(ys), sum(y * y for y in ys)
+    var = (n * s2 - s1 * s1) / (n * (n - 1))
+    mde = 2.8015852107170867 * math.sqrt((4.0 * var) / n)
+    want = (n, s1, math.floor(mde * 1000000.0))
+    row = SPECS["q_power_mde"].fn(spark, str(d)).collect()[0]
+    assert (row["n"], row["sum_cents"], row["mde_cents_e6"]) == want, (row, want)

@@ -2232,3 +2232,9 @@ def test_minhash_cc_clusters_joins_are_equi_joins(spark):
     plan = _plan(spark, "q_minhash_cc_clusters")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_power_mde_is_single_agg_plan(spark):
+    plan = _plan(spark, "q_power_mde")
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
