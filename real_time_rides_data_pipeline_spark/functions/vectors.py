@@ -94,7 +94,10 @@ def simhash_bits(hashes: Column, bits: int = 32) -> Column:
     +1 if set else -1, summed across tokens; sign → bit. Returns the packed
     BIGINT signature. Pure array lambdas — O(tokens × bits) JVM work."""
     # NB: F.shiftleft needs a Python-int bit count, so inside lambdas the
-    # bit masks use exact power-of-2 arithmetic (values < 2^52 ⇒ exact).
+    # bit masks come from pow(2.0, b). Exact because powers of two are
+    # exactly representable as doubles at ANY in-range exponent (mantissa
+    # is 1.0) — not just below 2^52 — so 60-bit callers (q_simhash_bands
+    # uses pow(2.0, 59)) are safe.
     bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
     def mask(b):  # 2^b as long

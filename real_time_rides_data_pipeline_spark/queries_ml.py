@@ -4478,7 +4478,11 @@ def q_diff_in_diff(spark, sf_dir):
 #: (alpha = 0.05 two-sided, power = 0.80), frozen as a shared literal.
 _MDE_STEPS = [
     ("tvn", "CAST(var_num AS DOUBLE)"),
-    ("tvd", "CAST(var_den AS DOUBLE)"),
+    # nullif guards the n=1 stratum: var_den = n*(n-1) = 0 would make
+    # varr = x/0 -> Infinity, where non-ANSI Spark casts floor(inf*1e6)
+    # to Long.MaxValue while DuckDB's CAST raises — NULL on both legs
+    # instead (the q_ipw_ate / q_cuped_adjust degeneracy discipline).
+    ("tvd", "CAST(nullif(var_den, 0) AS DOUBLE)"),
     ("varr", "tvn / tvd"),
     ("se2", "(4e0 * varr) / CAST(n AS DOUBLE)"),
     ("mde", "2.8015852107170867e0 * sqrt(se2)"),

@@ -48,3 +48,14 @@ class FitCache(dict):
         if key not in self and len(self) >= self._cap:
             del self[next(iter(self))]
         super().__setitem__(key, value)
+
+    # dict's C-level update()/setdefault() bypass __setitem__; route them
+    # through it so every insertion path enforces the cap.
+    def update(self, *args, **kwargs):
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
+
+    def setdefault(self, key, default=None):
+        if key not in self:
+            self[key] = default
+        return self[key]

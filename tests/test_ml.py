@@ -434,3 +434,56 @@ def test_power_mde_matches_python_reference(spark, tmp_path):
     want = (n, s1, math.floor(mde * 1000000.0))
     row = SPECS["q_power_mde"].fn(spark, str(d)).collect()[0]
     assert (row["n"], row["sum_cents"], row["mde_cents_e6"]) == want, (row, want)
+
+
+def test_power_mde_single_event_stratum_is_null_on_both_engines(spark, tmp_path):
+    """ADVICE r14: a 1-event stratum has var_den = n*(n-1) = 0; without the
+    nullif guard Spark's non-ANSI float path floors Infinity to
+    Long.MaxValue while DuckDB's CAST raises. Both legs must degrade to
+    NULL instead (the q_ipw_ate / q_cuped_adjust discipline)."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(0, pd.Timestamp("2024-01-05"), 0, "lonely", 3.25, "{}")] + [
+        (i, pd.Timestamp("2024-01-05"), i, "click", (i % 7) + 0.5, "{}")
+        for i in range(1, 40)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "sf_mde_degen"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "events.parquet"))
+
+    got = {
+        r["event_type"]: r["mde_cents_e6"]
+        for r in SPECS["q_power_mde"].fn(spark, str(d)).collect()
+    }
+    assert got["lonely"] is None
+    assert got["click"] is not None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    oracle = {
+        et: mde
+        for et, mde in con.execute(
+            f"SELECT event_type, mde_cents_e6 FROM ({SPECS['q_power_mde'].oracle})"
+        ).fetchall()
+    }
+    assert oracle == got, (oracle, got)
+
+
+def test_fitcache_cap_survives_update_and_setdefault():
+    """ADVICE r14: dict's C-level update()/setdefault() used to bypass the
+    __setitem__ cap; both must route through it."""
+    from real_time_rides_data_pipeline_spark.scratch import FitCache
+
+    c = FitCache(cap=3)
+    c.update({f"k{i}": i for i in range(5)})
+    assert len(c) == 3
+    c.setdefault("new", 99)
+    assert len(c) == 3 and c["new"] == 99
+    # setdefault on an existing key neither grows nor overwrites
+    assert c.setdefault("new", 0) == 99 and len(c) == 3
