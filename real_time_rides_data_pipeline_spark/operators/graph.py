@@ -30,6 +30,8 @@ plans otherwise grow unboundedly).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -67,7 +69,14 @@ def connected_components(
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node u over the SYMMETRIC neighborhood, connect every
     strictly-larger neighbor to m = min(N(u) ∪ {u}). Emitted edges stay
-    within u's component (m and the neighbors are all reachable from u)."""
+    within u's component (m and the neighbors are all reachable from u).
+
+    Deliberately NOT deduplicated here: the only consumer is
+    ``_small_star``, whose first operator is a distinct over the oriented
+    (greatest, least) form — a superset of this dedup (orientation maps
+    both (a,b) and (b,a) to one row). Fusing the two distincts saves one
+    full shuffle of the edge set per iteration at every scale; distinct's
+    map-side partial aggregation still collapses duplicates early."""
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.filter(F.col("u") != F.col("v"))
     m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
@@ -75,7 +84,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -112,12 +120,57 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return (row["n"], row["h"] if row["h"] is not None else 0)
 
 
+#: Edge count below which the star loop runs in a narrow session clone.
+#: Rationale: the loop is an RDD-barriered iteration (localCheckpoint per
+#: round), so AQE cannot coalesce ACROSS rounds, and its per-query-stage
+#: materialization latency (each shuffle = one scheduled sub-job) dominates
+#: when the graph is tiny — measured ~0.6 s/round on a 920-edge graph at
+#: width 32 vs ~0.45 s at width 1 with AQE off, and the whole graph fits
+#: one task many times over below this bound. Above it, the parent session
+#: (default width, AQE on — the 100 TB configuration) is used unchanged.
+_NARROW_LOOP_EDGES = 500_000
+_LOOP_VIEW_SEQ = 0
+
+
+def _loop_session(df: DataFrame, n_edges: int):
+    """Return ``df`` rebound to a session sized for an ``n_edges``-edge
+    iteration, plus a ``rebind(frame)`` to hand results back to the parent.
+
+    The handoff is a global temp view (shared across sessions on one
+    SparkContext), so the checkpointed plan moves JVM-side — no Python
+    round-trip, no recompute."""
+    from real_time_rides_data_pipeline_spark.session import (
+        scoped_writer_session,
+    )
+
+    global _LOOP_VIEW_SEQ
+    parent = df.sparkSession
+    width = max(1, n_edges // 250_000)
+    clone = scoped_writer_session(parent, width)
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def rebind(frame: DataFrame, to) -> DataFrame:
+        global _LOOP_VIEW_SEQ
+        _LOOP_VIEW_SEQ += 1
+        name = f"__cc_loop_{os.getpid()}_{_LOOP_VIEW_SEQ}"
+        frame.createOrReplaceGlobalTempView(name)
+        out = to.table(f"global_temp.{name}")
+        # The view resolved to the plan; drop the name immediately.
+        frame.sparkSession.catalog.dropGlobalTempView(name)
+        return out
+
+    return rebind(df, clone), parent, rebind
+
+
 def _cc_star(e: DataFrame, max_iter: int) -> DataFrame:
     edges = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
     if edges.isEmpty():
         return edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
-    orig = edges  # checkpointed — reused by the final consistency gate
     sig = _signature(edges)
+    parent = rebind = None
+    if sig[0] <= _NARROW_LOOP_EDGES:
+        edges, parent, rebind = _loop_session(edges, sig[0])
+    orig = edges  # checkpointed — reused by the final consistency gate
     converged = False
     for _ in range(max_iter):
         # LAZY checkpoint: the signature aggregate right below is the
@@ -158,6 +211,10 @@ def _cc_star(e: DataFrame, max_iter: int) -> DataFrame:
             f"large-star/small-star did not converge in {max_iter} iterations "
             f"({bad} original edges still cross labels): raise max_iter"
         )
+    if parent is not None:
+        # Hand the result back to the caller's session so the final vertex
+        # join plans under the caller's (scale-appropriate) configuration.
+        labels = rebind(labels.localCheckpoint(eager=False), parent)
     return labels
 
 
