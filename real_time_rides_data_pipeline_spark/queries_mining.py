@@ -268,8 +268,18 @@ def q_bm25_topk(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
     tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Materialize tf ONCE: the static plan otherwise re-derives the
+    # scan+explode+tf aggregate for every consumer (df, dl via sum(tf),
+    # corpus scalar, scored join — 8 parquet scans / 8 explodes measured
+    # at round 15 before this checkpoint). dl = sum(tf) per doc is
+    # exactly the token count per doc, so the exploded token table is
+    # aggregated exactly once and never re-read.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2437,8 +2447,18 @@ def q_two_stage_retrieval(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
     tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # EAGER tf checkpoint: the q_terms collect right below is a separate
+    # action — without the checkpoint it materializes the scan+explode+tf
+    # pipeline once for the query terms and the final plan then re-derives
+    # the same pipeline for every consumer (tf filter, df, dl, corpus).
+    # Checkpointed, the collect pays it once and everything else reads the
+    # materialized RDD; dl = sum(tf) per doc (exact) avoids re-reading tok.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
