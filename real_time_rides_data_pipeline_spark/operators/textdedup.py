@@ -153,9 +153,12 @@ def exact_jaccard_pairs(
 ) -> DataFrame:
     """Exact-verify candidate pairs: join shingle sets back, compute
     |∩|/|∪|, keep pairs ≥ threshold. Output (id_a, id_b, jaccard)."""
+    # Materialized once: both candidate-side joins consume the shingle
+    # table — without the checkpoint each side re-derives the full
+    # docs scan + shingle chain (the with_minhash_signature rationale).
     sh = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_words).alias("sh")
-    )
+    ).localCheckpoint(eager=False)
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -742,7 +742,13 @@ def q_dup_clusters(spark, sf_dir):
         )
 
     corpus = d.unionAll(truncated(2, 1_000_000)).unionAll(truncated(4, 2_000_000))
-    s = corpus.select("doc_id", X.word_shingles(F.col("text"), 3).alias("sh"))
+    # Checkpoint the shingled corpus: the candidate self-join consumes it
+    # on BOTH sides and the CC vertex set reads its ids — the static plan
+    # otherwise re-derives the 3-branch union + shingle pipeline three
+    # times (6 parquet scans measured at round 15).
+    s = corpus.select(
+        "doc_id", X.word_shingles(F.col("text"), 3).alias("sh")
+    ).localCheckpoint(eager=False)
     b = s.select(
         (F.col("doc_id") - 1_000_000).alias("a_id"),
         F.col("doc_id").alias("dst"),
@@ -756,7 +762,7 @@ def q_dup_clusters(spark, sf_dir):
         )
         .select(F.col("doc_id").alias("src"), "dst")
     )
-    comp = connected_components(corpus.select("doc_id"), edges, id_col="doc_id")
+    comp = connected_components(s.select("doc_id"), edges, id_col="doc_id")
     return comp.select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep")
     )

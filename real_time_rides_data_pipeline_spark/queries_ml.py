@@ -4300,10 +4300,16 @@ def q_minmax_scale(spark, sf_dir):
     "dropped row).",
 )
 def q_bleu_rouge(spark, sf_dir):
+    # Checkpoint the split corpus and both gram-count tables: each gram
+    # table is consumed TWICE (the clip self-join reads it as candidate
+    # AND as the doc_id-shifted reference) and lens twice more — the
+    # static plan otherwise re-derives scan+split+explode+agg per
+    # consumer (12 parquet scans / 8 explodes measured at round 15).
+    # Materialized: one scan+split, one agg per gram order.
     d = _t(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         F.split(F.trim(F.col("text")), r"\s+").alias("w"),
-    )
+    ).localCheckpoint(eager=False)
     bigrams = F.expr(
         "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
         " slice(w, 2, greatest(size(w) - 1, 0)),"
@@ -4313,11 +4319,13 @@ def q_bleu_rouge(spark, sf_dir):
         d.select("doc_id", F.explode("w").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     bi = (
         d.select("doc_id", F.explode(bigrams).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     lens = d.select("doc_id", F.size("w").cast("long").alias("n"))
     pairs = (
