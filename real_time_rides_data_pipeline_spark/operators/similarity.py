@@ -377,9 +377,14 @@ def hyperplane_lsh_pairs_above(
         bands.append(
             F.struct(F.lit(b).alias("band_idx"), bucket.alias("bucket"))
         )
+    # Materialized before the band self-join: both branches would
+    # otherwise re-run the scan + n_planes dot products per row (the
+    # minhash_near_duplicates signature-checkpoint rationale).
     sig = base.select(
         "id", "v", F.explode(F.array(*bands)).alias("bb")
-    ).select("id", "v", "bb.band_idx", "bb.bucket")
+    ).select("id", "v", "bb.band_idx", "bb.bucket").localCheckpoint(
+        eager=False
+    )
     lhs = sig.select(
         "band_idx", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va")
     )

@@ -2322,7 +2322,13 @@ def q_tfidf_topk(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
     tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is consumed twice (df aggregate + scored join) — checkpoint so
+    # the scan+explode+agg runs once (the q_bm25_topk rationale).
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "term").select(
         "doc_id", "term", "tf", "df",
