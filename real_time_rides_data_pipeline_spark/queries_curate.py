@@ -25,7 +25,6 @@ from pyspark.sql.types import StructType
 from real_time_rides_data_pipeline_spark.functions import text as X
 from real_time_rides_data_pipeline_spark.functions.precision import cents
 from real_time_rides_data_pipeline_spark.registry import _t, register
-from real_time_rides_data_pipeline_spark.scratch import FitCache as _FitCache
 from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 
 # =========================================================================
@@ -1144,9 +1143,6 @@ def q_dup_spans(spark, sf_dir):
     return dup_span_profile(d, n=8)
 
 
-_BIGRAM_VOCAB_CACHE: dict[tuple[str, int], list[str]] = _FitCache()
-
-
 def _char_bigrams(col):
     """Positional char-bigram array (scan-side, no explode): substring at
     every offset. Guarded for len<2 (empty array) though the fixture's
@@ -1164,22 +1160,19 @@ def _fitted_bigram_vocab(d, sf_dir: str, top: int = 64) -> list[str]:
     """Corpus-wide top-``top`` char bigrams by (count DESC, bigram ASC) —
     a deterministic total order, so the fit is replayable. The collect is
     BOUNDED (``top`` two-char strings, ~128 bytes) — the fit-small/
-    broadcast-big shape shared with bloom words and k-means centroids;
-    memoized per sf_dir so repeated query builds reuse one fit job."""
-    key = (sf_dir, top)
-    vocab = _BIGRAM_VOCAB_CACHE.get(key)
-    if vocab is None:
-        rows = (
-            d.select(F.explode(_char_bigrams(F.col("text"))).alias("g"))
-            .groupBy("g")
-            .count()
-            .orderBy(F.col("count").desc(), F.col("g"))
-            .limit(top)
-            .collect()
-        )
-        vocab = [r["g"] for r in rows]
-        _BIGRAM_VOCAB_CACHE[key] = vocab
-    return vocab
+    broadcast-big shape shared with bloom words and k-means centroids.
+    Refit on EVERY call (round-15 optimization-phase rule: no module-level
+    memo of data-derived results — each bench/oracle invocation must
+    compute from the parquet inputs)."""
+    rows = (
+        d.select(F.explode(_char_bigrams(F.col("text"))).alias("g"))
+        .groupBy("g")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("g"))
+        .limit(top)
+        .collect()
+    )
+    return [r["g"] for r in rows]
 
 
 @register(

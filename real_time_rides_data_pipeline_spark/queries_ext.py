@@ -25,7 +25,6 @@ from real_time_rides_data_pipeline_spark.operators import multimodal as MM
 from real_time_rides_data_pipeline_spark.operators import similarity as SIM
 from real_time_rides_data_pipeline_spark.operators import textdedup as TD
 from real_time_rides_data_pipeline_spark.registry import _t, register
-from real_time_rides_data_pipeline_spark.scratch import FitCache as _FitCache
 from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 from real_time_rides_data_pipeline_spark.session import scoped_writer_session
 
@@ -482,24 +481,6 @@ def _minhash_verified_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
-#: Materialized verified-minhash pair graph, keyed sf_dir → parquet path —
-#: the _PAIRS_STAGE policy applied to the LSH family: the banding + exact
-#: verify is computed once per corpus and its VERIFIED pair set is read by
-#: downstream consumers (clustering here; survivorship/audit in a real
-#: corpus pipeline). q_minhash_bands — the pair operator itself — does NOT
-#: read this memo: its reading stays the honest candidate-generation cost.
-_MINHASH_PAIRS_STAGE: dict[str, str] = _FitCache()
-
-
-def _staged_minhash_pairs(spark, sf_dir: str) -> DataFrame:
-    path = _MINHASH_PAIRS_STAGE.get(sf_dir)
-    if path is None:
-        path = _scratch_dir(prefix="minhash_pairs_") + "/pairs"
-        _minhash_verified_pairs(spark, sf_dir).write.parquet(path)
-        _MINHASH_PAIRS_STAGE[sf_dir] = path
-    return spark.read.parquet(path)
-
-
 def _simhash_bands_oracle() -> str:
     """DuckDB twin of the portable-SimHash band pipeline: md5-60-bit
     token hashes → 60-bit vote-sign signature → 4 15-bit bands → band
@@ -634,21 +615,19 @@ def q_simhash_bands(spark, sf_dir):
     "recursive-CTE reachability. Scale: the exact 100 TB dedup recipe — "
     "scan-side signatures, constant-factor band explode, equi-joins on "
     "8-byte keys, CC without label-prop's linear tail; survivors feed "
-    "keep_first_per_key (q_dedup_survivorship) downstream. The verified "
-    "pair graph is staged once per sf_dir as a scratch parquet artifact "
-    "(_MINHASH_PAIRS_STAGE — the production shape: LSH verify runs once, "
-    "clustering/survivorship/audit all read the materialized pair set).",
+    "keep_first_per_key (q_dedup_survivorship) downstream.",
 )
 def q_minhash_cc_clusters(spark, sf_dir):
     from real_time_rides_data_pipeline_spark.operators.graph import (
         connected_components,
     )
 
-    # Staged shared artifact: identical rows to _minhash_verified_pairs
-    # (deterministic md5/affine pipeline) — the oracle still re-derives
-    # candidates + verify + reachability from raw text end-to-end.
+    # The full banding + exact-verify pipeline runs fresh every invocation
+    # (no cross-invocation staging); connected_components eagerly
+    # checkpoints the edge set, so the pair machinery executes exactly
+    # once per invocation even though the CC loop re-reads edges.
     pairs = (
-        _staged_minhash_pairs(spark, sf_dir)
+        _minhash_verified_pairs(spark, sf_dir)
         .filter(F.col("is_dup"))
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -823,28 +802,22 @@ _COSINE_SQL = (
 )
 
 
-#: Memoized query vectors by sf_dir — same policy as _CENTROID_CACHE
-#: below: the vector is a deterministic pure function of the fixture, and
-#: each un-memoized call was a full driver job (scan + first()) repeated
-#: by every ANN/cosine key in the suite.
-_QUERY_VEC_CACHE: dict[str, list[float]] = _FitCache()
-
-
 def _query_vec(spark, sf_dir) -> list[float]:
     """Fixed, deterministic query vector: the embedding of vec_id=0 (exists
-    at every SF). Collected once driver-side (one row) and folded into the
-    plan as a literal — at scale this is 'the query', not data movement."""
-    qv = _QUERY_VEC_CACHE.get(sf_dir)
-    if qv is None:
-        row = (
-            _t(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") == 0)
-            .select("embedding")
-            .first()
-        )
-        qv = [float(x) for x in row[0]]
-        _QUERY_VEC_CACHE[sf_dir] = qv
-    return qv
+    at every SF). Collected driver-side (one row) and folded into the plan
+    as a literal — at scale this is 'the query', not data movement.
+
+    Recomputed on EVERY call (round-15 optimization-phase rule: no
+    module-level memo of data-derived values — each bench/oracle
+    invocation must compute from the parquet inputs; the fetch is one
+    bounded single-row job, ~0.1 s)."""
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
 
 
 @register(
@@ -863,49 +836,15 @@ def q_cosine_topk(spark, sf_dir):
     return SIM.brute_force_topk(_t(spark, sf_dir, "embeddings"), qv, k=100)
 
 
-#: Memoized k-means fits, keyed by (sf_dir, k, sample_n, seed). The fit is
-#: a DETERMINISTIC pure function of its key (ordered sample, seeded init,
-#: driver Lloyd) — in production an IVF index is fitted once and served to
-#: every query, so repeat invocations in one process (min-of-N benching,
-#: q_ann_ivf + q_embed_neardup sharing one index) reuse the model rather
-#: than re-running the fit's driver job. Same policy as _REPLAY_INPUTS:
-#: model fitting is index PREP, not the query operator under test.
-_CENTROID_CACHE: dict[tuple[str, int, int, int], list[list[float]]] = _FitCache()
-
-
 def _fitted_centroids(emb, sf_dir: str, k: int = 8, sample_n: int = 512,
                       seed: int = 7) -> list[list[float]]:
-    key = (sf_dir, k, sample_n, seed)
-    cents = _CENTROID_CACHE.get(key)
-    if cents is None:
-        cents = SIM.fit_centroids_kmeans(emb, k=k, sample_n=sample_n, seed=seed)
-        _CENTROID_CACHE[key] = cents
-    return cents
-
-
-#: Materialized near-dup pair graph, keyed (sf_dir, threshold) → parquet
-#: path (scratch-scoped, freed at process exit). The _REPLAY_INPUTS /
-#: _CENTROID_CACHE policy applied to the pair SET: in a production corpus
-#: pipeline the verified near-dup pairs are computed once and consumed by
-#: several downstream operators (clustering, survivorship, audits), so
-#: consumers of the GRAPH (q_semdedup) stage it instead of re-running the
-#: candidate machinery per query. q_embed_neardup — the pair-join operator
-#: itself — deliberately does NOT read this memo: its cost IS the join.
-_PAIRS_STAGE: dict[tuple[str, float], str] = _FitCache()
-
-
-def _staged_neardup_pairs(spark, sf_dir: str, threshold: float = 0.4):
-    key = (sf_dir, threshold)
-    path = _PAIRS_STAGE.get(key)
-    if path is None:
-        emb = _t(spark, sf_dir, "embeddings", parallel=True)
-        cents = _fitted_centroids(emb, sf_dir)
-        path = _scratch_dir(prefix="neardup_pairs_") + "/pairs"
-        SIM.cluster_pruned_pairs_above(emb, cents, threshold).write.parquet(
-            path
-        )
-        _PAIRS_STAGE[key] = path
-    return spark.read.parquet(path)
+    """Seeded sampled k-means fit — DETERMINISTIC pure function of its
+    arguments (ordered sample, seeded init, driver Lloyd), so every caller
+    gets the identical model. Refit on EVERY call (round-15
+    optimization-phase rule: no module-level memo of data-derived results
+    — each bench/oracle invocation must compute from the parquet inputs;
+    the fit is one bounded sample collect + driver numpy, ~0.2 s)."""
+    return SIM.fit_centroids_kmeans(emb, k=k, sample_n=sample_n, seed=seed)
 
 
 @register(
@@ -968,10 +907,7 @@ def q_embed_neardup(spark, sf_dir):
     "across cell borders); the spherical-triangle block pruning here is "
     "globally exact, so the oracle is the O(N^2) pair join + recursive-"
     "CTE reachability. Scale: no nested loop anywhere — pruned equi-join "
-    "blocks + O(log d) CC rounds. The pair graph is staged once per "
-    "(sf_dir, threshold) as a scratch parquet artifact (_PAIRS_STAGE — "
-    "the production shape: near-dup pairs are materialized once and read "
-    "by clustering, survivorship, and audit consumers alike).",
+    "blocks + O(log d) CC rounds.",
 )
 def q_semdedup(spark, sf_dir):
     from real_time_rides_data_pipeline_spark.operators.graph import (
@@ -979,10 +915,12 @@ def q_semdedup(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings", parallel=True)
-    # The pair graph is a staged, shared artifact (_PAIRS_STAGE): identical
-    # rows to SIM.cluster_pruned_pairs_above(emb, cents, 0.4) — the oracle
-    # still checks the full pipeline's values end-to-end.
-    pairs = _staged_neardup_pairs(spark, sf_dir, 0.4).select(
+    # The pruned pair join runs fresh every invocation (no cross-
+    # invocation staging); connected_components eagerly checkpoints the
+    # edge set, so the candidate machinery executes exactly once per
+    # invocation even though the CC loop re-reads edges.
+    cents = _fitted_centroids(emb, sf_dir)
+    pairs = SIM.cluster_pruned_pairs_above(emb, cents, 0.4).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     cc = connected_components(

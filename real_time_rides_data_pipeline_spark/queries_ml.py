@@ -100,7 +100,6 @@ from pyspark.sql import functions as F
 from real_time_rides_data_pipeline_spark.functions.precision import cents
 from real_time_rides_data_pipeline_spark.functions.vectors import as_double
 from real_time_rides_data_pipeline_spark.registry import _t, register
-from real_time_rides_data_pipeline_spark.scratch import FitCache as _FitCache
 from real_time_rides_data_pipeline_spark.scratch import scratch_dir as _scratch_dir
 from real_time_rides_data_pipeline_spark.session import scoped_writer_session
 
@@ -852,23 +851,14 @@ def _bpe_oracle_sql(n_merges: int = 4, mode: str = "train") -> str:
     return "".join(parts) + "\n       " + sel
 
 
-#: Memoized BPE merge tables keyed by sf_dir — the fit is a deterministic
-#: pure function of the corpus (same policy as _PCA_CACHE and the k-means
-#: centroid cache: model fitting is index/model PREP, reused across
-#: invocations within one process; q_bpe_train and q_bpe_encode share one
-#: fit exactly as a tokenizer trainer and its encoder share one merge
-#: table).
-_BPE_CACHE: dict[str, list] = _FitCache()
-
-
 def _fit_bpe_merges(words, sf_dir: str, n_merges: int = 4):
-    merges = _BPE_CACHE.get(sf_dir)
-    if merges is None:
-        from real_time_rides_data_pipeline_spark.operators.bpe import train_bpe
+    """BPE merge-table fit — deterministic pure function of the corpus.
+    Refit on EVERY call (round-15 optimization-phase rule: no module-level
+    memo of data-derived results — each bench/oracle invocation must
+    compute from the parquet inputs)."""
+    from real_time_rides_data_pipeline_spark.operators.bpe import train_bpe
 
-        merges = train_bpe(words, n_merges=n_merges)
-        _BPE_CACHE[sf_dir] = merges
-    return merges
+    return train_bpe(words, n_merges=n_merges)
 
 
 @register(
@@ -1288,21 +1278,14 @@ def q_calibration_bins(spark, sf_dir):
 # PCA via a distributed gramian (rows-only: eigh is not SQL-expressible)
 # =========================================================================
 
-#: Memoized principal components keyed by sf_dir — the fit is a
-#: deterministic pure function of the data (same policy as the k-means
-#: centroid cache: model fitting is index/model PREP, re-used across
-#: invocations within one process).
-_PCA_CACHE: dict[str, tuple[list[float], list[float]]] = _FitCache()
-
-
 def _fit_pca_components(emb, sf_dir: str) -> tuple[list[float], list[float]]:
-    comps = _PCA_CACHE.get(sf_dir)
-    if comps is None:
-        from real_time_rides_data_pipeline_spark.operators.pca import fit_top2_gramian
+    """Top-2 PCA fit via the distributed gramian — deterministic pure
+    function of the data. Refit on EVERY call (round-15 optimization-phase
+    rule: no module-level memo of data-derived results — each bench/oracle
+    invocation must compute from the parquet inputs)."""
+    from real_time_rides_data_pipeline_spark.operators.pca import fit_top2_gramian
 
-        comps = fit_top2_gramian(emb, vec_col="embedding")
-        _PCA_CACHE[sf_dir] = comps
-    return comps
+    return fit_top2_gramian(emb, vec_col="embedding")
 
 
 @register(

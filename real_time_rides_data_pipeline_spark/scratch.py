@@ -32,30 +32,14 @@ def _cleanup() -> None:  # pragma: no cover - exercised at interpreter exit
         shutil.rmtree(d, ignore_errors=True)
 
 
-class FitCache(dict):
-    """Process-global memo for deterministic fit artifacts (BPE merges,
-    PCA components, k-means centroids, query vectors) keyed by sf_dir
-    (+params). BOUNDED (round 14 — closes the r13 verdict's cache-
-    accretion nit): a long-lived session iterating many fixture dirs
-    evicts the oldest insertion past ``cap`` instead of accreting
-    forever; fits are cheap to recompute, so eviction is safe."""
-
-    def __init__(self, cap: int = 8):
-        super().__init__()
-        self._cap = cap
-
-    def __setitem__(self, key, value):
-        if key not in self and len(self) >= self._cap:
-            del self[next(iter(self))]
-        super().__setitem__(key, value)
-
-    # dict's C-level update()/setdefault() bypass __setitem__; route them
-    # through it so every insertion path enforces the cap.
-    def update(self, *args, **kwargs):
-        for k, v in dict(*args, **kwargs).items():
-            self[k] = v
-
-    def setdefault(self, key, default=None):
-        if key not in self:
-            self[key] = default
-        return self[key]
+# NOTE (round 15, optimization phase): the FitCache memo class that lived
+# here (bounded process-global memo for fit artifacts — BPE merges, PCA
+# components, k-means centroids, query vectors, staged pair graphs) was
+# REMOVED along with every use site. Memoizing data-derived results across
+# invocations means a min-of-N bench measures the cached path, not the
+# computation — the optimization-phase contract requires every bench/
+# oracle invocation to compute from the parquet inputs. Input STAGING
+# (_REPLAY_INPUTS stream event files, _CSV_ENCODE_DIRS text re-encodes,
+# the OLAP partitioned/bucketed layouts) remains: those memos hold the
+# operator's INPUT in the layout the operator under test ingests, and the
+# operator's own computation still runs fully on every invocation.

@@ -475,15 +475,23 @@ def test_power_mde_single_event_stratum_is_null_on_both_engines(spark, tmp_path)
     assert oracle == got, (oracle, got)
 
 
-def test_fitcache_cap_survives_update_and_setdefault():
-    """ADVICE r14: dict's C-level update()/setdefault() used to bypass the
-    __setitem__ cap; both must route through it."""
-    from real_time_rides_data_pipeline_spark.scratch import FitCache
+def test_fit_helpers_have_no_memo():
+    """Round-15 optimization-phase rule: no module-level memo of
+    data-derived results — every bench/oracle invocation must compute from
+    the parquet inputs. The former FitCache-backed fit memos (_BPE_CACHE,
+    _PCA_CACHE, _CENTROID_CACHE, _QUERY_VEC_CACHE, _BIGRAM_VOCAB_CACHE)
+    and the staged pair graphs (_PAIRS_STAGE, _MINHASH_PAIRS_STAGE) were
+    removed; this test pins the removal."""
+    import real_time_rides_data_pipeline_spark.queries_curate as qc
+    import real_time_rides_data_pipeline_spark.queries_ext as qe
+    import real_time_rides_data_pipeline_spark.queries_ml as qm
+    import real_time_rides_data_pipeline_spark.scratch as scratch
 
-    c = FitCache(cap=3)
-    c.update({f"k{i}": i for i in range(5)})
-    assert len(c) == 3
-    c.setdefault("new", 99)
-    assert len(c) == 3 and c["new"] == 99
-    # setdefault on an existing key neither grows nor overwrites
-    assert c.setdefault("new", 0) == 99 and len(c) == 3
+    for mod in (qe, qm, qc):
+        banned = [
+            n
+            for n in vars(mod)
+            if n.endswith(("_CACHE", "_STAGE")) and n != "_CSV_ENCODE_DIRS"
+        ]
+        assert not banned, f"{mod.__name__} regrew result memos: {banned}"
+    assert not hasattr(scratch, "FitCache")
