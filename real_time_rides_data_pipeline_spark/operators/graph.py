@@ -44,14 +44,23 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 25,
     algorithm: str = "star",
+    assume_distinct_edges: bool = False,
 ) -> DataFrame:
     """Label every vertex with the MINIMUM vertex id reachable from it
     (undirected): output columns ``(id, component)``. Deterministic —
     the representative of each cluster is its smallest id.
+
+    ``assume_distinct_edges=True`` skips the defensive ``distinct()`` on
+    the input edge set — one full edge shuffle saved — and is ONLY legal
+    when the caller proves uniqueness (e.g. a pair join emitting each
+    (a, b) exactly once). Correctness is belt-and-braces anyway: the
+    final labels come from a groupBy-min and the definitive gate checks
+    every original edge, so a violated promise surfaces as a loud gate
+    failure, never a wrong answer.
     """
     e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     if algorithm == "star":
-        labels = _cc_star(e, max_iter)
+        labels = _cc_star(e, max_iter, assume_distinct=assume_distinct_edges)
     elif algorithm == "labelprop":
         labels = _cc_labelprop(e, max_iter)
     else:
@@ -162,21 +171,36 @@ def _loop_session(df: DataFrame, n_edges: int):
     return rebind(df, clone), parent, rebind
 
 
-def _cc_star(e: DataFrame, max_iter: int) -> DataFrame:
-    edges = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
-    if edges.isEmpty():
-        return edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+def _cc_star(
+    e: DataFrame, max_iter: int, assume_distinct: bool = False
+) -> DataFrame:
+    edges = e.filter(F.col("u") != F.col("v"))
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True)
+    # ONE aggregate doubles as the emptiness check (n == 0) and the
+    # iteration-control baseline — the separate isEmpty() action was a
+    # second driver round-trip over the same materialized rows.
     sig = _signature(edges)
+    if sig[0] == 0:
+        return edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
     parent = rebind = None
     if sig[0] <= _NARROW_LOOP_EDGES:
         edges, parent, rebind = _loop_session(edges, sig[0])
     orig = edges  # checkpointed — reused by the final consistency gate
     converged = False
-    for _ in range(max_iter):
-        # LAZY checkpoint: the signature aggregate right below is the
-        # action that materializes it, so each iteration costs ONE driver
-        # round-trip, not two — halves the sync count that makes this the
-        # most stall-sensitive operator on a contended host
+    for _ in range((max_iter + 1) // 2):
+        # TWO alternating star rounds per driver sync: near-dup graphs
+        # regularly need 4-6 rounds (measured: the semdedup pair graph at
+        # sf0.1 takes 6), and each signature check is a full driver
+        # round-trip — the dominant per-round cost once the loop runs in
+        # the narrow session. Extra rounds past the fixed point are
+        # no-ops (large-star/small-star map a fixed point to itself), so
+        # checking every second round trades at most one redundant cheap
+        # double-round for half the syncs. LAZY checkpoint: the signature
+        # aggregate below is the action that materializes the pair of
+        # rounds — one driver round-trip per doubled iteration.
+        edges = _small_star(_large_star(edges))
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_sig = _signature(edges)
         if new_sig == sig:

@@ -632,7 +632,9 @@ def q_minhash_cc_clusters(spark, sf_dir):
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     ids = _neardup_docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
-    cc = connected_components(ids, pairs)
+    # Banding aggregates per (id_a, id_b) — the pair set is provably
+    # distinct, so CC skips its defensive edge shuffle.
+    cc = connected_components(ids, pairs, assume_distinct_edges=True)
     return cc.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_rep"),
@@ -741,7 +743,12 @@ def q_dup_clusters(spark, sf_dir):
         )
         .select(F.col("doc_id").alias("src"), "dst")
     )
-    comp = connected_components(s.select("doc_id"), edges, id_col="doc_id")
+    # The edge join pairs each doc with its single planted twin (unique
+    # equi-join keys) — provably distinct edges, no defensive shuffle.
+    comp = connected_components(
+        s.select("doc_id"), edges, id_col="doc_id",
+        assume_distinct_edges=True,
+    )
     return comp.select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep")
     )
@@ -923,8 +930,12 @@ def q_semdedup(spark, sf_dir):
     pairs = SIM.cluster_pruned_pairs_above(emb, cents, 0.4).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
+    # One admissible block and one salt match per (id_a, id_b) — the
+    # pruned pair join emits each pair exactly once, so CC skips its
+    # defensive edge shuffle.
     cc = connected_components(
-        emb.select(F.col("vec_id").alias("id")), pairs
+        emb.select(F.col("vec_id").alias("id")), pairs,
+        assume_distinct_edges=True,
     )
     return cc.select(
         F.col("id").alias("vec_id"),

@@ -907,8 +907,9 @@ def q_bpe_train(spark, sf_dir):
     "final segmentation to the same per-doc sums — so fit AND apply "
     "hash-match together, pinning exactly what q_tokenizer_fertility "
     "measures for a fixed external tokenizer but for OUR fitted one. "
-    "Fit is memoized per sf_dir (_fit_bpe_merges — shared with "
-    "q_bpe_train, the model-prep cache policy). Shape: merge "
+    "The fit runs fresh every invocation (_fit_bpe_merges — no cross-"
+    "invocation memo); the word table is checkpointed once so fit and "
+    "encode share a single corpus aggregation. Shape: merge "
     "application runs on the distinct-WORD table (vocab-sized, the "
     "train_bpe scale contract), and the corpus-side work is one "
     "wordcount-shaped explode + join against the vocab map — "
@@ -925,7 +926,16 @@ def q_bpe_encode(spark, sf_dir):
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
     ).filter(F.length("word") > 0)
-    words = dw.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    # The weighted word table feeds BOTH the fit (4 argmax rounds) and the
+    # encode join below; localCheckpoint so the scan + explode + count
+    # aggregation runs once — train_bpe's persist then materializes
+    # through the checkpoint, and `enc` reuses the truncated plan instead
+    # of re-deriving the corpus wordcount (2 scans/explodes → 1).
+    words = (
+        dw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     merges = _fit_bpe_merges(words, sf_dir)
     enc = words.select("word", chars_of("word").alias("seg"))
     for _, l, r, _, _ in merges:
@@ -3672,9 +3682,14 @@ def q_pq_recall(spark, sf_dir):
     hits = ex.join(ap, ["qid", "tid"]).agg(
         F.count(F.lit(1)).alias("hits")
     )
+    # n_queries from `ex`, not `pairs`: every qid with >= 1 candidate
+    # keeps >= 1 top-10 row, so distinct(ex.qid) == distinct(pairs.qid)
+    # — and ex's subtree shares the ranked window's exchange, where a
+    # second reference to `pairs` re-ran the whole numpy mapInArrow
+    # pass (no exchange below it to reuse).
     totals = ex.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
         F.broadcast(
-            pairs.select("qid").distinct().agg(
+            ex.select("qid").distinct().agg(
                 F.count(F.lit(1)).alias("n_queries")
             )
         )
@@ -3823,9 +3838,12 @@ def q_mrl_truncate_recall(spark, sf_dir):
     ex = ranked.filter(F.col("rn_ex") <= 10).select("qid", "tid")
     ap = ranked.filter(F.col("rn_ap") <= 10).select("qid", "tid")
     hits = ex.join(ap, ["qid", "tid"]).agg(F.count(F.lit(1)).alias("hits"))
+    # n_queries from `ex`, not `pairs` — same rationale as q_pq_recall:
+    # identical distinct-qid set, and it reuses the ranked window's
+    # exchange instead of re-running the mapInArrow distance pass.
     totals = ex.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
         F.broadcast(
-            pairs.select("qid")
+            ex.select("qid")
             .distinct()
             .agg(F.count(F.lit(1)).alias("n_queries"))
         )

@@ -169,7 +169,11 @@ def q_jaccard_join_exact(spark, sf_dir):
     sets = corpus.select(
         "doc_id", X.word_shingles(F.col("text"), 3).alias("sh")
     ).localCheckpoint(eager=False)
-    tok = sets.select("doc_id", F.explode("sh").alias("g"))
+    # tok feeds the df count AND the ranked-prefix join side — checkpoint
+    # so the explode over the shingle arrays runs once, not twice.
+    tok = sets.select("doc_id", F.explode("sh").alias("g")).localCheckpoint(
+        eager=False
+    )
     dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         tok.join(dfreq, "g")
@@ -1478,9 +1482,12 @@ def q_containment_join(spark, sf_dir):
     sets = corpus.select(
         "doc_id", X.word_shingles(F.col("text"), 3).alias("sh")
     ).localCheckpoint(eager=False)
+    # The exploded posting table feeds THREE consumers (df counts, the
+    # ranked prefix build, the containing-side postings) — checkpoint it
+    # so the explode over the shingle arrays runs once, not three times.
     tok = sets.select(
         "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g")
-    )
+    ).localCheckpoint(eager=False)
     dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         tok.join(dfreq, "g")
