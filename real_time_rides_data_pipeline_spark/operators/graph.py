@@ -138,6 +138,16 @@ def _signature(e: DataFrame) -> tuple[int, int]:
 #: one task many times over below this bound. Above it, the parent session
 #: (default width, AQE on — the 100 TB configuration) is used unchanged.
 _NARROW_LOOP_EDGES = 500_000
+#: Star rounds executed between convergence-signature driver syncs.
+#: MEASURED (round 15, in-process interleaved A/B on the materialized
+#: semdedup/minhash pair graphs, scripts/cc_batch_ab.py): batching 2
+#: rounds per sync LOSES — mh min 1.86 s at batch=1 vs 2.95 s at
+#: batch=2, sd 4.33 vs 5.69 — because convergence detection then costs
+#: a whole redundant no-op BATCH (2 extra star rounds) while a
+#: signature sync costs only one small aggregate job; per-round rewrite
+#: work dominates the sync at every graph size tried. Kept as a
+#: parameter with the measured answer pinned to 1.
+_ROUNDS_PER_SYNC = 1
 _LOOP_VIEW_SEQ = 0
 
 
@@ -189,19 +199,24 @@ def _cc_star(
         edges, parent, rebind = _loop_session(edges, sig[0])
     orig = edges  # checkpointed — reused by the final consistency gate
     converged = False
-    for _ in range((max_iter + 1) // 2):
-        # TWO alternating star rounds per driver sync: near-dup graphs
-        # regularly need 4-6 rounds (measured: the semdedup pair graph at
-        # sf0.1 takes 6), and each signature check is a full driver
-        # round-trip — the dominant per-round cost once the loop runs in
-        # the narrow session. Extra rounds past the fixed point are
-        # no-ops (large-star/small-star map a fixed point to itself), so
-        # checking every second round trades at most one redundant cheap
-        # double-round for half the syncs. LAZY checkpoint: the signature
-        # aggregate below is the action that materializes the pair of
-        # rounds — one driver round-trip per doubled iteration.
-        edges = _small_star(_large_star(edges))
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+    for _ in range((max_iter + _ROUNDS_PER_SYNC - 1) // _ROUNDS_PER_SYNC):
+        # _ROUNDS_PER_SYNC alternating star rounds per driver sync: each
+        # signature check is a full driver round-trip, and rounds past
+        # the fixed point are no-ops (large-star/small-star map a fixed
+        # point to itself), so batching trades at most one redundant
+        # cheap batch for fewer syncs. EVERY round stays individually
+        # localCheckpoint'd (lazy): each star rewrite references its
+        # input from MULTIPLE subtrees (sym twice in large-star, oriented
+        # three times in small-star), so an uncheckpointed intermediate
+        # round is recomputed several times inside the next round's DAG —
+        # measured as a 2x regression when the intermediate checkpoint
+        # was dropped. The single signature aggregate below materializes
+        # the lazily-persisted chain in one job cascade — one driver
+        # round-trip per batch.
+        for _r in range(_ROUNDS_PER_SYNC):
+            edges = _small_star(_large_star(edges)).localCheckpoint(
+                eager=False
+            )
         new_sig = _signature(edges)
         if new_sig == sig:
             converged = True

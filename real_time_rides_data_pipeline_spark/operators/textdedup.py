@@ -261,7 +261,11 @@ def _span_positions(df, n, id_col, text_col):
     array as a pass-through column — see ``dup_span_profile`` for why the
     prebuilt-array alternative is 8x slower and why the empty-sequence
     guard is load-bearing (``sequence(1, 0)`` counts DOWN)."""
-    tk = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+    # tk feeds BOTH the span explode and the caller's per-doc span-count
+    # projection — checkpoint so the scan + tokenize runs once, not twice.
+    tk = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__w")
+    ).localCheckpoint(eager=False)
     positions = F.when(
         F.size("__w") >= n, F.sequence(F.lit(1), F.size("__w") - n + 1)
     ).otherwise(F.array().cast("array<int>"))
