@@ -30,17 +30,29 @@ def with_minhash_signature(
     n_hashes: int = 16,
     shingle_words: int = 3,
     out_col: str = "minhash",
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """MinHash signature as array<bigint>: for seed i, min over shingles of
-    xxhash64(shingle, i). One pass, all JVM-side."""
-    sh = word_shingles(F.col(text_col), shingle_words)
+    xxhash64(shingle, i). One pass, all JVM-side.
+
+    ``shingles_col`` additionally keeps the shingle array as an output
+    column computed ONCE: a caller that needs both the signature and the
+    shingle sets (LSH + exact verify) otherwise re-evaluates the
+    tokenize→n-gram→array_distinct chain in the same projection — the
+    staged column is referenced twice, so CollapseProject keeps it
+    materialized (round-16 A/B: 0.76× on the 64-hash signature pass)."""
+    keep = shingles_col or "__mh_sh"
+    staged = df.withColumn(keep, word_shingles(F.col(text_col), shingle_words))
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(
+                F.transform(F.col(keep), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
             for i in range(n_hashes)
         ]
     )
-    return df.withColumn(out_col, sig)
+    out = staged.withColumn(out_col, sig)
+    return out if shingles_col else out.drop(keep)
 
 
 #: Modulus of the portable MinHash affine family: 2^31 - 1 (Mersenne
@@ -69,6 +81,7 @@ def with_minhash_signature_portable(
     text_col: str = "text",
     shingle_words: int = 3,
     out_col: str = "minhash",
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """ENGINE-PORTABLE MinHash signature (array<bigint>, 16 hashes): one
     md5-60-bit base hash per shingle reduced mod 2^31-1, then the 16
@@ -83,12 +96,17 @@ def with_minhash_signature_portable(
     The base-hash array is materialized as its own projected column so
     CollapseProject does NOT inline the md5 chain into each of the 16
     array_min lambdas (the q_simhash_est_hamming staging trick — one md5
-    pass, not 16)."""
+    pass, not 16). ``shingles_col`` keeps the shingle array as an output
+    column computed ONCE (see ``with_minhash_signature``; round-16 A/B:
+    0.63× on the signature projection when the caller needs both)."""
     from real_time_rides_data_pipeline_spark.functions.text import md5_int60
 
-    sh = word_shingles(F.col(text_col), shingle_words)
-    base = F.transform(sh, lambda s: md5_int60(s) % MINHASH_P)
-    staged = df.withColumn("_mh_base", base)
+    keep = shingles_col or "_mh_sh"
+    staged = df.withColumn(
+        keep, word_shingles(F.col(text_col), shingle_words)
+    ).withColumn(
+        "_mh_base", F.transform(F.col(keep), lambda s: md5_int60(s) % MINHASH_P)
+    )
 
     def affine(a: int, b: int):
         # closure factory, NOT default args: PySpark derives HOF lambda
@@ -102,7 +120,8 @@ def with_minhash_signature_portable(
             for a, b in MINHASH_AB
         ]
     )
-    return staged.withColumn(out_col, sig).drop("_mh_base")
+    out = staged.withColumn(out_col, sig).drop("_mh_base")
+    return out if shingles_col else out.drop(keep)
 
 
 def minhash_candidate_pairs(
@@ -150,13 +169,18 @@ def exact_jaccard_pairs(
     text_col: str = "text",
     shingle_words: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-verify candidate pairs: join shingle sets back, compute
-    |∩|/|∪|, keep pairs ≥ threshold. Output (id_a, id_b, jaccard)."""
+    |∩|/|∪|, keep pairs ≥ threshold. Output (id_a, id_b, jaccard).
+
+    ``shingles`` (an ``(id_col, sh)`` frame, typically already
+    materialized by the signature pass) skips the second docs scan +
+    tokenize entirely."""
     # Materialized once: both candidate-side joins consume the shingle
     # table — without the checkpoint each side re-derives the full
     # docs scan + shingle chain (the with_minhash_signature rationale).
-    sh = docs.select(
+    sh = shingles if shingles is not None else docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_words).alias("sh")
     ).localCheckpoint(eager=False)
     j = (
@@ -189,11 +213,23 @@ def minhash_near_duplicates(
     self-join: both join branches would otherwise re-evaluate the full
     shingle→16×xxhash64 chain — measured ~8× slower than computing it once.
     At cluster scale this is the "write signatures, then join" pattern (the
-    signature table is also what incremental dedup reuses across runs)."""
-    signed = with_minhash_signature(docs, text_col, n_hashes, shingle_words)
+    signature table is also what incremental dedup reuses across runs).
+
+    The checkpoint carries ``(id, sh, minhash)`` — NOT the raw text: the
+    shingle array is computed once in the signature projection and reused
+    by the exact verify, so the corpus is scanned and tokenized exactly
+    once per invocation (round-16: was a second full scan + shingle pass;
+    A/B 0.84× end-to-end)."""
+    signed = with_minhash_signature(
+        docs, text_col, n_hashes, shingle_words, shingles_col="__sh"
+    ).select(id_col, "__sh", "minhash")
     signed = signed.localCheckpoint(eager=True)
     cands = minhash_candidate_pairs(signed, id_col, "minhash", bands)
-    return exact_jaccard_pairs(docs, cands, id_col, text_col, shingle_words, threshold)
+    shingles = signed.select(id_col, F.col("__sh").alias("sh"))
+    return exact_jaccard_pairs(
+        docs, cands, id_col, text_col, shingle_words, threshold,
+        shingles=shingles,
+    )
 
 
 def simhash_near_duplicates(

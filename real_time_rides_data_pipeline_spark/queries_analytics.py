@@ -2686,9 +2686,18 @@ def q_bfs_distance(spark, sf_dir):
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
-    edges = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    # Hash-partition the edge table on the join key BEFORE checkpointing
+    # (the pagerank_int layout trick): LogicalRDD preserves
+    # outputPartitioning, so each level's frontier join reuses the
+    # edge-side layout and only the (tiny) frontier shuffles — the full
+    # edge shuffle happens once instead of once per level (guide §2.4).
+    edges = (
+        e0.unionAll(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=False)
+    )
 
     seeds = spark.createDataFrame(
         [(2, 0), (4, 0), (6, 0)], "node long, dist long"

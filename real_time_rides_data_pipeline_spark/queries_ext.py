@@ -191,11 +191,11 @@ def q_simhash_neardup(spark, sf_dir):
 )
 def q_minhash_est_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
-    s = TD.with_minhash_signature(d, "text", n_hashes=64, shingle_words=3).select(
-        "doc_id",
-        X.word_shingles(F.col("text"), 3).alias("sh"),
-        F.col("minhash"),
-    )
+    # shingles_col: one word_shingles evaluation feeds both the 64-hash
+    # signature and the exact-jaccard `sh` sets (round-16 A/B: 0.76×).
+    s = TD.with_minhash_signature(
+        d, "text", n_hashes=64, shingle_words=3, shingles_col="sh"
+    ).select("doc_id", "sh", F.col("minhash"))
     # Both self-join branches would recompute the 64x xxhash64 chain.
     s = s.localCheckpoint(eager=True)
     a = s.alias("a")
@@ -424,11 +424,13 @@ def _minhash_verified_pairs(spark, sf_dir) -> DataFrame:
     """Portable-MinHash LSH candidates + exact intersection/union verify —
     the shared Spark leg of q_minhash_bands (pair output) and
     q_minhash_cc_clusters (CC over the verified edges)."""
-    s = TD.with_minhash_signature_portable(_neardup_docs(spark, sf_dir)).select(
-        "doc_id",
-        X.word_shingles(F.col("text"), 3).alias("sh"),
-        "minhash",
-    )
+    # shingles_col: the shingle array is computed ONCE in the signature
+    # projection and shared with the exact verify (round-16 A/B: 0.63× on
+    # the signature pass — the un-staged shape evaluated word_shingles
+    # twice per row in the same projection).
+    s = TD.with_minhash_signature_portable(
+        _neardup_docs(spark, sf_dir), shingles_col="sh"
+    ).select("doc_id", "sh", "minhash")
     # Both self-join branches AND the verify join would re-run the md5
     # signature chain — materialize once (minhash_near_duplicates
     # rationale).

@@ -1426,7 +1426,13 @@ def q_stream_kmv(spark, sf_dir):
     finally:
         q.stop()
 
-    folded = spark.read.parquet(state)
+    # The folded sketch feeds EIGHT downstream references (est_a, est_b,
+    # the union's two sides, and the intersection's ta/tb/common joins) —
+    # without materialization the final plan re-scans the state parquet 8×
+    # (round-15 audit). One eager localCheckpoint of the ≤ 2k-row sketch
+    # turns that into one scan + in-memory reuse (guide §5); the folded
+    # state is computed fresh by the replay above on every invocation.
+    folded = spark.read.parquet(state).localCheckpoint(eager=True)
     sk_a = folded.filter(F.col("set_tag") == "a").select("v")
     sk_b = folded.filter(F.col("set_tag") == "b").select("v")
     est_a = kmv.kmv_estimate(sk_a, k=K).select(F.col("est").alias("est_a"))

@@ -303,14 +303,9 @@ def main() -> None:
         for key in KEYS:
             best = None
             for _ in range(2):  # min-of-2, noop sink — bench.py protocol.
-                # Clear memoized model fits so EVERY rep pays the fit (the
-                # bench deliberately reuses fitted models as index prep, but
-                # the scale probe measures the whole operator — min-of-2
-                # over a warm cache would silently exclude the fit).
-                from real_time_rides_data_pipeline_spark import queries_ext, queries_ml
-
-                queries_ml._PCA_CACHE.clear()
-                queries_ext._CENTROID_CACHE.clear()
+                # Fit memos were removed in round 15 (no cross-invocation
+                # result caching), so every rep already pays the model fit
+                # — exactly what the probe wants to measure.
                 # NOT .count(): Catalyst eliminates a unique-key left join
                 # (and its whole subtree) under count(), which silently
                 # un-measures e.g. q_dup_spans' aggregate branch.

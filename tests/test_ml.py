@@ -489,9 +489,7 @@ def test_fit_helpers_have_no_memo():
 
     for mod in (qe, qm, qc):
         banned = [
-            n
-            for n in vars(mod)
-            if n.endswith(("_CACHE", "_STAGE")) and n != "_CSV_ENCODE_DIRS"
+            n for n in vars(mod) if n.endswith(("_CACHE", "_STAGE"))
         ]
         assert not banned, f"{mod.__name__} regrew result memos: {banned}"
     assert not hasattr(scratch, "FitCache")
