@@ -84,35 +84,55 @@ def train_bpe(
     single argmax row; the merge is folded back as literals for the next
     round's plan.
     """
-    # Persist the weighted word table: without it every round's argmax
+    from real_time_rides_data_pipeline_spark.session import (
+        NARROW_LOOP_ROWS,
+        narrow_loop_session,
+    )
+
+    # Checkpoint the weighted word table: without it every round's argmax
     # re-scans and re-tokenizes the corpus AND re-applies all prior merge
-    # folds from scratch (O(M²) work, M corpus scans) — persisting words
-    # implements the "word table is checkpointed once" scale contract.
-    # Round k still re-applies k-1 folds to the CACHED word table; with
-    # M ≲ tens that is cheap, and a per-round localCheckpoint of `seg`
-    # is the documented escape hatch for vocabulary-sized M.
-    words = words.persist()
-    try:
-        seg = words.select(F.col("n"), chars_of("word").alias("seg"))
-        merges: list[tuple[int, str, str, str, int]] = []
-        for step in range(1, n_merges + 1):
-            best = (
-                seg.select(
-                    "n", F.explode(adjacent_pairs(F.col("seg"))).alias("p")
-                )
-                .groupBy("p.l", "p.r")
-                .agg(F.sum("n").alias("freq"))
-                .orderBy(
-                    F.col("freq").desc(), F.col("l").asc(), F.col("r").asc()
-                )
-                .limit(1)
-                .collect()  # bounded: exactly one argmax row per round
+    # folds from scratch (O(M²) work, M corpus scans) — materializing
+    # words implements the "word table is checkpointed once" scale
+    # contract. Round k still re-applies k-1 folds to the MATERIALIZED
+    # word table; with M ≲ tens that is cheap, and a per-round
+    # localCheckpoint of `seg` is the documented escape hatch for
+    # vocabulary-sized M.
+    #
+    # localCheckpoint (LogicalRDD), NOT persist(): the narrow clone below
+    # receives the table through a global temp view, and a LogicalRDD
+    # moves as materialized data while a persisted plan must re-match the
+    # CacheManager from the clone — measured as a per-round corpus-agg
+    # recompute (≈ +1.2 s over 4 rounds) when this used persist.
+    words = words.localCheckpoint(eager=True)
+    # The count is a cheap driver action on the materialized RDD and
+    # sizes the loop session: a vocab-sized table iterates in a narrow
+    # clone (AQE off, width ~rows/250k — the CC star-loop pattern); the
+    # argmax rows are plain Python literals, so nothing needs rebinding
+    # back to the parent. Measured (scripts/ab_bpe_clone.py, in-process
+    # interleaved min-of-4, count included in the clone leg):
+    # q_bpe_train 2.08 → 1.79 s, clone faster on every rep.
+    n_words = words.count()
+    w = words
+    if 0 < n_words <= NARROW_LOOP_ROWS:
+        w, _parent, _rebind = narrow_loop_session(words, n_words)
+    seg = w.select(F.col("n"), chars_of("word").alias("seg"))
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            seg.select(
+                "n", F.explode(adjacent_pairs(F.col("seg"))).alias("p")
             )
-            if not best:
-                break
-            l, r, freq = best[0]["l"], best[0]["r"], int(best[0]["freq"])
-            merges.append((step, l, r, l + r, freq))
-            seg = seg.select("n", merge_pair(F.col("seg"), l, r).alias("seg"))
-        return merges
-    finally:
-        words.unpersist()
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("freq"))
+            .orderBy(
+                F.col("freq").desc(), F.col("l").asc(), F.col("r").asc()
+            )
+            .limit(1)
+            .collect()  # bounded: exactly one argmax row per round
+        )
+        if not best:
+            break
+        l, r, freq = best[0]["l"], best[0]["r"], int(best[0]["freq"])
+        merges.append((step, l, r, l + r, freq))
+        seg = seg.select("n", merge_pair(F.col("seg"), l, r).alias("seg"))
+    return merges

@@ -136,6 +136,46 @@ _WRITER_CONF_KEYS = (
 )
 
 
+#: Row count below which an iterative driver loop (CC star rounds, BPE
+#: argmax rounds) runs in a NARROW session clone — AQE off, shuffle width
+#: ~rows/250k. Rationale: such loops are RDD-barriered (localCheckpoint
+#: per round), so AQE cannot optimize ACROSS rounds and only adds
+#: per-query-stage planning latency, and a tiny working set on a wide
+#: shuffle pays scheduling for empty partitions. Above the bound the
+#: parent session (default width, AQE on — the 100 TB configuration) is
+#: used unchanged. Measured round 15/16: CC keys (ab_cc_clone.py,
+#: q_semdedup 6.85 vs 8.39 s, q_dup_clusters 2.91 vs 5.01 s) and the BPE
+#: fit (ab_bpe_clone.py, 1.79 vs 2.08 s) all favor the clone at fixture
+#: scale.
+NARROW_LOOP_ROWS = 500_000
+_NARROW_VIEW_SEQ = 0
+
+
+def narrow_loop_session(df, n_rows: int):
+    """Return ``df`` rebound to a session sized for an ``n_rows``-row
+    iterative loop, plus the parent and a ``rebind(frame, to)`` to hand
+    results back. The handoff is a global temp view (shared across
+    sessions on one SparkContext), so the checkpointed plan moves
+    JVM-side — no Python round-trip, no recompute."""
+    global _NARROW_VIEW_SEQ
+    parent = df.sparkSession
+    width = max(1, n_rows // 250_000)
+    clone = scoped_writer_session(parent, width)
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def rebind(frame, to):
+        global _NARROW_VIEW_SEQ
+        _NARROW_VIEW_SEQ += 1
+        name = f"__narrow_loop_{os.getpid()}_{_NARROW_VIEW_SEQ}"
+        frame.createOrReplaceGlobalTempView(name)
+        out = to.table(f"global_temp.{name}")
+        # The view resolved to the plan; drop the name immediately.
+        frame.sparkSession.catalog.dropGlobalTempView(name)
+        return out
+
+    return rebind(df, clone), parent, rebind
+
+
 def scoped_writer_session(
     spark: SparkSession, shuffle_partitions: int
 ) -> SparkSession:
