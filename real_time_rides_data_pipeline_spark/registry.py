@@ -60,7 +60,15 @@ def _last_checked_rounds(root=None) -> dict[str, int]:
     Missing/unreadable files degrade to "never checked" (registration
     order), never to an exception: the rotation is an ordering hint, not
     a correctness dependency. ``root`` overrides the history directory
-    (unit tests inject synthetic histories)."""
+    (unit tests inject synthetic histories).
+
+    ``RECHECK.json`` at the same root ({key: round-the-implementation-
+    was-rewritten}) extends the failed-check rule to REWRITES: a green
+    check attests the code it ran against, so a key rewritten in a LATER
+    round than its newest green check reads as never-checked and re-
+    enters the window head (round-16 VERDICT item 7 — the optimizer
+    records its rewrites; a driver check from the same or a later round
+    clears the debt automatically)."""
     import json
     from pathlib import Path
 
@@ -94,9 +102,20 @@ def _last_checked_rounds(root=None) -> dict[str, int]:
                 last[key] = max(last.get(key, 0), rnd)
     # A key whose LATEST check failed re-enters the window head: an older
     # green must not shield a current breakage from re-verification.
-    return {
-        k: r for k, r in last.items() if last_fail.get(k, 0) <= r
-    }
+    last = {k: r for k, r in last.items() if last_fail.get(k, 0) <= r}
+    # A key REWRITTEN after its newest green check likewise re-enters the
+    # head: the stale green attests code that no longer exists.
+    recheck: dict[str, int] = {}
+    try:
+        recheck = {
+            k: int(r)
+            for k, r in json.loads(
+                (root / "RECHECK.json").read_text()
+            ).items()
+        }
+    except (OSError, ValueError, json.JSONDecodeError, AttributeError):
+        pass
+    return {k: r for k, r in last.items() if recheck.get(k, 0) <= r}
 
 
 def check_priority(root=None) -> tuple[str, ...]:

@@ -1258,6 +1258,44 @@ def test_check_priority_window(tmp_path):
         assert max(cp2.index(k) for k in stale) < min_pos_window
 
 
+def test_recheck_rewrites_reenter_window_head(tmp_path):
+    """RECHECK.json rule (round 16): a key whose implementation was
+    rewritten in a LATER round than its newest green driver check reads
+    as never-checked (enters the head block); a green check from the
+    SAME or a later round clears the debt. Synthetic history only — the
+    live RECHECK.json is exercised by test_check_priority_window's
+    invariants."""
+    import json
+
+    from real_time_rides_data_pipeline_spark.registry import (
+        _last_checked_rounds,
+    )
+
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps({
+            k: {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": None}
+            for k in ("q_a", "q_b", "q_c")
+        })
+    )
+    # q_a rewritten AFTER its green (8 > 7) -> debt; q_b rewritten the
+    # round it was checked (7 == 7) -> attested; q_c not rewritten.
+    (tmp_path / "RECHECK.json").write_text(
+        json.dumps({"q_a": 8, "q_b": 7})
+    )
+    last = _last_checked_rounds(tmp_path)
+    assert "q_a" not in last
+    assert last["q_b"] == 7 and last["q_c"] == 7
+    # A later green clears the rewrite debt.
+    (tmp_path / "CORRECTNESS_r08.json").write_text(
+        json.dumps({
+            "q_a": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None}
+        })
+    )
+    assert _last_checked_rounds(tmp_path)["q_a"] == 8
+
+
 def test_max_concurrency_single_scan_day_partitioned(spark):
     """Sweep line: ONE events scan (pieces and boundaries are generators
     over it, not self-joins), windows partitioned by day, no cartesian."""
